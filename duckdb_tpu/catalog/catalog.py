@@ -1,0 +1,128 @@
+"""Catalog: schemas, tables, column metadata, and device residency.
+
+The reference keeps a versioned MVCC CatalogSet
+(/root/reference/src/catalog/). Round 1 is a single-version in-memory
+catalog; versioning arrives with the transaction layer. Column data is
+host-resident numpy (the "disk tier") and promoted lazily to padded device
+arrays (the HBM cache tier) on first query touch — the TPU analog of
+buffer-pool pinning.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from duckdb_tpu.blocks import Column, pad_bucket
+from duckdb_tpu.types import LogicalType, TypeId, VARCHAR
+
+
+@dataclass
+class ColumnStats:
+    min_val: Optional[object] = None
+    max_val: Optional[object] = None
+    n_unique: Optional[int] = None
+    has_nulls: bool = False
+
+
+@dataclass
+class ColumnDef:
+    name: str
+    ltype: LogicalType
+
+
+class TableEntry:
+    def __init__(self, name: str, columns: List[ColumnDef]):
+        self.name = name
+        self.columns = columns
+        self.col_types: Dict[str, LogicalType] = {c.name: c.ltype for c in columns}
+        self.nrows: int = 0
+        # host tier: name -> (np values, np validity|None); VARCHAR stored as
+        # (codes, dict) pair
+        self._host: Dict[str, Tuple] = {}
+        self._loaders: Dict[str, Callable[[], Tuple]] = {}
+        # device tier
+        self._device: Dict[str, Column] = {}
+        self.stats: Dict[str, ColumnStats] = {}
+
+    # -- population -----------------------------------------------------------
+    def set_host_column(self, name, values, validity=None, dict_values=None):
+        self._host[name] = (values, validity, dict_values)
+        self._device.pop(name, None)
+        self._compute_stats(name)
+
+    def set_lazy_column(self, name, loader: Callable[[], Tuple]):
+        """loader() -> (values, validity, dict_values)"""
+        self._loaders[name] = loader
+
+    def host_column(self, name):
+        if name not in self._host and name in self._loaders:
+            values, validity, dict_values = self._loaders.pop(name)()
+            self._host[name] = (values, validity, dict_values)
+            self._compute_stats(name)
+        return self._host[name]
+
+    def device_column(self, name) -> Column:
+        if name not in self._device:
+            values, validity, dict_values = self.host_column(name)
+            ltype = self.col_types[name]
+            pad = pad_bucket(self.nrows)
+            self._device[name] = Column.from_numpy(
+                values, ltype, validity=validity, dict_values=dict_values, pad_to=pad
+            )
+        return self._device[name]
+
+    def _compute_stats(self, name):
+        values, validity, dict_values = self._host[name]
+        st = ColumnStats()
+        ltype = self.col_types[name]
+        if len(values):
+            if validity is not None:
+                st.has_nulls = bool(np.any(~validity))
+                live = values[validity] if st.has_nulls else values
+            else:
+                live = values
+            if len(live):
+                if ltype.id is TypeId.VARCHAR:
+                    st.n_unique = len(dict_values) if dict_values is not None else None
+                    st.min_val = int(live.min())
+                    st.max_val = int(live.max())
+                else:
+                    st.min_val = live.min().item()
+                    st.max_val = live.max().item()
+        self.stats[name] = st
+
+    def stats_for(self, name) -> ColumnStats:
+        if name not in self.stats:
+            self.host_column(name)  # force load to compute
+        return self.stats.get(name, ColumnStats())
+
+
+class Catalog:
+    def __init__(self):
+        self.tables: Dict[str, TableEntry] = {}
+        self.views: Dict[str, object] = {}  # name -> parsed SELECT AST
+
+    def create_table(self, entry: TableEntry, or_replace: bool = False):
+        key = entry.name.lower()
+        if key in self.tables and not or_replace:
+            raise ValueError(f'table "{entry.name}" already exists')
+        self.tables[key] = entry
+
+    def drop_table(self, name: str, if_exists: bool = False):
+        key = name.lower()
+        if key in self.tables:
+            del self.tables[key]
+        elif not if_exists:
+            raise ValueError(f'table "{name}" does not exist')
+
+    def get_table(self, name: str) -> TableEntry:
+        key = name.lower()
+        if key not in self.tables:
+            raise ValueError(f'Table with name {name} does not exist!')
+        return self.tables[key]
+
+    def has_table(self, name: str) -> bool:
+        return name.lower() in self.tables

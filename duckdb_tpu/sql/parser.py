@@ -1,0 +1,996 @@
+"""Recursive-descent SQL parser (Pratt expressions).
+
+Surface parity target: the reference's SQL dialect (SELECT with CTEs,
+subqueries, window functions, set ops, DDL/DML, COPY, PRAGMA/SET/CALL).
+Grammar reference: /root/reference/src/parser/peg/grammar/statements/.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from duckdb_tpu.sql.lexer import LexError, Token, TokType, tokenize
+from duckdb_tpu.sql.nodes import *  # noqa: F401,F403
+from duckdb_tpu.sql import nodes as N
+
+
+class ParserError(ValueError):
+    pass
+
+
+# keywords that terminate an expression / cannot start a primary
+_STOP_KEYWORDS = {
+    "from", "where", "group", "having", "order", "limit", "offset", "union",
+    "except", "intersect", "on", "using", "join", "inner", "left", "right",
+    "full", "cross", "when", "then", "else", "end", "as", "asc", "desc",
+    "nulls", "and", "or", "not", "between", "in", "like", "ilike", "is",
+    "escape", "qualify", "window", "partition", "rows", "range", "semi",
+    "anti", "natural", "fetch", "for",
+}
+
+_JOIN_TYPES = {"inner", "left", "right", "full", "cross", "semi", "anti", "outer"}
+
+_TYPE_NAME_WORDS = {
+    "int", "integer", "int4", "bigint", "int8", "smallint", "int2", "tinyint",
+    "int1", "hugeint", "boolean", "bool", "float", "real", "float4", "double",
+    "float8", "decimal", "numeric", "varchar", "text", "string", "char",
+    "date", "time", "timestamp", "datetime", "interval", "blob", "bytea",
+    "uinteger", "ubigint", "usmallint", "utinyint",
+}
+
+
+class Parser:
+    def __init__(self, sql: str):
+        self.sql = sql
+        self.toks = tokenize(sql)
+        self.i = 0
+        self.param_count = 0
+
+    # -- token helpers --------------------------------------------------------
+    def peek(self, off: int = 0) -> Token:
+        return self.toks[min(self.i + off, len(self.toks) - 1)]
+
+    def next(self) -> Token:
+        t = self.toks[self.i]
+        if t.type != TokType.EOF:
+            self.i += 1
+        return t
+
+    def kw(self, off: int = 0) -> str:
+        """lowercased keyword view of the token at offset."""
+        t = self.peek(off)
+        return t.value.lower() if t.type == TokType.IDENT else ""
+
+    def accept_kw(self, *words: str) -> bool:
+        for j, w in enumerate(words):
+            if self.kw(j) != w:
+                return False
+        self.i += len(words)
+        return True
+
+    def expect_kw(self, word: str):
+        if not self.accept_kw(word):
+            raise ParserError(f"expected {word.upper()} near {self.peek().value!r} (pos {self.peek().pos})")
+
+    def accept_op(self, op: str) -> bool:
+        t = self.peek()
+        if t.type == TokType.OP and t.value == op:
+            self.i += 1
+            return True
+        return False
+
+    def expect_op(self, op: str):
+        if not self.accept_op(op):
+            raise ParserError(f"expected {op!r} near {self.peek().value!r} (pos {self.peek().pos})")
+
+    def expect_ident(self) -> str:
+        t = self.peek()
+        if t.type != TokType.IDENT:
+            raise ParserError(f"expected identifier near {t.value!r} (pos {t.pos})")
+        self.i += 1
+        return t.value
+
+    # -- entry ----------------------------------------------------------------
+    def parse_statements(self) -> List[object]:
+        stmts = []
+        while self.peek().type != TokType.EOF:
+            if self.accept_op(";"):
+                continue
+            stmts.append(self.parse_statement())
+            if not self.accept_op(";"):
+                break
+        if self.peek().type != TokType.EOF:
+            raise ParserError(f"unexpected input near {self.peek().value!r} (pos {self.peek().pos})")
+        return stmts
+
+    def parse_statement(self):
+        k = self.kw()
+        if k in ("select", "with", "values") or self.peek().value == "(":
+            return self.parse_select_statement()
+        if k == "create":
+            return self.parse_create()
+        if k == "drop":
+            return self.parse_drop()
+        if k == "insert":
+            return self.parse_insert()
+        if k == "delete":
+            return self.parse_delete()
+        if k == "update":
+            return self.parse_update()
+        if k == "copy":
+            return self.parse_copy()
+        if k == "explain":
+            self.next()
+            analyze = self.accept_kw("analyze")
+            return N.ExplainStatement(self.parse_statement(), analyze=analyze)
+        if k in ("set", "reset"):
+            return self.parse_set(k)
+        if k == "pragma":
+            return self.parse_pragma()
+        if k == "call":
+            return self.parse_call()
+        if k in ("begin", "commit", "rollback", "abort", "checkpoint"):
+            self.next()
+            if k == "begin":
+                self.accept_kw("transaction")
+            return N.TransactionStatement("rollback" if k == "abort" else k)
+        if k in ("describe", "show"):
+            self.next()
+            name = self.expect_ident()
+            return N.PragmaStatement("show", [N.Literal(name)])
+        raise ParserError(f"unsupported statement start {self.peek().value!r}")
+
+    # -- SELECT ---------------------------------------------------------------
+    def parse_select_statement(self) -> N.SelectStatement:
+        ctes: List[N.CTE] = []
+        if self.accept_kw("with"):
+            recursive = self.accept_kw("recursive")
+            while True:
+                name = self.expect_ident()
+                col_aliases: Tuple[str, ...] = ()
+                if self.accept_op("("):
+                    cols = [self.expect_ident()]
+                    while self.accept_op(","):
+                        cols.append(self.expect_ident())
+                    self.expect_op(")")
+                    col_aliases = tuple(cols)
+                self.expect_kw("as")
+                materialized = None
+                if self.accept_kw("materialized"):
+                    materialized = True
+                elif self.accept_kw("not", "materialized"):
+                    materialized = False
+                self.expect_op("(")
+                sub = self.parse_select_statement()
+                self.expect_op(")")
+                ctes.append(
+                    N.CTE(name, sub, col_aliases, materialized, recursive=recursive)
+                )
+                if not self.accept_op(","):
+                    break
+        node = self.parse_set_op_tree()
+        order_by, limit, offset = self.parse_order_limit()
+        return N.SelectStatement(node, ctes=ctes, order_by=order_by, limit=limit, offset=offset)
+
+    def parse_order_limit(self):
+        order_by: List[N.OrderItem] = []
+        limit = offset = None
+        if self.accept_kw("order", "by"):
+            order_by.append(self.parse_order_item())
+            while self.accept_op(","):
+                order_by.append(self.parse_order_item())
+        while True:
+            if self.kw() == "limit":
+                self.next()
+                limit = self.parse_expr()
+            elif self.kw() == "offset":
+                self.next()
+                offset = self.parse_expr()
+            else:
+                break
+        return order_by, limit, offset
+
+    def parse_order_item(self) -> N.OrderItem:
+        e = self.parse_expr()
+        desc = False
+        if self.accept_kw("desc"):
+            desc = True
+        elif self.accept_kw("asc"):
+            pass
+        nulls_first = None
+        if self.accept_kw("nulls", "first"):
+            nulls_first = True
+        elif self.accept_kw("nulls", "last"):
+            nulls_first = False
+        return N.OrderItem(e, descending=desc, nulls_first=nulls_first)
+
+    def parse_set_op_tree(self):
+        left = self.parse_query_term()
+        while True:
+            k = self.kw()
+            if k in ("union", "except", "intersect"):
+                self.next()
+                is_all = self.accept_kw("all")
+                if not is_all:
+                    self.accept_kw("distinct")
+                right = self.parse_query_term()
+                left = N.SetOpNode(k, is_all, left, right)
+            else:
+                return left
+
+    def parse_query_term(self):
+        if self.accept_op("("):
+            inner = self.parse_select_statement()
+            self.expect_op(")")
+            # a parenthesized select with its own order/limit stays a statement
+            if inner.order_by or inner.limit is not None or inner.ctes:
+                return inner
+            return inner.node
+        if self.kw() == "values":
+            self.next()
+            rows = []
+            while True:
+                self.expect_op("(")
+                row = [self.parse_expr()]
+                while self.accept_op(","):
+                    row.append(self.parse_expr())
+                self.expect_op(")")
+                rows.append(row)
+                if not self.accept_op(","):
+                    break
+            return N.ValuesNode(rows)
+        return self.parse_select_node()
+
+    def parse_select_node(self) -> N.SelectNode:
+        self.expect_kw("select")
+        node = N.SelectNode()
+        if self.accept_kw("distinct"):
+            if self.accept_kw("on"):
+                self.expect_op("(")
+                node.distinct_on.append(self.parse_expr())
+                while self.accept_op(","):
+                    node.distinct_on.append(self.parse_expr())
+                self.expect_op(")")
+            node.distinct = True
+        elif self.accept_kw("all"):
+            pass
+        # select list
+        while True:
+            node.select_list.append(self.parse_select_item())
+            if not self.accept_op(","):
+                break
+        if self.accept_kw("from"):
+            node.from_table = self.parse_table_ref()
+        if self.accept_kw("where"):
+            node.where = self.parse_expr()
+        if self.accept_kw("group", "by"):
+            if self.accept_kw("all"):
+                node.group_by_all = True
+            else:
+                node.group_by.append(self.parse_expr())
+                while self.accept_op(","):
+                    node.group_by.append(self.parse_expr())
+        if self.accept_kw("having"):
+            node.having = self.parse_expr()
+        if self.accept_kw("qualify"):
+            node.qualify = self.parse_expr()
+        return node
+
+    def parse_select_item(self) -> Tuple[N.Expr, Optional[str]]:
+        # [table.]* [EXCLUDE(...)]
+        if self.peek().value == "*" and self.peek().type == TokType.OP:
+            self.next()
+            exclude = self._parse_star_modifiers()
+            return (N.Star(exclude=exclude), None)
+        if (
+            self.peek().type == TokType.IDENT
+            and self.peek(1).value == "."
+            and self.peek(2).value == "*"
+        ):
+            tname = self.next().value
+            self.next()
+            self.next()
+            exclude = self._parse_star_modifiers()
+            return (N.Star(table=tname, exclude=exclude), None)
+        e = self.parse_expr()
+        alias = None
+        if self.accept_kw("as"):
+            alias = self.expect_ident()
+        elif self.peek().type == TokType.IDENT and self.kw() not in _STOP_KEYWORDS:
+            alias = self.next().value
+        elif self.peek().type == TokType.STRING:
+            alias = self.next().value
+        return (e, alias)
+
+    def _parse_star_modifiers(self) -> Tuple[str, ...]:
+        exclude: Tuple[str, ...] = ()
+        if self.accept_kw("exclude"):
+            self.expect_op("(")
+            cols = [self.expect_ident()]
+            while self.accept_op(","):
+                cols.append(self.expect_ident())
+            self.expect_op(")")
+            exclude = tuple(cols)
+        return exclude
+
+    # -- FROM / joins ----------------------------------------------------------
+    def parse_table_ref(self) -> N.TableRef:
+        left = self.parse_join_operand()
+        while True:
+            if self.accept_op(","):
+                right = self.parse_join_operand()
+                left = N.JoinRef(left, right, "cross")
+                continue
+            natural = False
+            save = self.i
+            if self.accept_kw("natural"):
+                natural = True
+            jt = None
+            k = self.kw()
+            if k in _JOIN_TYPES:
+                self.next()
+                if k in ("left", "right", "full"):
+                    self.accept_kw("outer")
+                jt = "inner" if k == "outer" else k
+                self.expect_kw("join")
+            elif k == "join":
+                self.next()
+                jt = "inner"
+            else:
+                self.i = save
+                return left
+            right = self.parse_join_operand()
+            cond = None
+            using: Tuple[str, ...] = ()
+            if jt != "cross" and not natural:
+                if self.accept_kw("on"):
+                    cond = self.parse_expr()
+                elif self.accept_kw("using"):
+                    self.expect_op("(")
+                    cols = [self.expect_ident()]
+                    while self.accept_op(","):
+                        cols.append(self.expect_ident())
+                    self.expect_op(")")
+                    using = tuple(cols)
+            left = N.JoinRef(left, right, jt, condition=cond, using=using, natural=natural)
+
+    def parse_join_operand(self) -> N.TableRef:
+        if self.accept_op("("):
+            # subquery or parenthesized join
+            if self.kw() in ("select", "with", "values"):
+                sub = self.parse_select_statement()
+                self.expect_op(")")
+                alias, col_aliases = self.parse_alias()
+                return N.SubqueryRef(sub, alias, col_aliases)
+            inner = self.parse_table_ref()
+            self.expect_op(")")
+            return inner
+        if self.peek().type == TokType.STRING:
+            # file path scan: FROM 'foo.csv'
+            path = self.next().value
+            alias, col_aliases = self.parse_alias()
+            return N.TableFunctionRef("__file_scan", [N.Literal(path)], alias, col_aliases)
+        name = self.expect_ident()
+        schema = None
+        if self.accept_op("."):
+            schema = name
+            name = self.expect_ident()
+        if self.peek().value == "(" and self.peek().type == TokType.OP:
+            # table function
+            self.next()
+            args = []
+            if self.peek().value != ")":
+                args.append(self.parse_tf_arg())
+                while self.accept_op(","):
+                    args.append(self.parse_tf_arg())
+            self.expect_op(")")
+            alias, col_aliases = self.parse_alias()
+            return N.TableFunctionRef(name.lower(), args, alias, col_aliases)
+        alias, col_aliases = self.parse_alias()
+        return N.BaseTableRef(name, schema=schema, alias=alias, column_aliases=col_aliases)
+
+    def parse_tf_arg(self) -> N.Expr:
+        # named arg: ident := expr  or  ident => expr
+        if self.peek().type == TokType.IDENT and self.peek(1).value in (":", "=") :
+            if self.peek(1).value == ":" and self.peek(2).value == "=":
+                name = self.next().value
+                self.next(); self.next()
+                return N.BinaryOp(":=", N.ColumnRef((name,)), self.parse_expr())
+        return self.parse_expr()
+
+    def parse_alias(self) -> Tuple[Optional[str], Tuple[str, ...]]:
+        alias = None
+        if self.accept_kw("as"):
+            alias = self.expect_ident()
+        elif (
+            self.peek().type == TokType.IDENT
+            and self.kw() not in _STOP_KEYWORDS
+            and self.kw() not in ("join",)
+        ):
+            alias = self.next().value
+        col_aliases: Tuple[str, ...] = ()
+        if alias is not None and self.peek().value == "(" and self._looks_like_col_alias_list():
+            self.next()
+            cols = [self.expect_ident()]
+            while self.accept_op(","):
+                cols.append(self.expect_ident())
+            self.expect_op(")")
+            col_aliases = tuple(cols)
+        return alias, col_aliases
+
+    def _looks_like_col_alias_list(self) -> bool:
+        # "(ident[, ident]*)" strictly
+        j = 1
+        if self.peek(j).type != TokType.IDENT:
+            return False
+        j += 1
+        while self.peek(j).value == ",":
+            j += 1
+            if self.peek(j).type != TokType.IDENT:
+                return False
+            j += 1
+        return self.peek(j).value == ")"
+
+    # -- expressions (Pratt) ----------------------------------------------------
+    def parse_expr(self) -> N.Expr:
+        return self.parse_or()
+
+    def parse_or(self) -> N.Expr:
+        left = self.parse_and()
+        if self.kw() != "or":
+            return left
+        children = [left]
+        while self.accept_kw("or"):
+            children.append(self.parse_and())
+        return N.Conjunction("or", children)
+
+    def parse_and(self) -> N.Expr:
+        left = self.parse_not()
+        if self.kw() != "and":
+            return left
+        children = [left]
+        while self.accept_kw("and"):
+            children.append(self.parse_not())
+        return N.Conjunction("and", children)
+
+    def parse_not(self) -> N.Expr:
+        if self.accept_kw("not"):
+            return N.NotExpr(self.parse_not())
+        return self.parse_is()
+
+    def parse_is(self) -> N.Expr:
+        left = self.parse_comparison()
+        while self.kw() == "is":
+            self.next()
+            negated = self.accept_kw("not")
+            if self.accept_kw("distinct", "from"):
+                right = self.parse_comparison()
+                left = N.IsDistinctFrom(left, right, negated=negated)
+            elif self.accept_kw("null"):
+                left = N.IsNull(left, negated=negated)
+            elif self.accept_kw("true"):
+                cmpe = N.BinaryOp("=", left, N.Literal(True))
+                left = N.NotExpr(cmpe) if negated else cmpe
+            elif self.accept_kw("false"):
+                cmpe = N.BinaryOp("=", left, N.Literal(False))
+                left = N.NotExpr(cmpe) if negated else cmpe
+            else:
+                raise ParserError(f"unexpected IS clause near {self.peek().value!r}")
+        return left
+
+    _CMP_OPS = {"=", "<>", "!=", "<", "<=", ">", ">="}
+
+    def parse_comparison(self) -> N.Expr:
+        left = self.parse_additive_chain()
+        while True:
+            t = self.peek()
+            if t.type == TokType.OP and t.value in self._CMP_OPS:
+                self.next()
+                op = "<>" if t.value == "!=" else t.value
+                # quantified subquery: = ANY(...), > ALL(...)
+                if self.kw() in ("any", "all", "some") and self.peek(1).value == "(":
+                    raise ParserError("ANY/ALL subqueries not yet supported")
+                right = self.parse_additive_chain()
+                left = N.BinaryOp(op, left, right)
+                continue
+            negated = False
+            save = self.i
+            if self.kw() == "not" and self.kw(1) in ("between", "in", "like", "ilike"):
+                self.next()
+                negated = True
+            k = self.kw()
+            if k == "between":
+                self.next()
+                low = self.parse_additive_chain()
+                self.expect_kw("and")
+                high = self.parse_additive_chain()
+                left = N.Between(left, low, high, negated=negated)
+                continue
+            if k in ("like", "ilike"):
+                self.next()
+                pattern = self.parse_additive_chain()
+                if self.accept_kw("escape"):
+                    self.parse_additive_chain()  # only default escape supported
+                left = N.LikeExpr(left, pattern, negated=negated, case_insensitive=(k == "ilike"))
+                continue
+            if k == "in":
+                self.next()
+                self.expect_op("(")
+                if self.kw() in ("select", "with", "values"):
+                    sub = self.parse_select_statement()
+                    self.expect_op(")")
+                    left = N.InSubquery(left, sub, negated=negated)
+                else:
+                    items = [self.parse_expr()]
+                    while self.accept_op(","):
+                        items.append(self.parse_expr())
+                    self.expect_op(")")
+                    left = N.InList(left, items, negated=negated)
+                continue
+            self.i = save
+            return left
+
+    def parse_additive_chain(self) -> N.Expr:
+        left = self.parse_additive()
+        while self.accept_op("||"):
+            left = N.BinaryOp("||", left, self.parse_additive())
+        return left
+
+    def parse_additive(self) -> N.Expr:
+        left = self.parse_multiplicative()
+        while True:
+            t = self.peek()
+            if t.type == TokType.OP and t.value in ("+", "-"):
+                self.next()
+                left = N.BinaryOp(t.value, left, self.parse_multiplicative())
+            else:
+                return left
+
+    def parse_multiplicative(self) -> N.Expr:
+        left = self.parse_unary()
+        while True:
+            t = self.peek()
+            if t.type == TokType.OP and t.value in ("*", "/", "%", "//"):
+                self.next()
+                left = N.BinaryOp(t.value, left, self.parse_unary())
+            else:
+                return left
+
+    def parse_unary(self) -> N.Expr:
+        t = self.peek()
+        if t.type == TokType.OP and t.value in ("-", "+"):
+            self.next()
+            child = self.parse_unary()
+            if t.value == "-":
+                if isinstance(child, N.Literal) and isinstance(child.value, (int, float)):
+                    return N.Literal(-child.value, child.type_hint)
+                return N.UnaryOp("-", child)
+            return child
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> N.Expr:
+        e = self.parse_primary()
+        while True:
+            if self.accept_op("::"):
+                tname, mods = self.parse_type_name()
+                e = N.CastExpr(e, tname, mods)
+            elif self.peek().value == "." and self.peek().type == TokType.OP:
+                # struct field access or qualified ref handled in primary; here
+                # only allow ident chaining on ColumnRef
+                if isinstance(e, N.ColumnRef) and self.peek(1).type == TokType.IDENT:
+                    self.next()
+                    e = N.ColumnRef(e.parts + (self.expect_ident(),))
+                else:
+                    break
+            else:
+                break
+        return e
+
+    def parse_type_name(self) -> Tuple[str, Tuple[int, ...]]:
+        name = self.expect_ident().lower()
+        # two-word types
+        if name == "double" and self.kw() == "precision":
+            self.next()
+            name = "double"
+        if name == "timestamp" and self.kw() in ("with", "without"):
+            self.accept_kw("with", "time", "zone") or self.accept_kw("without", "time", "zone")
+        mods: Tuple[int, ...] = ()
+        if self.peek().value == "(":
+            self.next()
+            nums = [int(self.next().value)]
+            while self.accept_op(","):
+                nums.append(int(self.next().value))
+            self.expect_op(")")
+            mods = tuple(nums)
+        return name, mods
+
+    def parse_primary(self) -> N.Expr:
+        t = self.peek()
+        if t.type == TokType.NUMBER:
+            self.next()
+            v = t.value
+            if "." in v or "e" in v or "E" in v:
+                if "e" in v or "E" in v:
+                    return N.Literal(float(v))
+                return N.Literal(v, type_hint="decimal")
+            return N.Literal(int(v))
+        if t.type == TokType.STRING:
+            self.next()
+            return N.Literal(t.value)
+        if t.type == TokType.OP:
+            if t.value == "(":
+                self.next()
+                if self.kw() in ("select", "with", "values"):
+                    sub = self.parse_select_statement()
+                    self.expect_op(")")
+                    return N.ScalarSubquery(sub)
+                e = self.parse_expr()
+                if self.peek().value == ",":  # row constructor → function row()
+                    args = [e]
+                    while self.accept_op(","):
+                        args.append(self.parse_expr())
+                    self.expect_op(")")
+                    return N.FunctionCall("row", args)
+                self.expect_op(")")
+                return e
+            if t.value == "?":
+                self.next()
+                self.param_count += 1
+                return N.Parameter(self.param_count)
+            if t.value == "*":
+                self.next()
+                return N.Star()
+            raise ParserError(f"unexpected token {t.value!r} (pos {t.pos})")
+        k = t.value.lower()
+        # keyword-literals
+        if k in ("true", "false"):
+            self.next()
+            return N.Literal(k == "true")
+        if k == "null":
+            self.next()
+            return N.Literal(None)
+        if k in ("date", "timestamp", "time") and self.peek(1).type == TokType.STRING:
+            self.next()
+            return N.Literal(self.next().value, type_hint=k)
+        if k == "interval":
+            self.next()
+            if self.peek().type == TokType.STRING:
+                val = self.next().value
+                unit = None
+                if self.peek().type == TokType.IDENT and self.kw() in _INTERVAL_UNITS:
+                    unit = self.next().value.lower()
+                return N.IntervalLiteral(val, unit)
+            if self.peek().type == TokType.NUMBER:
+                val = self.next().value
+                unit = self.next().value.lower()
+                return N.IntervalLiteral(val, unit)
+            raise ParserError("bad INTERVAL literal")
+        if k == "case":
+            return self.parse_case()
+        if k == "cast" or k == "try_cast":
+            self.next()
+            self.expect_op("(")
+            child = self.parse_expr()
+            self.expect_kw("as")
+            tname, mods = self.parse_type_name()
+            self.expect_op(")")
+            return N.CastExpr(child, tname, mods, try_cast=(k == "try_cast"))
+        if k == "extract":
+            self.next()
+            self.expect_op("(")
+            fld = self.expect_ident().lower()
+            self.expect_kw("from")
+            child = self.parse_expr()
+            self.expect_op(")")
+            return N.ExtractExpr(fld, child)
+        if k == "substring" and self.peek(1).value == "(":
+            # substring(x FROM a FOR b) or substring(x, a, b)
+            self.next()
+            self.expect_op("(")
+            x = self.parse_expr()
+            if self.accept_kw("from"):
+                a = self.parse_expr()
+                b = None
+                if self.accept_kw("for"):
+                    b = self.parse_expr()
+                self.expect_op(")")
+                args = [x, a] + ([b] if b is not None else [])
+                return N.FunctionCall("substring", args)
+            args = [x]
+            while self.accept_op(","):
+                args.append(self.parse_expr())
+            self.expect_op(")")
+            return N.FunctionCall("substring", args)
+        if k == "exists" and self.peek(1).value == "(":
+            self.next()
+            self.next()
+            sub = self.parse_select_statement()
+            self.expect_op(")")
+            return N.Exists(sub)
+        if k == "not":
+            self.next()
+            return N.NotExpr(self.parse_not())
+        if t.type == TokType.IDENT:
+            # function call?
+            if self.peek(1).value == "(" and self.peek(1).type == TokType.OP:
+                return self.parse_function_call()
+            # column ref (possibly qualified — qualification chained in postfix)
+            self.next()
+            return N.ColumnRef((t.value,))
+        raise ParserError(f"unexpected token {t.value!r} (pos {t.pos})")
+
+    def parse_case(self) -> N.Expr:
+        self.expect_kw("case")
+        operand = None
+        if self.kw() != "when":
+            operand = self.parse_expr()
+        whens = []
+        while self.accept_kw("when"):
+            cond = self.parse_expr()
+            self.expect_kw("then")
+            val = self.parse_expr()
+            whens.append((cond, val))
+        else_expr = None
+        if self.accept_kw("else"):
+            else_expr = self.parse_expr()
+        self.expect_kw("end")
+        return N.CaseExpr(operand, whens, else_expr)
+
+    def parse_function_call(self) -> N.Expr:
+        name = self.next().value.lower()
+        self.expect_op("(")
+        distinct = False
+        is_star = False
+        args: List[N.Expr] = []
+        order_by: List[N.OrderItem] = []
+        if self.peek().value == ")":
+            self.next()
+        else:
+            if self.accept_kw("distinct"):
+                distinct = True
+            if self.peek().value == "*":
+                self.next()
+                is_star = True
+            else:
+                args.append(self.parse_expr())
+                while self.accept_op(","):
+                    args.append(self.parse_expr())
+            if self.accept_kw("order", "by"):
+                order_by.append(self.parse_order_item())
+                while self.accept_op(","):
+                    order_by.append(self.parse_order_item())
+            self.expect_op(")")
+        fc = N.FunctionCall(name, args, distinct=distinct, is_star=is_star, order_by=order_by)
+        if self.accept_kw("filter"):
+            self.expect_op("(")
+            self.expect_kw("where")
+            fc.filter = self.parse_expr()
+            self.expect_op(")")
+        if self.kw() == "over":
+            self.next()
+            spec = N.WindowSpec()
+            self.expect_op("(")
+            if self.accept_kw("partition", "by"):
+                spec.partition_by.append(self.parse_expr())
+                while self.accept_op(","):
+                    spec.partition_by.append(self.parse_expr())
+            if self.accept_kw("order", "by"):
+                spec.order_by.append(self.parse_order_item())
+                while self.accept_op(","):
+                    spec.order_by.append(self.parse_order_item())
+            if self.kw() in ("rows", "range"):
+                mode = self.next().value.lower()
+                spec.frame = self.parse_frame(mode)
+            self.expect_op(")")
+            return N.WindowFunction(fc, spec)
+        return fc
+
+    def parse_frame(self, mode: str):
+        def bound():
+            if self.accept_kw("unbounded", "preceding"):
+                return ("unbounded_preceding", None)
+            if self.accept_kw("unbounded", "following"):
+                return ("unbounded_following", None)
+            if self.accept_kw("current", "row"):
+                return ("current", None)
+            e = self.parse_expr()
+            if self.accept_kw("preceding"):
+                return ("preceding", e)
+            self.expect_kw("following")
+            return ("following", e)
+
+        if self.accept_kw("between"):
+            start = bound()
+            self.expect_kw("and")
+            end = bound()
+        else:
+            start = bound()
+            end = ("current", None)
+        return (mode, start, end)
+
+    # -- DDL/DML ----------------------------------------------------------------
+    def parse_create(self):
+        self.expect_kw("create")
+        or_replace = False
+        if self.accept_kw("or", "replace"):
+            or_replace = True
+        temporary = self.accept_kw("temporary") or self.accept_kw("temp")
+        if self.accept_kw("table"):
+            if_not_exists = bool(self.accept_kw("if", "not", "exists"))
+            name = self.expect_ident()
+            if self.accept_op("."):
+                name = self.expect_ident()
+            if self.accept_kw("as"):
+                sel = self.parse_select_statement()
+                return N.CreateTable(name, as_select=sel, if_not_exists=if_not_exists,
+                                     or_replace=or_replace, temporary=temporary)
+            self.expect_op("(")
+            cols = []
+            while True:
+                cname = self.expect_ident()
+                tname, mods = self.parse_type_name()
+                spec = N.ColumnSpec(cname, tname, mods)
+                while True:
+                    if self.accept_kw("not", "null"):
+                        spec.not_null = True
+                    elif self.accept_kw("null"):
+                        pass
+                    elif self.accept_kw("primary", "key"):
+                        spec.primary_key = True
+                        spec.not_null = True
+                    elif self.accept_kw("default"):
+                        spec.default = self.parse_expr()
+                    elif self.accept_kw("unique"):
+                        pass
+                    else:
+                        break
+                cols.append(spec)
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+            return N.CreateTable(name, columns=cols, if_not_exists=if_not_exists,
+                                 or_replace=or_replace, temporary=temporary)
+        if self.accept_kw("view"):
+            name = self.expect_ident()
+            self.expect_kw("as")
+            return N.CreateView(name, self.parse_select_statement(), or_replace=or_replace)
+        raise ParserError("unsupported CREATE")
+
+    def parse_drop(self):
+        self.expect_kw("drop")
+        kind = self.expect_ident().lower()
+        if_exists = bool(self.accept_kw("if", "exists"))
+        name = self.expect_ident()
+        return N.DropStatement(kind, name, if_exists=if_exists)
+
+    def parse_insert(self):
+        self.expect_kw("insert")
+        self.expect_kw("into")
+        table = self.expect_ident()
+        if self.accept_op("."):
+            table = self.expect_ident()
+        cols: Tuple[str, ...] = ()
+        if self.peek().value == "(" and self._looks_like_col_alias_list():
+            self.next()
+            names = [self.expect_ident()]
+            while self.accept_op(","):
+                names.append(self.expect_ident())
+            self.expect_op(")")
+            cols = tuple(names)
+        source = self.parse_select_statement()
+        return N.InsertStatement(table, cols, source)
+
+    def parse_delete(self):
+        self.expect_kw("delete")
+        self.expect_kw("from")
+        table = self.expect_ident()
+        alias = None
+        if self.accept_kw("as"):
+            alias = self.expect_ident()
+        where = None
+        if self.accept_kw("where"):
+            where = self.parse_expr()
+        return N.DeleteStatement(table, alias, where)
+
+    def parse_update(self):
+        self.expect_kw("update")
+        table = self.expect_ident()
+        alias = None
+        if self.kw() != "set" and self.peek().type == TokType.IDENT:
+            alias = self.next().value
+        self.expect_kw("set")
+        assigns = []
+        while True:
+            col = self.expect_ident()
+            self.expect_op("=")
+            assigns.append((col, self.parse_expr()))
+            if not self.accept_op(","):
+                break
+        where = None
+        if self.accept_kw("where"):
+            where = self.parse_expr()
+        return N.UpdateStatement(table, alias, assigns, where)
+
+    def parse_copy(self):
+        self.expect_kw("copy")
+        table = None
+        select = None
+        if self.peek().value == "(":
+            self.next()
+            select = self.parse_select_statement()
+            self.expect_op(")")
+        else:
+            table = self.expect_ident()
+        if self.accept_kw("to"):
+            direction = "to"
+        else:
+            self.expect_kw("from")
+            direction = "from"
+        target = self.next().value
+        options = {}
+        if self.peek().value == "(":
+            self.next()
+            while self.peek().value != ")":
+                key = self.expect_ident().lower()
+                if self.peek().value not in (",", ")"):
+                    options[key] = self.next().value
+                else:
+                    options[key] = True
+                self.accept_op(",")
+            self.expect_op(")")
+        return N.CopyStatement(table, select, direction, target, options)
+
+    def parse_set(self, kind: str):
+        self.next()
+        if kind == "reset":
+            name = self.expect_ident()
+            return N.SetStatement(name, None, is_reset=True)
+        self.accept_kw("session") or self.accept_kw("global") or self.accept_kw("local")
+        name = self.expect_ident()
+        if not self.accept_op("="):
+            self.expect_kw("to")
+        t = self.next()
+        val: object = t.value
+        if t.type == TokType.NUMBER:
+            val = float(t.value) if "." in t.value else int(t.value)
+        elif t.type == TokType.IDENT and t.value.lower() in ("true", "false"):
+            val = t.value.lower() == "true"
+        return N.SetStatement(name, val)
+
+    def parse_pragma(self):
+        self.expect_kw("pragma")
+        name = self.expect_ident().lower()
+        args: List[N.Expr] = []
+        if self.accept_op("("):
+            if self.peek().value != ")":
+                args.append(self.parse_expr())
+                while self.accept_op(","):
+                    args.append(self.parse_expr())
+            self.expect_op(")")
+        elif self.accept_op("="):
+            args.append(self.parse_expr())
+        return N.PragmaStatement(name, args)
+
+    def parse_call(self):
+        self.expect_kw("call")
+        name = self.expect_ident().lower()
+        args: List[N.Expr] = []
+        self.expect_op("(")
+        if self.peek().value != ")":
+            args.append(self.parse_tf_arg())
+            while self.accept_op(","):
+                args.append(self.parse_tf_arg())
+        self.expect_op(")")
+        return N.CallStatement(name, args)
+
+
+_INTERVAL_UNITS = {
+    "year", "years", "month", "months", "day", "days", "hour", "hours",
+    "minute", "minutes", "second", "seconds", "millisecond", "milliseconds",
+    "microsecond", "microseconds", "week", "weeks", "quarter", "quarters",
+    "decade", "decades", "century", "centuries",
+}
+
+
+def parse_sql(sql: str) -> List[object]:
+    return Parser(sql).parse_statements()
