@@ -1,22 +1,16 @@
-"""duckdb_tpu: a TPU-native vectorized SQL query engine.
+"""duckdb_tpu: a TPU-native vectorized SQL analytics engine.
 
-A brand-new analytical query engine with DuckDB's capabilities, built
-TPU-first on JAX/XLA/Pallas: columnar data lives as padded SoA device
-arrays in HBM, query pipelines compile to fused XLA programs, joins and
-aggregates are expressed as sort/gather/segment-reduce kernels, and
-multi-chip scaling rides jax.sharding meshes with collective exchanges.
-
-Reference behavior parity target: duckdb/duckdb (see SURVEY.md).
+A ground-up JAX/XLA/Pallas implementation of the capabilities of the
+reference engine (duckdb/duckdb): SQL frontend, relational planner,
+columnar device execution with collective-based parallelism.
 """
 
-import jax
+import jax as _jax
 
-# DuckDB semantics require 64-bit integers (BIGINT, DECIMAL-as-int64) and
-# float64 results. Enable x64 before any other jax use.
-jax.config.update("jax_enable_x64", True)
+# SQL semantics require true 64-bit integers (BIGINT, scaled DECIMAL) and
+# float64 (DOUBLE); JAX defaults to 32-bit unless x64 is enabled.
+_jax.config.update("jax_enable_x64", True)
+
+from duckdb_tpu.api.connection import Connection, connect  # noqa: F401,E402
 
 __version__ = "0.1.0"
-
-from duckdb_tpu.api.connection import Connection, connect  # noqa: E402
-
-__all__ = ["connect", "Connection", "__version__"]

@@ -1,9 +1,222 @@
-"""Placeholder Connection API — fleshed out with the SQL frontend."""
+"""Connection / query API.
+
+Mirrors the reference's Connection → ClientContext::Query lifecycle
+(/root/reference/src/main/connection.cpp, client_context.cpp:1096):
+parse → bind/plan → execute → Result. DDL/DML statements mutate the
+in-memory catalog; SELECT plans run on device via the executor.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from duckdb_tpu.catalog.catalog import Catalog, ColumnDef, TableEntry
+from duckdb_tpu.execution.executor import Executor, Result
+from duckdb_tpu.planner.binder import ExprBinder, Scope, resolve_type_name
+from duckdb_tpu.planner.planner import Planner
+from duckdb_tpu.sql import nodes as N
+from duckdb_tpu.sql.parser import Parser
+from duckdb_tpu.types import TypeId
 
 
-class Connection:
+class ConnectionException(Exception):
     pass
 
 
-def connect(database: str = ":memory:"):
-    return Connection()
+class Connection:
+    def __init__(self, database: str = ":memory:"):
+        self.database = database
+        self.catalog = Catalog()
+        self.settings = {}
+
+    # -- main entry -----------------------------------------------------------
+    def sql(self, query: str) -> Optional[Result]:
+        """Execute SQL; returns a Result for queries, None for statements."""
+        stmts = Parser(query).parse_statements()
+        res = None
+        for s in stmts:
+            res = self._execute_statement(s)
+        return res
+
+    execute = sql
+    query = sql
+
+    def _execute_statement(self, s):
+        if isinstance(s, N.SelectStatement):
+            planner = Planner(self.catalog)
+            plan, output = planner.plan_select(s)
+            return Executor(self.catalog).run(plan, output)
+        if isinstance(s, N.CreateTable):
+            return self._create_table(s)
+        if isinstance(s, N.CreateView):
+            key = s.name.lower()
+            if key in self.catalog.views and not s.or_replace:
+                raise ConnectionException(f'view "{s.name}" already exists')
+            self.catalog.views[key] = s.query
+            return None
+        if isinstance(s, N.DropStatement):
+            if s.kind == "view":
+                if s.name.lower() in self.catalog.views:
+                    del self.catalog.views[s.name.lower()]
+                elif not s.if_exists:
+                    raise ConnectionException(f'view "{s.name}" does not exist')
+            else:
+                self.catalog.drop_table(s.name, if_exists=s.if_exists)
+            return None
+        if isinstance(s, N.InsertStatement):
+            return self._insert(s)
+        if isinstance(s, N.SetStatement):
+            self.settings[s.name.lower()] = s.value
+            return None
+        if isinstance(s, N.PragmaStatement):
+            return None  # accepted, no-op for now
+        if isinstance(s, N.TransactionStatement):
+            return None  # single-version catalog; txn layer forthcoming
+        if isinstance(s, N.ExplainStatement):
+            planner = Planner(self.catalog)
+            plan, output = planner.plan_select(s.query)
+            from duckdb_tpu.planner.explain import render_plan
+
+            print(render_plan(plan))
+            return None
+        raise ConnectionException(
+            f"statement {type(s).__name__} not supported yet"
+        )
+
+    # -- DDL / DML ------------------------------------------------------------
+    def _create_table(self, s: N.CreateTable):
+        if s.as_select is not None:
+            planner = Planner(self.catalog)
+            plan, output = planner.plan_select(s.as_select)
+            res = Executor(self.catalog).run(plan, output)
+            cols = [ColumnDef(n, t) for n, _, t in
+                    [(n, k, t) for n, k, t in output]]
+            entry = TableEntry(s.name, cols)
+            entry.nrows = res.nrows
+            for cd, (vals, valid, dvals) in zip(cols, res.columns):
+                entry.set_host_column(cd.name, np.asarray(vals),
+                                      validity=valid, dict_values=dvals)
+            self.catalog.create_table(entry, or_replace=s.or_replace)
+            return None
+        cols = [ColumnDef(c.name, resolve_type_name(c.type_name, c.type_mods))
+                for c in s.columns]
+        entry = TableEntry(s.name, cols)
+        entry.nrows = 0
+        for cd in cols:
+            entry.set_host_column(cd.name,
+                                  np.empty(0, dtype=cd.ltype.np_dtype))
+        if s.if_not_exists and self.catalog.has_table(s.name):
+            return None
+        self.catalog.create_table(entry, or_replace=s.or_replace)
+        return None
+
+    def _insert(self, s: N.InsertStatement):
+        entry = self.catalog.get_table(s.table)
+        planner = Planner(self.catalog)
+        src = s.source
+        if src is None:
+            raise ConnectionException("INSERT without source")
+        if isinstance(src.node, N.ValuesNode):
+            rows = self._eval_values(src.node, entry, s.columns)
+        else:
+            plan, output = planner.plan_select(src)
+            res = Executor(self.catalog).run(plan, output)
+            rows = res.rows()
+        self._append_rows(entry, rows, s.columns)
+        return None
+
+    def _eval_values(self, vn: N.ValuesNode, entry, columns):
+        binder = ExprBinder(Scope())
+        out = []
+        for row in vn.rows:
+            vals = []
+            for e in row:
+                b = binder.bind(e)
+                v = b.const_value()
+                t = b.ltype
+                if v is not None and t.id is TypeId.DECIMAL:
+                    import decimal as pydec
+
+                    v = pydec.Decimal(v).scaleb(-t.scale)
+                elif v is not None and t.id is TypeId.DATE:
+                    import datetime
+
+                    v = datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v))
+                vals.append(v)
+            out.append(tuple(vals))
+        return out
+
+    def _append_rows(self, entry: TableEntry, rows, columns):
+        import datetime
+        import decimal as pydec
+
+        names = list(columns) if columns else [c.name for c in entry.columns]
+        by_name = {c.name: c for c in entry.columns}
+        n_new = len(rows)
+        new_cols = {}
+        for ci, cname in enumerate(names):
+            cd = by_name[cname]
+            t = cd.ltype
+            vals = [r[ci] for r in rows]
+            valid = np.array([v is not None for v in vals], dtype=bool)
+            if t.id is TypeId.VARCHAR:
+                phys = np.array([("" if v is None else str(v)) for v in vals],
+                                dtype=object)
+            elif t.id is TypeId.DECIMAL:
+                phys = np.array(
+                    [0 if v is None else int(pydec.Decimal(str(v)).scaleb(t.scale))
+                     for v in vals], dtype=t.np_dtype)
+            elif t.id is TypeId.DATE:
+                epoch = datetime.date(1970, 1, 1)
+                phys = np.array(
+                    [0 if v is None else (v - epoch).days for v in vals],
+                    dtype=t.np_dtype)
+            else:
+                phys = np.array([0 if v is None else v for v in vals],
+                                dtype=t.np_dtype)
+            new_cols[cname] = (phys, None if valid.all() else valid)
+        # merge with existing data
+        for cd in entry.columns:
+            old_vals, old_valid, old_dict = entry.host_column(cd.name)
+            t = cd.ltype
+            if cd.name in new_cols:
+                phys, valid = new_cols[cd.name]
+            else:
+                phys = np.zeros(n_new, dtype=old_vals.dtype)
+                valid = np.zeros(n_new, dtype=bool)
+            if t.id is TypeId.VARCHAR:
+                old_strs = (old_dict[old_vals] if old_dict is not None
+                            and len(old_vals) else np.empty(0, object))
+                all_strs = np.concatenate([old_strs, phys.astype(object)])
+                uniq, codes = (np.unique(all_strs.astype(str), return_inverse=True)
+                               if len(all_strs) else (np.empty(0, object),
+                                                      np.empty(0, np.int64)))
+                merged = codes.astype(np.int32)
+                new_valid = _concat_valid(old_valid, valid, len(old_vals), n_new)
+                entry.set_host_column(cd.name, merged, validity=new_valid,
+                                      dict_values=uniq.astype(object))
+            else:
+                merged = np.concatenate([old_vals, phys.astype(old_vals.dtype)])
+                new_valid = _concat_valid(old_valid, valid, len(old_vals), n_new)
+                entry.set_host_column(cd.name, merged, validity=new_valid)
+        entry.nrows += n_new
+
+    # -- convenience ----------------------------------------------------------
+    def load_tpch(self, data_dir: str):
+        from duckdb_tpu.catalog.tpch import register_tpch
+
+        register_tpch(self.catalog, data_dir)
+
+
+def _concat_valid(old_valid, new_valid, n_old, n_new):
+    if old_valid is None and new_valid is None:
+        return None
+    a = old_valid if old_valid is not None else np.ones(n_old, bool)
+    b = new_valid if new_valid is not None else np.ones(n_new, bool)
+    return np.concatenate([a, b])
+
+
+def connect(database: str = ":memory:") -> Connection:
+    return Connection(database)

@@ -1,0 +1,351 @@
+"""Grouped aggregation execution.
+
+Strategy selection mirrors the reference's PerfectAggregateHashTable vs
+GroupedAggregateHashTable split (/root/reference/src/execution/
+perfect_aggregate_hashtable.cpp, aggregate_hashtable.cpp), re-shaped for
+XLA: the perfect path computes a mixed-radix dense group id (one fused
+elementwise program + segment reductions, no probing); the general path
+sorts rows by key (bitonic lax.sort) and reduces over run boundaries.
+Both end in `jax.ops.segment_*` scatter-reductions.
+
+NULL group keys form their own group (SQL semantics): each key's domain is
+shifted by one with slot 0 reserved for NULL.
+
+avg(DECIMAL) matches duckdb bit-for-bit: double(int_sum) / (double(count)
+* double(10^scale)) (extension/core_functions/aggregate/algebraic/avg.cpp
+GetAverageDivident).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from duckdb_tpu.blocks import Column, pad_bucket
+from duckdb_tpu.ops.compact import compact_indices
+from duckdb_tpu.planner import plan as P
+from duckdb_tpu.planner.bound import BoundAggregate
+from duckdb_tpu.types import BIGINT, DOUBLE, LogicalType, TypeId
+
+_I64_MIN = np.iinfo(np.int64).min
+_I64_MAX = np.iinfo(np.int64).max
+
+PERFECT_LIMIT = 1 << 22  # max dense group domain for the perfect path
+
+
+def _key_data(c: Column, plen: int) -> jnp.ndarray:
+    d = jnp.broadcast_to(c.data, (plen,))
+    if d.dtype == jnp.bool_:
+        return d.astype(jnp.int64)
+    if jnp.issubdtype(d.dtype, jnp.floating):
+        # orderable bitcast: equal floats → equal codes (NaN/-0.0 caveats later)
+        bits = jax.lax.bitcast_convert_type(d.astype(jnp.float64), jnp.int64)
+        return jnp.where(bits < 0, ~bits ^ jnp.int64(_I64_MIN), bits)
+    return d.astype(jnp.int64)
+
+
+def execute_aggregate(executor, child, node: P.Aggregate):
+    from duckdb_tpu.execution.executor import Batch, DictCols, _full_valid
+
+    env = child.env()
+    plen = child.plen
+    live = child.live
+
+    # evaluate group keys
+    key_cols: List[Column] = []
+    key_data: List[jnp.ndarray] = []
+    key_valid: List[jnp.ndarray] = []
+    for _, expr in node.groups:
+        c = expr.eval(env)
+        key_cols.append(c)
+        key_data.append(_key_data(c, plen))
+        key_valid.append(_full_valid(c, plen))
+
+    # evaluate aggregate inputs
+    agg_inputs: List[Optional[Tuple[Column, jnp.ndarray]]] = []
+    for agg in node.aggs:
+        if agg.args:
+            c = agg.args[0].eval(env)
+            agg_inputs.append((c, _full_valid(c, plen)))
+        else:
+            agg_inputs.append(None)
+
+    if node.groups:
+        gids, n_groups, rep_cols = _group(
+            key_cols, key_data, key_valid, live, plen, node
+        )
+    else:
+        gids = jnp.where(live, 0, 1)
+        n_groups = 1
+        rep_cols = []
+
+    out_plen = max(128, pad_bucket(max(1, n_groups)))
+    nseg = n_groups + 1  # trash slot for dead rows
+
+    cols = {}
+    for (gkey, _), rep in zip(node.groups, rep_cols):
+        cols[gkey] = _pad_col(rep, n_groups, out_plen)
+    for agg, inp in zip(node.aggs, agg_inputs):
+        res = _compute_agg(agg, inp, gids, nseg, live, plen, key_data, n_groups)
+        cols[agg.key] = _pad_col(res, n_groups, out_plen)
+
+    out_live = jnp.arange(out_plen) < n_groups
+    return Batch(src=DictCols(cols), plen=out_plen, live=out_live)
+
+
+def _pad_col(c: Column, n: int, out_plen: int) -> Column:
+    """Pad/slice a (n_groups,)-sized column to the output block size."""
+    def fix(a):
+        if a is None:
+            return None
+        if a.shape[0] == out_plen:
+            return a
+        if a.shape[0] >= out_plen:
+            return a[:out_plen]
+        pad = jnp.zeros((out_plen - a.shape[0],), a.dtype)
+        return jnp.concatenate([a, pad])
+
+    return Column(data=fix(c.data), ltype=c.ltype, validity=fix(c.validity),
+                  dict_values=c.dict_values)
+
+
+def _group(key_cols, key_data, key_valid, live, plen, node):
+    """→ (gids (P,), n_groups int, representative key Columns (n_groups,))."""
+    # try perfect (dense mixed-radix) path using device min/max + host sync
+    domains = []
+    mins = []
+    perfect = True
+    for kd, kv in zip(key_data, key_valid):
+        m = jnp.logical_and(live, kv)
+        if not bool(jnp.any(m)):
+            mins.append(0)
+            domains.append(2)
+            continue
+        lo = int(jnp.min(jnp.where(m, kd, _I64_MAX)))
+        hi = int(jnp.max(jnp.where(m, kd, _I64_MIN)))
+        mins.append(lo)
+        domains.append(hi - lo + 2)  # +1 slot for NULL
+    total = 1
+    for d in domains:
+        total *= d
+        if total > PERFECT_LIMIT:
+            perfect = False
+            break
+
+    if perfect:
+        return _perfect_group(key_cols, key_data, key_valid, live, plen, mins,
+                              domains)
+    return _sort_group(key_cols, key_data, key_valid, live, plen)
+
+
+def _perfect_group(key_cols, key_data, key_valid, live, plen, mins, domains):
+    dense = jnp.zeros((plen,), jnp.int64)
+    for kd, kv, lo, dom in zip(key_data, key_valid, mins, domains):
+        off = jnp.where(kv, jnp.clip(kd - lo + 1, 0, dom - 1), 0)
+        dense = dense * jnp.int64(dom) + off
+    total = 1
+    for d in domains:
+        total *= d
+    dense = jnp.where(live, dense, total)  # trash slot
+    # count occupancy, compact to dense group ids
+    occ = jax.ops.segment_sum(live.astype(jnp.int32), dense.astype(jnp.int32),
+                              num_segments=total + 1)[:total]
+    n_groups = int(jnp.sum(occ > 0))
+    slot_idx, _ = compact_indices(occ > 0, max(1, pad_bucket(n_groups)))
+    # remap: dense slot → group id
+    remap = jnp.full((total + 1,), n_groups, jnp.int32)
+    remap = remap.at[slot_idx[:max(1, n_groups)]].set(
+        jnp.arange(max(1, n_groups), dtype=jnp.int32)[: max(1, n_groups)]
+    )
+    # guard: if n_groups == 0 the scatter above wrote garbage into slot 0 —
+    # but with zero live rows every gid routes to the trash slot anyway.
+    gids = remap[dense]
+    # decode representative key values from the dense slot id
+    reps = []
+    slots = slot_idx[: max(1, n_groups)].astype(jnp.int64)
+    stride = 1
+    strides = []
+    for dom in reversed(domains):
+        strides.append(stride)
+        stride *= dom
+    strides = list(reversed(strides))
+    for c, lo, dom, st in zip(key_cols, mins, domains, strides):
+        comp = (slots // jnp.int64(st)) % jnp.int64(dom)
+        validity = comp > 0
+        vals = comp - 1 + jnp.int64(lo)
+        reps.append(_decode_rep(c, vals, validity))
+    return gids, n_groups, reps
+
+
+def _sort_group(key_cols, key_data, key_valid, live, plen):
+    # sort by (dead, valid_0, key_0, valid_1, key_1, ...)
+    iota = jnp.arange(plen, dtype=jnp.int32)
+    operands = [jnp.logical_not(live)]
+    for kd, kv in zip(key_data, key_valid):
+        operands.append(jnp.logical_not(kv))  # NULLs group together
+        operands.append(jnp.where(kv, kd, 0))
+    operands.append(iota)
+    out = jax.lax.sort(operands, num_keys=len(operands) - 1, is_stable=False)
+    dead_s = out[0]
+    perm = out[-1]
+    ks = out[1:-1]
+    change = jnp.zeros((plen,), jnp.bool_)
+    for k in ks:
+        change = jnp.logical_or(change, k != jnp.roll(k, 1))
+    change = change.at[0].set(True)
+    change = jnp.logical_and(change, jnp.logical_not(dead_s))
+    change = change.at[0].set(jnp.logical_not(dead_s[0]))
+    gid_sorted = jnp.cumsum(change.astype(jnp.int32)) - 1
+    n_groups = int(gid_sorted[-1]) + 1
+    if bool(dead_s[0]):
+        n_groups = 0
+    gid_sorted = jnp.where(dead_s, n_groups, gid_sorted)
+    # scatter back to original row order
+    gids = jnp.zeros((plen,), jnp.int32).at[perm].set(gid_sorted)
+    # representative row index per group = first sorted position
+    first_pos = jax.ops.segment_min(
+        jnp.arange(plen, dtype=jnp.int32), gid_sorted,
+        num_segments=n_groups + 1, indices_are_sorted=True,
+    )[: max(1, n_groups)]
+    rep_rows = perm[jnp.clip(first_pos, 0, plen - 1)]
+    reps = []
+    for c in key_cols:
+        data = jnp.broadcast_to(c.data, (plen,))[rep_rows]
+        validity = (jnp.broadcast_to(c.validity, (plen,))[rep_rows]
+                    if c.validity is not None else None)
+        reps.append(Column(data=data, ltype=c.ltype, validity=validity,
+                           dict_values=c.dict_values))
+    return gids, n_groups, reps
+
+
+def _decode_rep(c: Column, vals: jnp.ndarray, validity: jnp.ndarray) -> Column:
+    t = c.ltype
+    if jnp.issubdtype(c.data.dtype, jnp.floating):
+        # undo orderable bitcast
+        bits = jnp.where(vals < 0, ~(vals ^ jnp.int64(_I64_MIN)), vals)
+        # vals >= 0 came from non-negative floats (bits as-is); negatives were
+        # encoded as ~bits ^ MIN
+        enc = vals
+        orig_bits = jnp.where(enc >= 0, enc, ~(enc ^ jnp.int64(_I64_MIN)))
+        data = jax.lax.bitcast_convert_type(orig_bits, jnp.float64).astype(c.data.dtype)
+    else:
+        data = vals.astype(c.data.dtype)
+    return Column(data=data, ltype=t, validity=validity, dict_values=c.dict_values)
+
+
+# ---------------------------------------------------------------------------
+def _compute_agg(agg: BoundAggregate, inp, gids, nseg, live, plen, key_data,
+                 n_groups) -> Column:
+    f = agg.func
+    if f == "count_star":
+        d = jax.ops.segment_sum(live.astype(jnp.int64), gids, num_segments=nseg)
+        return Column(data=d[:-1], ltype=BIGINT)
+    c, valid = inp
+    data = jnp.broadcast_to(c.data, (plen,))
+    mask = jnp.logical_and(live, valid)
+
+    if agg.distinct:
+        return _compute_distinct_agg(agg, c, data, mask, gids, nseg, plen, n_groups)
+
+    if f == "count":
+        d = jax.ops.segment_sum(mask.astype(jnp.int64), gids, num_segments=nseg)
+        return Column(data=d[:-1], ltype=BIGINT)
+
+    cnt = jax.ops.segment_sum(mask.astype(jnp.int64), gids, num_segments=nseg)[:-1]
+    nonempty = cnt > 0
+
+    if f == "sum":
+        if c.ltype.is_float:
+            x = jnp.where(mask, data.astype(jnp.float64), 0.0)
+            d = jax.ops.segment_sum(x, gids, num_segments=nseg)[:-1]
+            return Column(data=d, ltype=DOUBLE, validity=nonempty)
+        x = jnp.where(mask, data.astype(jnp.int64), 0)
+        d = jax.ops.segment_sum(x, gids, num_segments=nseg)[:-1]
+        return Column(data=d, ltype=agg.ltype, validity=nonempty)
+
+    if f in ("avg", "mean"):
+        if c.ltype.id is TypeId.DECIMAL:
+            x = jnp.where(mask, data.astype(jnp.int64), 0)
+            s = jax.ops.segment_sum(x, gids, num_segments=nseg)[:-1]
+            divident = cnt.astype(jnp.float64) * jnp.float64(10.0 ** c.ltype.scale)
+            d = s.astype(jnp.float64) / divident
+        elif c.ltype.is_float:
+            x = jnp.where(mask, data.astype(jnp.float64), 0.0)
+            s = jax.ops.segment_sum(x, gids, num_segments=nseg)[:-1]
+            d = s / cnt.astype(jnp.float64)
+        else:
+            x = jnp.where(mask, data.astype(jnp.int64), 0)
+            s = jax.ops.segment_sum(x, gids, num_segments=nseg)[:-1]
+            d = s.astype(jnp.float64) / cnt.astype(jnp.float64)
+        return Column(data=d, ltype=DOUBLE, validity=nonempty)
+
+    if f in ("min", "max"):
+        if c.ltype.is_float:
+            sent = jnp.inf if f == "min" else -jnp.inf
+            x = jnp.where(mask, data.astype(jnp.float64), sent)
+            op = jax.ops.segment_min if f == "min" else jax.ops.segment_max
+            d = op(x, gids, num_segments=nseg)[:-1].astype(c.data.dtype)
+        else:
+            sent = _I64_MAX if f == "min" else _I64_MIN
+            x = jnp.where(mask, data.astype(jnp.int64), sent)
+            op = jax.ops.segment_min if f == "min" else jax.ops.segment_max
+            d = op(x, gids, num_segments=nseg)[:-1].astype(c.data.dtype)
+        return Column(data=d, ltype=agg.ltype, validity=nonempty,
+                      dict_values=c.dict_values)
+
+    if f in ("bool_and", "bool_or"):
+        init = f == "bool_and"
+        x = jnp.where(mask, data.astype(jnp.bool_), init)
+        op = jax.ops.segment_min if f == "bool_and" else jax.ops.segment_max
+        d = op(x.astype(jnp.int32), gids, num_segments=nseg)[:-1] > 0
+        return Column(data=d, ltype=agg.ltype, validity=nonempty)
+
+    if f in ("stddev", "stddev_samp", "var_samp", "variance", "stddev_pop", "var_pop"):
+        x = jnp.where(mask, data.astype(jnp.float64), 0.0)
+        if c.ltype.id is TypeId.DECIMAL:
+            x = x / 10.0 ** c.ltype.scale
+        s1 = jax.ops.segment_sum(x, gids, num_segments=nseg)[:-1]
+        s2 = jax.ops.segment_sum(x * x, gids, num_segments=nseg)[:-1]
+        n = cnt.astype(jnp.float64)
+        var = (s2 - s1 * s1 / jnp.maximum(n, 1)) / jnp.maximum(
+            n - (0 if f.endswith("_pop") else 1), 1
+        )
+        var = jnp.maximum(var, 0.0)
+        d = jnp.sqrt(var) if f.startswith("stddev") else var
+        ok = cnt > (0 if f.endswith("_pop") else 1)
+        return Column(data=d, ltype=DOUBLE, validity=ok)
+
+    raise NotImplementedError(f"aggregate {f}")
+
+
+def _compute_distinct_agg(agg, c, data, mask, gids, nseg, plen, n_groups):
+    """DISTINCT aggregates via a second sort-based dedup over (gid, value)."""
+    kd = _key_data(c, plen)
+    operands = [jnp.logical_not(mask), gids.astype(jnp.int32), kd,
+                jnp.arange(plen, dtype=jnp.int32)]
+    out = jax.lax.sort(operands, num_keys=3, is_stable=False)
+    dead_s, gid_s, kd_s = out[0], out[1], out[2]
+    first = jnp.logical_or(gid_s != jnp.roll(gid_s, 1), kd_s != jnp.roll(kd_s, 1))
+    first = first.at[0].set(True)
+    first = jnp.logical_and(first, jnp.logical_not(dead_s))
+    if agg.func == "count":
+        d = jax.ops.segment_sum(first.astype(jnp.int64), gid_s, num_segments=nseg)
+        return Column(data=d[:-1], ltype=BIGINT)
+    if agg.func == "sum":
+        x = jnp.where(first, kd_s, 0)  # kd_s == original int64 for int inputs
+        d = jax.ops.segment_sum(x, gid_s, num_segments=nseg)[:-1]
+        cnt = jax.ops.segment_sum(first.astype(jnp.int64), gid_s,
+                                  num_segments=nseg)[:-1]
+        return Column(data=d, ltype=agg.ltype, validity=cnt > 0)
+    if agg.func in ("avg", "mean"):
+        x = jnp.where(first, kd_s, 0)
+        s = jax.ops.segment_sum(x, gid_s, num_segments=nseg)[:-1]
+        cnt = jax.ops.segment_sum(first.astype(jnp.int64), gid_s,
+                                  num_segments=nseg)[:-1]
+        scale = 10.0 ** c.ltype.scale if c.ltype.id is TypeId.DECIMAL else 1.0
+        d = s.astype(jnp.float64) / (cnt.astype(jnp.float64) * scale)
+        return Column(data=d, ltype=DOUBLE, validity=cnt > 0)
+    raise NotImplementedError(f"distinct aggregate {agg.func}")

@@ -1,0 +1,446 @@
+"""Plan executor: whole-block XLA programs over padded columnar batches.
+
+Replaces the reference's pull/push pipeline interpreter
+(/root/reference/src/parallel/pipeline_executor.cpp,
+src/execution/physical_operator.cpp) with host-driven execution of plan
+nodes, where each node's work is a handful of fused jnp/XLA ops over an
+entire padded block. The only host syncs are *cardinality* syncs at
+pipeline boundaries (filter compaction, join expansion size, group count)
+— the TPU analog of duckdb's HAVE_MORE_OUTPUT re-entry, with pad-bucketed
+sizes so repeated queries hit the jit/dispatch cache.
+
+Late materialization is structural: a Batch's columns are lazy; a join
+stores gather indices and only materializes the planes downstream ops
+touch (duckdb gets this via its late-materialization optimizer rule,
+src/optimizer/late_materialization.cpp — here it falls out of the design).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from duckdb_tpu.blocks import Column, pad_bucket
+from duckdb_tpu.catalog.catalog import Catalog, TableEntry
+from duckdb_tpu.ops import join as J
+from duckdb_tpu.ops import sort as S
+from duckdb_tpu.ops.compact import compact_indices
+from duckdb_tpu.planner import plan as P
+from duckdb_tpu.planner.bound import BoundAggregate, EvalEnv, _to_double
+from duckdb_tpu.types import (
+    BIGINT,
+    BOOLEAN,
+    DOUBLE,
+    LogicalType,
+    TypeId,
+)
+
+_I64_MIN = int(np.iinfo(np.int64).min)
+_I64_MAX = int(np.iinfo(np.int64).max)
+
+
+# ---------------------------------------------------------------------------
+# lazy column sources
+class ColSource:
+    def __getitem__(self, key: str) -> Column:
+        raise KeyError(key)
+
+    def __contains__(self, key: str) -> bool:
+        try:
+            self[key]
+            return True
+        except KeyError:
+            return False
+
+
+class TableCols(ColSource):
+    def __init__(self, entry: TableEntry, keymap: Dict[str, str], plen: int):
+        self.entry = entry
+        self.keymap = keymap  # key → column name
+        self.plen = plen
+
+    def __getitem__(self, key: str) -> Column:
+        col = self.entry.device_column(self.keymap[key])
+        assert col.padded_len == self.plen
+        return col
+
+
+class DictCols(ColSource):
+    def __init__(self, cols: Dict[str, Column]):
+        self.cols = cols
+
+    def __getitem__(self, key: str) -> Column:
+        return self.cols[key]
+
+
+class ChainCols(ColSource):
+    """Lookup through a list of sources (join output: probe ∪ build)."""
+
+    def __init__(self, sources: List[ColSource]):
+        self.sources = sources
+
+    def __getitem__(self, key: str) -> Column:
+        for s in self.sources:
+            try:
+                return s[key]
+            except KeyError:
+                continue
+        raise KeyError(key)
+
+
+class GatherCols(ColSource):
+    """Late materialization: parent columns gathered by row indices on access."""
+
+    def __init__(self, parent: ColSource, rows: jnp.ndarray,
+                 null_rows: Optional[jnp.ndarray] = None):
+        self.parent = parent
+        self.rows = rows  # (P',) int32 indices into parent block; may be -1
+        self.null_rows = null_rows  # bool (P',): True → row is NULL (outer join)
+        self._cache: Dict[str, Column] = {}
+
+    def __getitem__(self, key: str) -> Column:
+        if key in self._cache:
+            return self._cache[key]
+        col = self.parent[key]
+        idx = jnp.clip(self.rows, 0, col.data.shape[0] - 1)
+        data = col.data[idx]
+        validity = col.validity[idx] if col.validity is not None else None
+        if self.null_rows is not None:
+            base = jnp.ones(self.rows.shape, jnp.bool_) if validity is None else validity
+            validity = jnp.logical_and(base, jnp.logical_not(self.null_rows))
+        out = Column(data=data, ltype=col.ltype, validity=validity,
+                     dict_values=col.dict_values)
+        self._cache[key] = out
+        return out
+
+
+@dataclass
+class Batch:
+    src: ColSource
+    plen: int
+    live: jnp.ndarray  # (P,) bool
+
+    def env(self) -> EvalEnv:
+        return EvalEnv(cols=self.src, plen=self.plen, live=self.live)
+
+    def count_live(self) -> int:
+        return int(jnp.sum(self.live))
+
+
+def _full_valid(c: Column, plen: int) -> jnp.ndarray:
+    if c.validity is None:
+        return jnp.ones((plen,), jnp.bool_)
+    return jnp.broadcast_to(c.validity, (plen,))
+
+
+def _bdata(c: Column, plen: int) -> jnp.ndarray:
+    return jnp.broadcast_to(c.data, (plen,))
+
+
+# ---------------------------------------------------------------------------
+@dataclass
+class Result:
+    names: List[str]
+    types: List[LogicalType]
+    columns: List[Tuple[np.ndarray, Optional[np.ndarray], Optional[np.ndarray]]]
+    # per column: (values, validity|None, dict_values|None) — already compacted
+    nrows: int
+
+    def rows(self) -> List[tuple]:
+        """Python-value rows (DECIMAL → decimal.Decimal, DATE → datetime.date)."""
+        import datetime
+        import decimal as pydec
+
+        pycols = []
+        for (vals, valid, dvals), t in zip(self.columns, self.types):
+            out = []
+            for i in range(self.nrows):
+                if valid is not None and not valid[i]:
+                    out.append(None)
+                    continue
+                v = vals[i]
+                if t.id is TypeId.VARCHAR:
+                    out.append(str(dvals[v]))
+                elif t.id is TypeId.DECIMAL:
+                    out.append(pydec.Decimal(int(v)).scaleb(-t.scale))
+                elif t.id is TypeId.DATE:
+                    out.append(datetime.date(1970, 1, 1)
+                               + datetime.timedelta(days=int(v)))
+                elif t.id is TypeId.TIMESTAMP:
+                    out.append(datetime.datetime(1970, 1, 1)
+                               + datetime.timedelta(microseconds=int(v)))
+                elif t.id is TypeId.BOOLEAN:
+                    out.append(bool(v))
+                elif t.is_float:
+                    out.append(float(v))
+                else:
+                    out.append(int(v))
+            pycols.append(out)
+        return [tuple(c[i] for c in pycols) for i in range(self.nrows)]
+
+
+class Executor:
+    def __init__(self, catalog: Catalog, scalar_sub_results: Optional[dict] = None):
+        self.catalog = catalog
+
+    # -- entry ---------------------------------------------------------------
+    def run(self, plan: P.PlanNode, output: List[Tuple[str, str, LogicalType]]) -> Result:
+        batch = self.execute(plan)
+        n = batch.count_live()
+        idx, _ = compact_indices(batch.live, max(1, pad_bucket(n)))
+        columns = []
+        for name, key, t in output:
+            col = batch.src[key]
+            data = np.asarray(col.data[idx][:n])
+            valid = (np.asarray(_full_valid(col, batch.plen)[idx][:n])
+                     if col.validity is not None else None)
+            columns.append((data, valid, col.dict_values))
+        return Result(names=[n_ for n_, _, _ in output],
+                      types=[t for _, _, t in output], columns=columns, nrows=n)
+
+    def execute(self, node: P.PlanNode) -> Batch:
+        return getattr(self, "_exec_" + type(node).__name__)(node)
+
+    # -- scans / filters / projections ---------------------------------------
+    def _exec_Scan(self, node: P.Scan) -> Batch:
+        entry = self.catalog.get_table(node.table)
+        plen = max(128, pad_bucket(entry.nrows))
+        keymap = {key: col for col, key, _ in node.cols}
+        live = jnp.arange(plen) < entry.nrows
+        return Batch(src=TableCols(entry, keymap, plen), plen=plen, live=live)
+
+    def _exec_Filter(self, node: P.Filter) -> Batch:
+        b = self.execute(node.child)
+        c = node.expr.eval(b.env())
+        keep = jnp.broadcast_to(c.data.astype(jnp.bool_), (b.plen,))
+        keep = jnp.logical_and(keep, _full_valid(c, b.plen))  # NULL → reject
+        return Batch(src=b.src, plen=b.plen, live=jnp.logical_and(b.live, keep))
+
+    def _exec_Project(self, node: P.Project) -> Batch:
+        b = self.execute(node.child)
+        env = b.env()
+        cols = {}
+        for key, expr in node.items:
+            c = expr.eval(env)
+            cols[key] = Column(data=_bdata(c, b.plen), ltype=c.ltype,
+                               validity=c.validity, dict_values=c.dict_values)
+        # keep the child source reachable for ORDER BY exprs over input cols
+        return Batch(src=ChainCols([DictCols(cols), b.src]), plen=b.plen, live=b.live)
+
+    # -- joins ---------------------------------------------------------------
+    def _join_keys(self, batch: Batch, key_exprs) -> Tuple[jnp.ndarray, jnp.ndarray, list]:
+        """Evaluate equi-key exprs → (per-key int64 arrays, key_valid mask, meta)."""
+        env = batch.env()
+        arrs, valid = [], jnp.ones((batch.plen,), jnp.bool_)
+        for e in key_exprs:
+            c = e.eval(env)
+            if c.ltype.id is TypeId.VARCHAR:
+                arrs.append((c, None))
+            else:
+                arrs.append((c, None))
+            valid = jnp.logical_and(valid, _full_valid(c, batch.plen))
+        return arrs, valid
+
+    def _pack_keys(self, probe_b: Batch, build_b: Batch, probe_keys, build_keys):
+        """Pack multi-column equi-keys into one int64 per side.
+
+        Per-key value ranges come from a device min/max + host sync over the
+        build side (the analog of duckdb sizing its perfect-hash join from
+        table stats, perfect_hash_join_executor.cpp).
+        """
+        p_arrs, p_valid = self._join_keys(probe_b, probe_keys)
+        b_arrs, b_valid = self._join_keys(build_b, build_keys)
+        packed_p = jnp.zeros((probe_b.plen,), jnp.int64)
+        packed_b = jnp.zeros((build_b.plen,), jnp.int64)
+        for (pc, _), (bc, _) in zip(p_arrs, b_arrs):
+            if pc.ltype.id is TypeId.VARCHAR:
+                from duckdb_tpu.planner.bound import _varchar_rank_luts
+
+                lp, lb = _varchar_rank_luts(pc, bc)
+                pd = lp[jnp.clip(pc.data, 0, len(lp) - 1)].astype(jnp.int64)
+                bd = lb[jnp.clip(bc.data, 0, len(lb) - 1)].astype(jnp.int64)
+                lo, hi = 0, max(int(lp.shape[0]), int(lb.shape[0]))
+            else:
+                pd = _bdata(pc, probe_b.plen).astype(jnp.int64)
+                bd = _bdata(bc, build_b.plen).astype(jnp.int64)
+                blive = jnp.logical_and(build_b.live, b_valid)
+                plive = jnp.logical_and(probe_b.live, p_valid)
+                any_b = bool(jnp.any(blive))
+                if not any_b:
+                    lo, hi = 0, 1
+                else:
+                    lo = int(jnp.min(jnp.where(blive, bd, _I64_MAX)))
+                    hi = int(jnp.max(jnp.where(blive, bd, _I64_MIN)))
+            rng = hi - lo + 1
+            packed_p = packed_p * jnp.int64(rng + 1) + jnp.clip(pd - lo, -1, rng)
+            packed_b = packed_b * jnp.int64(rng + 1) + jnp.clip(bd - lo, -1, rng)
+            # probe values outside [lo,hi] clip to -1/rng sentinels per key
+            # column, which cannot collide with any in-range packed build key.
+        return packed_p, p_valid, packed_b, b_valid
+
+    def _exec_Join(self, node: P.Join) -> Batch:
+        probe_b = self.execute(node.probe)
+        build_b = self.execute(node.build)
+        pk, p_valid, bk, b_valid = self._pack_keys(
+            probe_b, build_b, node.probe_keys, node.build_keys
+        )
+        build_live = jnp.logical_and(build_b.live, b_valid)
+        probe_live = jnp.logical_and(probe_b.live, p_valid)
+        table = J.build_sorted(bk, build_live)
+        counts, lo, hi = J.probe_counts(table, pk, probe_live)
+
+        if node.jtype in ("semi", "anti") and node.extra is None:
+            matched = counts > 0
+            live = jnp.logical_and(
+                probe_b.live, matched if node.jtype == "semi" else ~matched
+            )
+            return Batch(src=probe_b.src, plen=probe_b.plen, live=live)
+
+        # expand candidate pairs
+        total = int(jnp.sum(counts))
+        cap = max(128, pad_bucket(total))
+        pr, br, out_live = J.expand_matches(counts, lo, table.perm, cap)
+        pair_src = ChainCols([
+            GatherCols(probe_b.src, pr),
+            GatherCols(build_b.src, br),
+        ])
+        pair_live = out_live
+        if node.extra is not None:
+            env = EvalEnv(cols=pair_src, plen=cap, live=pair_live)
+            c = node.extra.eval(env)
+            em = jnp.logical_and(c.data.astype(jnp.bool_), _full_valid(c, cap))
+            pair_live = jnp.logical_and(pair_live, jnp.broadcast_to(em, (cap,)))
+
+        if node.jtype in ("semi", "anti"):
+            any_match = jax.ops.segment_max(
+                pair_live.astype(jnp.int32), pr, num_segments=probe_b.plen
+            ) > 0
+            live = jnp.logical_and(
+                probe_b.live, any_match if node.jtype == "semi" else ~any_match
+            )
+            return Batch(src=probe_b.src, plen=probe_b.plen, live=live)
+
+        if node.jtype == "inner":
+            return Batch(src=pair_src, plen=cap, live=pair_live)
+
+        if node.jtype in ("left", "single"):
+            any_match = jax.ops.segment_max(
+                pair_live.astype(jnp.int32), pr, num_segments=probe_b.plen
+            ) > 0
+            unmatched = jnp.logical_and(probe_b.live, ~any_match)
+            n_pairs = int(jnp.sum(pair_live))
+            n_unmatched = int(jnp.sum(unmatched))
+            out_cap = max(128, pad_bucket(n_pairs + n_unmatched))
+            pair_idx, _ = compact_indices(pair_live, out_cap)
+            un_idx, _ = compact_indices(unmatched, out_cap)
+            pos = jnp.arange(out_cap)
+            from_pairs = pos < n_pairs
+            un_pos = jnp.clip(pos - n_pairs, 0, out_cap - 1)
+            out_probe = jnp.where(from_pairs, pr[pair_idx], un_idx[un_pos])
+            out_build = jnp.where(from_pairs, br[pair_idx], -1)
+            null_build = jnp.logical_not(from_pairs)
+            live = pos < (n_pairs + n_unmatched)
+            src = ChainCols([
+                GatherCols(probe_b.src, out_probe),
+                GatherCols(build_b.src, out_build, null_rows=null_build),
+            ])
+            return Batch(src=src, plen=out_cap, live=live)
+
+        raise NotImplementedError(f"join type {node.jtype}")
+
+    def _exec_CrossJoin(self, node: P.CrossJoin) -> Batch:
+        a = self.execute(node.probe)
+        b = self.execute(node.build)
+        na, nb = a.count_live(), b.count_live()
+        ia, _ = compact_indices(a.live, max(1, pad_bucket(na)))
+        ib, _ = compact_indices(b.live, max(1, pad_bucket(nb)))
+        total = na * nb
+        cap = max(128, pad_bucket(total))
+        pos = jnp.arange(cap)
+        ra = ia[jnp.clip(pos // max(nb, 1), 0, ia.shape[0] - 1)]
+        rb = ib[jnp.clip(pos % max(nb, 1), 0, ib.shape[0] - 1)]
+        src = ChainCols([GatherCols(a.src, ra), GatherCols(b.src, rb)])
+        return Batch(src=src, plen=cap, live=pos < total)
+
+    # -- aggregation ---------------------------------------------------------
+    def _exec_Aggregate(self, node: P.Aggregate) -> Batch:
+        from duckdb_tpu.execution.aggregate_exec import execute_aggregate
+
+        child = self.execute(node.child)
+        return execute_aggregate(self, child, node)
+
+    # -- order / limit --------------------------------------------------------
+    def _exec_Order(self, node: P.Order) -> Batch:
+        b = self.execute(node.child)
+        env = b.env()
+        norm = []
+        for expr, desc, nulls_first in node.items:
+            c = expr.eval(env)
+            if nulls_first is None:
+                nulls_first = False  # duckdb default NULLS LAST
+            validity = c.validity
+            data = _bdata(c, b.plen)
+            if c.ltype.id is TypeId.VARCHAR:
+                data = data.astype(jnp.int64)  # sorted dict → code order = string order
+                k = S.orderable_int64(data, validity, desc, nulls_first)
+            else:
+                k = S.orderable_int64(data, validity, desc, nulls_first)
+            norm.append(k)
+        perm = S.sort_permutation(norm, b.live)
+        n = b.count_live()
+        src = GatherCols(b.src, perm)
+        live = jnp.arange(b.plen) < n
+        return Batch(src=src, plen=b.plen, live=live)
+
+    def _exec_Limit(self, node: P.Limit) -> Batch:
+        b = self.execute(node.child)
+        n = b.count_live()
+        idx, _ = compact_indices(b.live, max(1, pad_bucket(n)))
+        lo = min(node.offset, n)
+        hi = n if node.n is None else min(n, lo + node.n)
+        out = hi - lo
+        cap = max(128, pad_bucket(out))
+        pos = jnp.arange(cap)
+        rows = idx[jnp.clip(pos + lo, 0, idx.shape[0] - 1)]
+        return Batch(src=GatherCols(b.src, rows), plen=cap, live=pos < out)
+
+    # -- set ops --------------------------------------------------------------
+    def _exec_SetOp(self, node: P.SetOp) -> Batch:
+        assert node.op == "union_all"
+        a = self.execute(node.left)
+        b = self.execute(node.right)
+        na, nb = a.count_live(), b.count_live()
+        ia, _ = compact_indices(a.live, max(1, pad_bucket(na)))
+        ib, _ = compact_indices(b.live, max(1, pad_bucket(nb)))
+        cap = max(128, pad_bucket(na + nb))
+        cols = {}
+        for key, t in node.keys:
+            ca, cb = a.src[key], b.src[key]
+            da = _bdata(ca, a.plen)[ia][:na]
+            db = _bdata(cb, b.plen)[ib][:nb]
+            va = _full_valid(ca, a.plen)[ia][:na]
+            vb = _full_valid(cb, b.plen)[ib][:nb]
+            dvals = None
+            if t.id is TypeId.VARCHAR:
+                from duckdb_tpu.planner.bound import _varchar_rank_luts
+
+                la, lb = _varchar_rank_luts(ca, cb)
+                dvals = np.union1d(ca.dict_values, cb.dict_values).astype(object)
+                da = la[jnp.clip(da, 0, len(la) - 1)]
+                db = lb[jnp.clip(db, 0, len(lb) - 1)]
+            data = jnp.zeros((cap,), da.dtype)
+            data = data.at[:na].set(da).at[na:na + nb].set(db.astype(da.dtype))
+            valid = jnp.zeros((cap,), jnp.bool_)
+            valid = valid.at[:na].set(va).at[na:na + nb].set(vb)
+            cols[key] = Column(data=data, ltype=t, validity=valid,
+                               dict_values=dvals)
+        live = jnp.arange(cap) < (na + nb)
+        return Batch(src=DictCols(cols), plen=cap, live=live)
+
+    def _exec__ConstantRow(self, node) -> Batch:
+        live = jnp.zeros((128,), jnp.bool_).at[0].set(True)
+        return Batch(src=DictCols({}), plen=128, live=live)

@@ -1,0 +1,436 @@
+"""Expression binder: parsed AST → typed BoundExpr against a name scope.
+
+Parallels the reference's ExpressionBinder family
+(/root/reference/src/planner/expression_binder/) collapsed into one
+dispatcher. Aggregate calls are intercepted via a collector callback so the
+select/having binder can split pre- and post-aggregation computation, like
+duckdb's BoundAggregateExpression extraction.
+"""
+
+from __future__ import annotations
+
+import datetime
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+from duckdb_tpu.sql import nodes as N
+from duckdb_tpu.planner import bound as B
+from duckdb_tpu.planner import functions as F
+from duckdb_tpu.types import (
+    BIGINT,
+    BOOLEAN,
+    DATE,
+    DOUBLE,
+    INTEGER,
+    INTERVAL,
+    SMALLINT,
+    SQLNULL,
+    TIMESTAMP,
+    TINYINT,
+    VARCHAR,
+    LogicalType,
+    TypeId,
+    decimal,
+    max_logical_type,
+)
+
+AGGREGATE_NAMES = {
+    "sum", "count", "avg", "mean", "min", "max", "first", "last", "any_value",
+    "stddev", "stddev_samp", "stddev_pop", "var_samp", "var_pop", "variance",
+    "string_agg", "bool_and", "bool_or", "product", "bit_and", "bit_or", "bit_xor",
+    "count_star", "arg_min", "arg_max", "median", "mode", "approx_count_distinct",
+}
+
+
+class BindError(B.BindError):
+    pass
+
+
+@dataclass
+class Binding:
+    key: str
+    ltype: LogicalType
+
+
+class Scope:
+    """Column name resolution: alias.col and unqualified col → binding."""
+
+    def __init__(self, parent: Optional["Scope"] = None):
+        self.parent = parent
+        self.by_qual: Dict[Tuple[str, str], Binding] = {}
+        self.by_name: Dict[str, List[Binding]] = {}
+        self.order: List[Tuple[str, str, Binding]] = []  # (alias, col, binding)
+
+    def add(self, alias: str, col: str, key: str, ltype: LogicalType):
+        b = Binding(key, ltype)
+        self.by_qual[(alias.lower(), col.lower())] = b
+        self.by_name.setdefault(col.lower(), []).append(b)
+        self.order.append((alias, col, b))
+        return b
+
+    def resolve(self, parts: Tuple[str, ...]) -> Binding:
+        if len(parts) == 1:
+            cands = self.by_name.get(parts[0].lower(), [])
+            if len(cands) == 1:
+                return cands[0]
+            if len(cands) > 1:
+                raise BindError(f'ambiguous column name "{parts[0]}"')
+        elif len(parts) >= 2:
+            b = self.by_qual.get((parts[-2].lower(), parts[-1].lower()))
+            if b:
+                return b
+        if self.parent is not None:
+            return self.parent.resolve(parts)
+        raise BindError(
+            f'Binder Error: column "{".".join(parts)}" not found'
+        )
+
+    def try_resolve(self, parts) -> Optional[Binding]:
+        try:
+            return self.resolve(parts)
+        except BindError:
+            return None
+
+    def columns_of(self, alias: str):
+        return [(a, c, b) for (a, c, b) in self.order if a.lower() == alias.lower()]
+
+    def all_columns(self):
+        return list(self.order)
+
+
+def _parse_date(s: str) -> int:
+    d = datetime.date.fromisoformat(s.strip())
+    return (d - datetime.date(1970, 1, 1)).days
+
+
+def _parse_timestamp(s: str) -> int:
+    dt = datetime.datetime.fromisoformat(s.strip())
+    epoch = datetime.datetime(1970, 1, 1)
+    return int((dt - epoch).total_seconds() * 1_000_000)
+
+
+_INTERVAL_MULT = {
+    "year": ("months", 12), "years": ("months", 12), "y": ("months", 12),
+    "month": ("months", 1), "months": ("months", 1), "mon": ("months", 1),
+    "day": ("days", 1), "days": ("days", 1), "d": ("days", 1),
+    "week": ("days", 7), "weeks": ("days", 7),
+    "hour": ("micros", 3600_000_000), "hours": ("micros", 3600_000_000),
+    "minute": ("micros", 60_000_000), "minutes": ("micros", 60_000_000),
+    "second": ("micros", 1_000_000), "seconds": ("micros", 1_000_000),
+}
+
+
+def bind_interval(val: str, unit: Optional[str]) -> Tuple[int, int, int]:
+    months = days = micros = 0
+    if unit is not None:
+        field_, mult = _INTERVAL_MULT[unit.lower()]
+        n = int(val)
+        if field_ == "months":
+            months = n * mult
+        elif field_ == "days":
+            days = n * mult
+        else:
+            micros = n * mult
+    else:
+        toks = val.split()
+        for i in range(0, len(toks) - 1, 2):
+            field_, mult = _INTERVAL_MULT[toks[i + 1].lower()]
+            n = int(toks[i])
+            if field_ == "months":
+                months += n * mult
+            elif field_ == "days":
+                days += n * mult
+            else:
+                micros += n * mult
+    return (months, days, micros)
+
+
+_TYPE_NAMES = {
+    "boolean": BOOLEAN, "bool": BOOLEAN, "logical": BOOLEAN,
+    "tinyint": TINYINT, "int1": TINYINT,
+    "smallint": SMALLINT, "int2": SMALLINT, "short": SMALLINT,
+    "integer": INTEGER, "int": INTEGER, "int4": INTEGER, "signed": INTEGER,
+    "bigint": BIGINT, "int8": BIGINT, "long": BIGINT, "hugeint": BIGINT,
+    "real": LogicalType(TypeId.FLOAT), "float4": LogicalType(TypeId.FLOAT),
+    "float": DOUBLE, "double": DOUBLE, "float8": DOUBLE,
+    "varchar": VARCHAR, "text": VARCHAR, "string": VARCHAR, "char": VARCHAR,
+    "bpchar": VARCHAR,
+    "date": DATE, "timestamp": TIMESTAMP, "datetime": TIMESTAMP,
+}
+
+
+def resolve_type_name(name: str, mods: Tuple[int, ...]) -> LogicalType:
+    n = name.lower()
+    if n in ("decimal", "numeric"):
+        w = mods[0] if mods else 18
+        s = mods[1] if len(mods) > 1 else 3
+        return decimal(w, s)
+    if n in _TYPE_NAMES:
+        return _TYPE_NAMES[n]
+    raise BindError(f"unknown type name {name}")
+
+
+def bind_literal(lit: N.Literal) -> B.BoundExpr:
+    v, hint = lit.value, lit.type_hint
+    if v is None:
+        return B.BoundLiteral(None, SQLNULL)
+    if hint == "decimal":
+        s = str(v)
+        neg = s.startswith("-")
+        body = s.lstrip("+-")
+        if "." in body:
+            ip, fp = body.split(".")
+        else:
+            ip, fp = body, ""
+        scale = len(fp)
+        width = max(1, len(ip.lstrip("0")) + scale)
+        iv = int(ip + fp) if ip + fp else 0
+        return B.BoundLiteral(-iv if neg else iv, decimal(min(width, 38), scale))
+    if hint == "date":
+        return B.BoundLiteral(_parse_date(v), DATE)
+    if hint == "timestamp":
+        return B.BoundLiteral(_parse_timestamp(v), TIMESTAMP)
+    if isinstance(v, bool):
+        return B.BoundLiteral(v, BOOLEAN)
+    if isinstance(v, int):
+        t = INTEGER if -(2**31) <= v < 2**31 else BIGINT
+        return B.BoundLiteral(v, t)
+    if isinstance(v, float):
+        return B.BoundLiteral(v, DOUBLE)
+    if isinstance(v, str):
+        return B.BoundLiteral(v, VARCHAR)
+    raise BindError(f"unsupported literal {v!r}")
+
+
+def _arith_result_type(op: str, lt: LogicalType, rt: LogicalType) -> LogicalType:
+    if TypeId.INTERVAL in (lt.id, rt.id):
+        other = rt if lt.id is TypeId.INTERVAL else lt
+        return other  # date ± interval → date (folded at bind time)
+    if lt.id is TypeId.DATE and rt.id is TypeId.DATE and op == "-":
+        return BIGINT
+    if lt.id is TypeId.DATE and rt.is_integer:
+        return DATE
+    if rt.id is TypeId.DATE and lt.is_integer and op == "+":
+        return DATE
+    if lt.is_float or rt.is_float:
+        return DOUBLE
+    if TypeId.DECIMAL in (lt.id, rt.id):
+        dl = lt if lt.id is TypeId.DECIMAL else decimal(_int_width(lt), 0)
+        dr = rt if rt.id is TypeId.DECIMAL else decimal(_int_width(rt), 0)
+        if op in ("+", "-"):
+            s = max(dl.scale, dr.scale)
+            intp = max(dl.width - dl.scale, dr.width - dr.scale) + 1
+            return decimal(min(38, intp + s), s)
+        if op == "*":
+            return decimal(min(38, dl.width + dr.width), dl.scale + dr.scale)
+        if op == "/":
+            # duckdb: decimal division result scale max(6, s1+p2+1); falls
+            # back to DOUBLE when width unbounded (src/function/scalar/operator/
+            # decimal_division.cpp:137-166, arithmetic.cpp:1260-1264). Sums are
+            # DECIMAL(38,_) so analytics divisions are DOUBLE; we bind DOUBLE.
+            return DOUBLE
+        raise BindError(f"unsupported decimal op {op}")
+    if op == "/":
+        return DOUBLE
+    if lt.is_integer and rt.is_integer:
+        order = [TypeId.TINYINT, TypeId.SMALLINT, TypeId.INTEGER, TypeId.BIGINT,
+                 TypeId.HUGEINT]
+        t = max(lt.id, rt.id, key=order.index)
+        return LogicalType(t)
+    raise BindError(f"cannot apply {op} to {lt} and {rt}")
+
+
+def _int_width(t: LogicalType) -> int:
+    return {TypeId.TINYINT: 3, TypeId.SMALLINT: 5, TypeId.INTEGER: 10,
+            TypeId.BIGINT: 19, TypeId.HUGEINT: 38, TypeId.BOOLEAN: 1}[t.id]
+
+
+class ExprBinder:
+    """Binds AST expressions in a scope.
+
+    agg_collector: callable(FunctionCall ast) → BoundAggregateRef, set when
+    binding select/having/order lists of an aggregating query.
+    subquery_binder: callable(ast node) → BoundExpr for Scalar/In/Exists
+    subqueries (installed by the planner).
+    """
+
+    def __init__(self, scope: Scope, agg_collector=None, subquery_binder=None):
+        self.scope = scope
+        self.agg_collector = agg_collector
+        self.subquery_binder = subquery_binder
+
+    def bind(self, e: N.Expr) -> B.BoundExpr:
+        m = getattr(self, "_bind_" + type(e).__name__, None)
+        if m is None:
+            raise BindError(f"cannot bind expression node {type(e).__name__}")
+        return m(e)
+
+    # -- leaves --------------------------------------------------------------
+    def _bind_Literal(self, e: N.Literal):
+        return bind_literal(e)
+
+    def _bind_IntervalLiteral(self, e: N.IntervalLiteral):
+        return B.BoundLiteral(bind_interval(e.value, e.unit), INTERVAL)
+
+    def _bind_ColumnRef(self, e: N.ColumnRef):
+        b = self.scope.resolve(e.parts)
+        return B.BoundColumnRef(b.key, b.ltype)
+
+    # -- operators -----------------------------------------------------------
+    def _bind_BinaryOp(self, e: N.BinaryOp):
+        if e.op in B._CMP_OPS:
+            left = self.bind(e.left)
+            right = self.bind(e.right)
+            left, right = self._align_comparison(left, right)
+            return B.BoundComparison(e.op, left, right)
+        if e.op == "||":
+            return self._bind_concat(e)
+        left = self.bind(e.left)
+        right = self.bind(e.right)
+        t = _arith_result_type(e.op, left.ltype, right.ltype)
+        node = B.BoundArithmetic(e.op, left, right, t)
+        if node.is_const():
+            try:
+                return B.BoundLiteral(node.const_value(), t)
+            except (ValueError, BindError):
+                pass
+        if TypeId.INTERVAL in (left.ltype.id, right.ltype.id):
+            raise BindError("non-constant date ± interval not yet supported")
+        if t.id is TypeId.DATE:
+            # date ± integer days stays int32 days
+            node.ltype = DATE
+        return node
+
+    def _align_comparison(self, left: B.BoundExpr, right: B.BoundExpr):
+        """Insert casts so comparisons see compatible physical types."""
+        lt, rt = left.ltype, right.ltype
+        # VARCHAR literal vs temporal column → parse literal at bind time
+        for a, b, swap in ((left, right, False), (right, left, True)):
+            if (a.ltype.id is TypeId.VARCHAR and a.is_const()
+                    and b.ltype.id in (TypeId.DATE, TypeId.TIMESTAMP)):
+                v = a.const_value()
+                lit = B.BoundLiteral(
+                    _parse_date(v) if b.ltype.id is TypeId.DATE else _parse_timestamp(v),
+                    b.ltype,
+                )
+                return (b, lit) if swap else (lit, b)
+        if (lt.id is TypeId.VARCHAR) != (rt.id is TypeId.VARCHAR):
+            raise BindError(f"cannot compare {lt} and {rt}")
+        return left, right
+
+    def _bind_concat(self, e: N.BinaryOp):
+        left = self.bind(e.left)
+        right = self.bind(e.right)
+
+        def impl(env, cols, node):
+            a, b = cols
+            if a.dict_values is not None and b.dict_values is not None:
+                if len(b.dict_values) == 1:
+                    return F.dict_transform(a, lambda s: s + b.dict_values[0])
+                if len(a.dict_values) == 1:
+                    return F.dict_transform(b, lambda s: a.dict_values[0] + s)
+            raise BindError("concat of two non-constant varchar columns not yet supported")
+
+        return B.BoundFunction("concat", [left, right], VARCHAR, impl)
+
+    def _bind_UnaryOp(self, e: N.UnaryOp):
+        c = self.bind(e.child)
+        if e.op == "-":
+            node = B.BoundNegate(c, c.ltype)
+            if node.is_const():
+                return B.BoundLiteral(node.const_value(), c.ltype)
+            return node
+        if e.op == "+":
+            return c
+        raise BindError(f"unary {e.op}")
+
+    def _bind_Conjunction(self, e: N.Conjunction):
+        return B.BoundConjunction(e.op, [self.bind(c) for c in e.children])
+
+    def _bind_NotExpr(self, e: N.NotExpr):
+        return B.BoundNot(self.bind(e.child))
+
+    def _bind_IsNull(self, e: N.IsNull):
+        return B.BoundIsNull(self.bind(e.child), e.negated)
+
+    def _bind_Between(self, e: N.Between):
+        x = self.bind(e.expr)
+        lo = self.bind(e.low)
+        hi = self.bind(e.high)
+        a, lo = self._align_comparison(x, lo)
+        a2, hi = self._align_comparison(x, hi)
+        node = B.BoundConjunction(
+            "and", [B.BoundComparison(">=", a, lo), B.BoundComparison("<=", a2, hi)]
+        )
+        return B.BoundNot(node) if e.negated else node
+
+    def _bind_LikeExpr(self, e: N.LikeExpr):
+        child = self.bind(e.expr)
+        pat = self.bind(e.pattern)
+        if not pat.is_const():
+            raise BindError("non-constant LIKE pattern not supported")
+        return B.BoundLike(child, pat.const_value(), e.negated, e.case_insensitive)
+
+    def _bind_InList(self, e: N.InList):
+        return B.BoundInList(
+            self.bind(e.expr), [self.bind(i) for i in e.items], e.negated
+        )
+
+    def _bind_CaseExpr(self, e: N.CaseExpr):
+        whens = []
+        for cond, res in e.whens:
+            if e.operand is not None:
+                cond = N.BinaryOp("=", e.operand, cond)
+            whens.append((self.bind(cond), self.bind(res)))
+        else_b = self.bind(e.else_expr) if e.else_expr is not None else None
+        t = None
+        for _, r in whens:
+            if r.ltype.id is not TypeId.SQLNULL:
+                t = r.ltype if t is None else max_logical_type(t, r.ltype)
+        if else_b is not None and else_b.ltype.id is not TypeId.SQLNULL:
+            t = else_b.ltype if t is None else max_logical_type(t, else_b.ltype)
+        return B.BoundCase(whens, else_b, t or SQLNULL)
+
+    def _bind_CastExpr(self, e: N.CastExpr):
+        c = self.bind(e.child)
+        t = resolve_type_name(e.type_name, e.type_mods)
+        node = B.BoundCast(c, t, e.try_cast)
+        if c.is_const():
+            try:
+                return B.BoundLiteral(node.const_value(), t)
+            except (ValueError, BindError, KeyError):
+                pass
+        return node
+
+    def _bind_ExtractExpr(self, e: N.ExtractExpr):
+        child = self.bind(e.child)
+        rt, impl, args = F.REGISTRY[e.field.lower()]([child])
+        return B.BoundFunction("extract_" + e.field.lower(), args, rt, impl)
+
+    def _bind_FunctionCall(self, e: N.FunctionCall):
+        name = e.name.lower()
+        if name in AGGREGATE_NAMES or (name == "count" and e.is_star):
+            if self.agg_collector is None:
+                raise BindError(f"aggregate {name}() not allowed here")
+            return self.agg_collector(e, self)
+        if name in F.REGISTRY:
+            args = [self.bind(a) for a in e.args]
+            rt, impl, args2 = F.REGISTRY[name](args)
+            return B.BoundFunction(name, args2, rt, impl)
+        raise BindError(f"Scalar Function with name {name} does not exist!")
+
+    # -- subqueries ----------------------------------------------------------
+    def _bind_ScalarSubquery(self, e):
+        if self.subquery_binder is None:
+            raise BindError("subqueries not supported in this context")
+        return self.subquery_binder(e, self)
+
+    def _bind_InSubquery(self, e):
+        if self.subquery_binder is None:
+            raise BindError("subqueries not supported in this context")
+        return self.subquery_binder(e, self)
+
+    def _bind_Exists(self, e):
+        if self.subquery_binder is None:
+            raise BindError("subqueries not supported in this context")
+        return self.subquery_binder(e, self)

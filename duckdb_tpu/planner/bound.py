@@ -1,0 +1,643 @@
+"""Bound (typed, resolved) expressions and their device evaluation.
+
+The reference splits ParsedExpression → BoundExpression → ExpressionExecutor
+(/root/reference/src/planner/expression/, src/execution/expression_executor.cpp).
+Here bound nodes carry their own vectorized evaluation: each node's
+``eval(env)`` returns a Column of jnp data over the padded block, with SQL
+three-valued NULL semantics via validity planes. XLA fuses the resulting
+elementwise graphs; there is no per-row interpreter.
+
+VARCHAR columns are dictionary codes (sorted dict). String predicates are
+evaluated once per *distinct value* on the host dictionary and become a
+device LUT gather — the TPU analog of duckdb evaluating a filter on a
+DICTIONARY vector's child (src/common/types/vector.cpp dictionary paths).
+
+DECIMAL is scaled int64; arithmetic follows duckdb's bind rules
+(src/function/scalar/operator/arithmetic.cpp, decimal_division.cpp):
+add/sub rescale to max scale, mul adds scales, division falls back to
+DOUBLE when the result width cannot be guaranteed ≤ 38.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from duckdb_tpu.blocks import Column
+from duckdb_tpu.types import (
+    BIGINT,
+    BOOLEAN,
+    DATE,
+    DOUBLE,
+    INTEGER,
+    INTERVAL,
+    SQLNULL,
+    TIMESTAMP,
+    VARCHAR,
+    LogicalType,
+    TypeId,
+    decimal,
+    max_logical_type,
+)
+
+
+class BindError(ValueError):
+    pass
+
+
+@dataclass
+class EvalEnv:
+    """Evaluation environment: bound column key → Column, over one padded block."""
+
+    cols: dict
+    plen: int
+    live: jnp.ndarray  # (P,) bool — rows alive (not padding / not filtered out)
+
+
+def _and_validity(a: Optional[jnp.ndarray], b: Optional[jnp.ndarray]):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return jnp.logical_and(a, b)
+
+
+def _bcast(env: EvalEnv, data):
+    """Broadcast a scalar jnp value to the block length."""
+    return jnp.broadcast_to(data, (env.plen,))
+
+
+# ---------------------------------------------------------------------------
+# date math on device (days since 1970-01-01 → civil fields)
+# Branchless civil-from-days (Howard Hinnant's algorithm) — pure VPU ops.
+def civil_from_days(days: jnp.ndarray):
+    z = days.astype(jnp.int64) + 719468
+    era = jnp.where(z >= 0, z, z - 146096) // 146097
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = jnp.where(mp < 10, mp + 3, mp - 9)
+    y = jnp.where(m <= 2, y + 1, y)
+    return y, m, d
+
+
+def days_from_civil(y: int, m: int, d: int) -> int:
+    y -= m <= 2
+    era = (y if y >= 0 else y - 399) // 400
+    yoe = y - era * 400
+    doy = (153 * (m + (-3 if m > 2 else 9)) + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+# ---------------------------------------------------------------------------
+# bound expression nodes
+class BoundExpr:
+    ltype: LogicalType
+
+    def eval(self, env: EvalEnv) -> Column:
+        raise NotImplementedError
+
+    def is_const(self) -> bool:
+        return False
+
+    def const_value(self):
+        """Python-level value for constant subtrees (folded at bind time).
+
+        DECIMAL → scaled int, DATE → days, VARCHAR → str, NULL → None.
+        """
+        raise BindError("not a constant expression")
+
+    def children(self) -> List["BoundExpr"]:
+        return []
+
+
+@dataclass
+class BoundColumnRef(BoundExpr):
+    key: str
+    ltype: LogicalType
+
+    def eval(self, env: EvalEnv) -> Column:
+        return env.cols[self.key]
+
+
+@dataclass
+class BoundLiteral(BoundExpr):
+    value: object  # physical value: scaled int for DECIMAL, days for DATE, str for VARCHAR
+    ltype: LogicalType
+
+    def eval(self, env: EvalEnv) -> Column:
+        if self.value is None:
+            return Column(
+                data=jnp.zeros((env.plen,), dtype=jnp.int32),
+                ltype=self.ltype,
+                validity=jnp.zeros((env.plen,), dtype=jnp.bool_),
+            )
+        if self.ltype.id is TypeId.VARCHAR:
+            # constant string → single-entry dictionary, code 0
+            return Column(
+                data=jnp.zeros((env.plen,), dtype=jnp.int32),
+                ltype=VARCHAR,
+                dict_values=np.array([self.value], dtype=object),
+            )
+        return Column(
+            data=_bcast(env, jnp.asarray(self.value, dtype=self.ltype.np_dtype)),
+            ltype=self.ltype,
+        )
+
+    def is_const(self):
+        return True
+
+    def const_value(self):
+        return self.value
+
+
+_CMP_OPS = {"=", "==", "<>", "!=", "<", "<=", ">", ">="}
+
+
+def _varchar_rank_luts(a: Column, b: Column):
+    """Device LUTs mapping each side's codes to ranks in the merged dictionary."""
+    if a.dict_values is b.dict_values:
+        n = len(a.dict_values)
+        lut = jnp.arange(n, dtype=jnp.int32)
+        return lut, lut
+    merged = np.union1d(a.dict_values, b.dict_values)
+    ra = np.searchsorted(merged, a.dict_values).astype(np.int32)
+    rb = np.searchsorted(merged, b.dict_values).astype(np.int32)
+    return jnp.asarray(ra), jnp.asarray(rb)
+
+
+def _cmp(op: str, x, y):
+    if op in ("=", "=="):
+        return x == y
+    if op in ("<>", "!="):
+        return x != y
+    if op == "<":
+        return x < y
+    if op == "<=":
+        return x <= y
+    if op == ">":
+        return x > y
+    return x >= y
+
+
+@dataclass
+class BoundComparison(BoundExpr):
+    op: str
+    left: BoundExpr
+    right: BoundExpr
+    ltype: LogicalType = BOOLEAN
+
+    def children(self):
+        return [self.left, self.right]
+
+    def eval(self, env: EvalEnv) -> Column:
+        lc = self.left.eval(env)
+        rc = self.right.eval(env)
+        if lc.ltype.id is TypeId.VARCHAR or rc.ltype.id is TypeId.VARCHAR:
+            data = self._eval_varchar(lc, rc)
+        else:
+            x, y = _common_numeric(lc, rc)
+            data = _cmp(self.op, x, y)
+        v = _and_validity(lc.validity, rc.validity)
+        return Column(data=data, ltype=BOOLEAN, validity=v)
+
+    def _eval_varchar(self, lc: Column, rc: Column):
+        assert lc.ltype.id is TypeId.VARCHAR and rc.ltype.id is TypeId.VARCHAR, (
+            "varchar comparison requires both sides varchar"
+        )
+        la, lb = _varchar_rank_luts(lc, rc)
+        return _cmp(self.op, la[lc.data], lb[rc.data])
+
+
+def _decimal_align(lc: Column, rc: Column):
+    """Rescale two decimal/integer columns to a common scale (int64)."""
+    sl = lc.ltype.scale if lc.ltype.id is TypeId.DECIMAL else 0
+    sr = rc.ltype.scale if rc.ltype.id is TypeId.DECIMAL else 0
+    s = max(sl, sr)
+    x = lc.data.astype(jnp.int64) * jnp.int64(10 ** (s - sl))
+    y = rc.data.astype(jnp.int64) * jnp.int64(10 ** (s - sr))
+    return x, y, s
+
+
+def _common_numeric(lc: Column, rc: Column):
+    """Coerce two non-varchar columns to comparable device arrays."""
+    if TypeId.DECIMAL in (lc.ltype.id, rc.ltype.id):
+        if lc.ltype.is_float or rc.ltype.is_float:
+            return _to_double(lc), _to_double(rc)
+        x, y, _ = _decimal_align(lc, rc)
+        return x, y
+    if lc.ltype.is_float or rc.ltype.is_float:
+        return _to_double(lc), _to_double(rc)
+    return lc.data.astype(jnp.int64), rc.data.astype(jnp.int64)
+
+
+def _to_double(c: Column) -> jnp.ndarray:
+    if c.ltype.id is TypeId.DECIMAL:
+        return c.data.astype(jnp.float64) / jnp.float64(10**c.ltype.scale)
+    return c.data.astype(jnp.float64)
+
+
+@dataclass
+class BoundConjunction(BoundExpr):
+    op: str  # 'and' | 'or'
+    exprs: List[BoundExpr]
+    ltype: LogicalType = BOOLEAN
+
+    def children(self):
+        return self.exprs
+
+    def eval(self, env: EvalEnv) -> Column:
+        # SQL three-valued logic: NULL and false = false; NULL or true = true
+        data = None
+        valid = None
+        for e in self.exprs:
+            c = e.eval(env)
+            d = jnp.broadcast_to(c.data.astype(jnp.bool_), (env.plen,))
+            cv = (
+                jnp.broadcast_to(c.validity, (env.plen,))
+                if c.validity is not None
+                else jnp.ones((env.plen,), jnp.bool_)
+            )
+            if data is None:
+                data, valid = d, cv
+            elif self.op == "and":
+                new_valid = (valid & cv) | (valid & ~data) | (cv & ~d)
+                data = data & d
+                valid = new_valid
+            else:
+                new_valid = (valid & cv) | (valid & data) | (cv & d)
+                data = data | d
+                valid = new_valid
+        return Column(data=data, ltype=BOOLEAN, validity=valid)
+
+
+@dataclass
+class BoundNot(BoundExpr):
+    child: BoundExpr
+    ltype: LogicalType = BOOLEAN
+
+    def children(self):
+        return [self.child]
+
+    def eval(self, env):
+        c = self.child.eval(env)
+        return Column(
+            data=jnp.logical_not(c.data.astype(jnp.bool_)),
+            ltype=BOOLEAN,
+            validity=c.validity,
+        )
+
+
+@dataclass
+class BoundIsNull(BoundExpr):
+    child: BoundExpr
+    negated: bool = False
+    ltype: LogicalType = BOOLEAN
+
+    def children(self):
+        return [self.child]
+
+    def eval(self, env):
+        c = self.child.eval(env)
+        if c.validity is None:
+            d = jnp.broadcast_to(jnp.asarray(self.negated), (env.plen,))
+        else:
+            v = jnp.broadcast_to(c.validity, (env.plen,))
+            d = v if self.negated else jnp.logical_not(v)
+        return Column(data=d, ltype=BOOLEAN)
+
+
+@dataclass
+class BoundArithmetic(BoundExpr):
+    op: str  # + - * / % //
+    left: BoundExpr
+    right: BoundExpr
+    ltype: LogicalType = DOUBLE
+
+    def children(self):
+        return [self.left, self.right]
+
+    def eval(self, env: EvalEnv) -> Column:
+        lc = self.left.eval(env)
+        rc = self.right.eval(env)
+        v = _and_validity(lc.validity, rc.validity)
+        t = self.ltype
+        if t.id is TypeId.DOUBLE or t.id is TypeId.FLOAT:
+            x, y = _to_double(lc), _to_double(rc)
+            if self.op == "+":
+                d = x + y
+            elif self.op == "-":
+                d = x - y
+            elif self.op == "*":
+                d = x * y
+            elif self.op == "/":
+                d = x / y
+            elif self.op == "%":
+                d = jnp.mod(x, y)
+            else:
+                d = jnp.floor_divide(x, y)
+            return Column(data=d, ltype=t, validity=v)
+        if t.id is TypeId.DECIMAL:
+            if self.op in ("+", "-"):
+                x, y, _ = _decimal_align(lc, rc)
+                d = x + y if self.op == "+" else x - y
+            elif self.op == "*":
+                d = lc.data.astype(jnp.int64) * rc.data.astype(jnp.int64)
+            else:
+                raise BindError(f"decimal op {self.op} should have bound to DOUBLE")
+            return Column(data=d, ltype=t, validity=v)
+        # integer arithmetic
+        x = lc.data.astype(t.np_dtype)
+        y = rc.data.astype(t.np_dtype)
+        if self.op == "+":
+            d = x + y
+        elif self.op == "-":
+            d = x - y
+        elif self.op == "*":
+            d = x * y
+        elif self.op == "%":
+            d = jnp.mod(x, y)
+        elif self.op == "//":
+            d = jnp.floor_divide(x, y)
+        else:
+            raise BindError("integer / binds to DOUBLE")
+        return Column(data=d, ltype=t, validity=v)
+
+    def is_const(self):
+        return self.left.is_const() and self.right.is_const()
+
+    def const_value(self):
+        from duckdb_tpu.planner.fold import fold_arithmetic
+
+        return fold_arithmetic(self)
+
+
+@dataclass
+class BoundNegate(BoundExpr):
+    child: BoundExpr
+    ltype: LogicalType = DOUBLE
+
+    def children(self):
+        return [self.child]
+
+    def eval(self, env):
+        c = self.child.eval(env)
+        return Column(data=-c.data, ltype=self.ltype, validity=c.validity)
+
+    def is_const(self):
+        return self.child.is_const()
+
+    def const_value(self):
+        v = self.child.const_value()
+        return None if v is None else -v
+
+
+@dataclass
+class BoundCase(BoundExpr):
+    whens: List[Tuple[BoundExpr, BoundExpr]]
+    else_expr: Optional[BoundExpr]
+    ltype: LogicalType = DOUBLE
+
+    def children(self):
+        out = []
+        for c, r in self.whens:
+            out += [c, r]
+        if self.else_expr:
+            out.append(self.else_expr)
+        return out
+
+    def eval(self, env: EvalEnv) -> Column:
+        # evaluate all branches, select backwards (first-match-wins)
+        if self.else_expr is not None:
+            acc = _coerce_to(self.else_expr.eval(env), self.ltype, env)
+        else:
+            acc = Column(
+                data=jnp.zeros((env.plen,), dtype=self.ltype.np_dtype),
+                ltype=self.ltype,
+                validity=jnp.zeros((env.plen,), jnp.bool_),
+            )
+        acc_data = jnp.broadcast_to(acc.data, (env.plen,))
+        acc_valid = (
+            jnp.broadcast_to(acc.validity, (env.plen,))
+            if acc.validity is not None
+            else jnp.ones((env.plen,), jnp.bool_)
+        )
+        for cond, res in reversed(self.whens):
+            cc = cond.eval(env)
+            take = jnp.broadcast_to(cc.data.astype(jnp.bool_), (env.plen,))
+            if cc.validity is not None:
+                take = jnp.logical_and(take, cc.validity)
+            rc = _coerce_to(res.eval(env), self.ltype, env)
+            rd = jnp.broadcast_to(rc.data, (env.plen,))
+            rv = (
+                jnp.broadcast_to(rc.validity, (env.plen,))
+                if rc.validity is not None
+                else jnp.ones((env.plen,), jnp.bool_)
+            )
+            acc_data = jnp.where(take, rd, acc_data)
+            acc_valid = jnp.where(take, rv, acc_valid)
+        return Column(data=acc_data, ltype=self.ltype, validity=acc_valid)
+
+
+def _coerce_to(c: Column, t: LogicalType, env: EvalEnv) -> Column:
+    """Cast an evaluated column to the target logical type's physical form."""
+    if c.ltype == t:
+        return c
+    if t.id is TypeId.DOUBLE:
+        return Column(data=_to_double(c), ltype=t, validity=c.validity)
+    if t.id is TypeId.DECIMAL:
+        if c.ltype.id is TypeId.DECIMAL:
+            d = c.data.astype(jnp.int64) * jnp.int64(10 ** (t.scale - c.ltype.scale))
+        elif c.ltype.is_integer or c.ltype.id is TypeId.BOOLEAN:
+            d = c.data.astype(jnp.int64) * jnp.int64(10**t.scale)
+        else:  # float → decimal: round
+            d = jnp.round(c.data.astype(jnp.float64) * (10**t.scale)).astype(jnp.int64)
+        return Column(data=d, ltype=t, validity=c.validity)
+    if t.is_integer:
+        if c.ltype.id is TypeId.DECIMAL:
+            # duckdb decimal→int casts round half away from zero
+            scale = jnp.int64(10**c.ltype.scale)
+            x = c.data.astype(jnp.int64)
+            half = scale // 2
+            d = jnp.where(x >= 0, (x + half) // scale, -((-x + half) // scale))
+            d = d.astype(t.np_dtype)
+        elif c.ltype.is_float:
+            d = jnp.round(c.data).astype(t.np_dtype)
+        else:
+            d = c.data.astype(t.np_dtype)
+        return Column(data=d, ltype=t, validity=c.validity)
+    if t.id is TypeId.VARCHAR and c.ltype.id is TypeId.VARCHAR:
+        return c
+    if t.id in (TypeId.DATE, TypeId.TIMESTAMP) and c.ltype.id in (
+        TypeId.DATE,
+        TypeId.TIMESTAMP,
+    ):
+        if t.id == c.ltype.id:
+            return c
+        if t.id is TypeId.TIMESTAMP:
+            return Column(
+                data=c.data.astype(jnp.int64) * jnp.int64(86400_000_000),
+                ltype=t,
+                validity=c.validity,
+            )
+        return Column(
+            data=(c.data // jnp.int64(86400_000_000)).astype(jnp.int32),
+            ltype=t,
+            validity=c.validity,
+        )
+    raise BindError(f"unsupported coercion {c.ltype} → {t}")
+
+
+@dataclass
+class BoundCast(BoundExpr):
+    child: BoundExpr
+    ltype: LogicalType = DOUBLE
+    try_cast: bool = False
+
+    def children(self):
+        return [self.child]
+
+    def eval(self, env):
+        return _coerce_to(self.child.eval(env), self.ltype, env)
+
+    def is_const(self):
+        return self.child.is_const()
+
+    def const_value(self):
+        from duckdb_tpu.planner.fold import fold_cast
+
+        return fold_cast(self)
+
+
+@dataclass
+class BoundLike(BoundExpr):
+    """LIKE over dictionary codes: regex applied per distinct value → LUT gather."""
+
+    child: BoundExpr
+    pattern: str
+    negated: bool = False
+    case_insensitive: bool = False
+    ltype: LogicalType = BOOLEAN
+
+    def children(self):
+        return [self.child]
+
+    def eval(self, env: EvalEnv) -> Column:
+        c = self.child.eval(env)
+        assert c.ltype.id is TypeId.VARCHAR and c.dict_values is not None
+        rx = like_to_regex(self.pattern)
+        flags = re.IGNORECASE if self.case_insensitive else 0
+        prog = re.compile(rx, flags)
+        lut = np.fromiter(
+            (prog.match(s) is not None for s in c.dict_values),
+            dtype=np.bool_,
+            count=len(c.dict_values),
+        )
+        if self.negated:
+            lut = ~lut
+        d = jnp.asarray(lut)[jnp.clip(c.data, 0, len(lut) - 1)]
+        return Column(data=d, ltype=BOOLEAN, validity=c.validity)
+
+
+def like_to_regex(pattern: str) -> str:
+    out = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        elif ch == "\\" and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 1
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return "".join(out) + r"\Z"
+
+
+@dataclass
+class BoundInList(BoundExpr):
+    child: BoundExpr
+    items: List[BoundExpr]  # all constant-foldable or general exprs
+    negated: bool = False
+    ltype: LogicalType = BOOLEAN
+
+    def children(self):
+        return [self.child] + self.items
+
+    def eval(self, env: EvalEnv) -> Column:
+        c = self.child.eval(env)
+        if c.ltype.id is TypeId.VARCHAR:
+            vals = set()
+            for it in self.items:
+                v = it.const_value()
+                if v is not None:
+                    vals.add(v)
+            lut = np.isin(c.dict_values, np.array(sorted(vals), dtype=object))
+            if self.negated:
+                lut = ~lut
+            d = jnp.asarray(lut)[jnp.clip(c.data, 0, len(lut) - 1)]
+            return Column(data=d, ltype=BOOLEAN, validity=c.validity)
+        d = jnp.zeros((env.plen,), jnp.bool_)
+        for it in self.items:
+            ic = it.eval(env)
+            x, y = _common_numeric(c, ic)
+            d = jnp.logical_or(d, x == y)
+        if self.negated:
+            d = jnp.logical_not(d)
+        return Column(data=d, ltype=BOOLEAN, validity=c.validity)
+
+
+@dataclass
+class BoundFunction(BoundExpr):
+    name: str
+    args: List[BoundExpr]
+    ltype: LogicalType = DOUBLE
+    impl: Optional[Callable] = None  # (env, arg_columns) -> Column
+
+    def children(self):
+        return self.args
+
+    def eval(self, env: EvalEnv) -> Column:
+        cols = [a.eval(env) for a in self.args]
+        return self.impl(env, cols, self)
+
+
+@dataclass
+class BoundAggregateRef(BoundExpr):
+    """Reference to an aggregate's output slot (post-grouping column)."""
+
+    key: str
+    ltype: LogicalType = DOUBLE
+
+    def eval(self, env: EvalEnv) -> Column:
+        return env.cols[self.key]
+
+
+@dataclass
+class BoundAggregate:
+    """One aggregate to compute: func over arg expressions (pre-grouping)."""
+
+    func: str  # sum/count/avg/min/max/count_star/...
+    args: List[BoundExpr]
+    distinct: bool
+    ltype: LogicalType  # result type
+    key: str  # output binding
+
+
+def walk(expr: BoundExpr):
+    yield expr
+    for c in expr.children():
+        yield from walk(c)

@@ -1,0 +1,114 @@
+"""Bind-time constant folding.
+
+The reference folds constants via ExpressionRewriter's ConstantFoldingRule
+(/root/reference/src/optimizer/rule/constant_folding.cpp). Here folding is
+load-bearing, not just an optimization: DATE ± INTERVAL and decimal literal
+arithmetic are computed host-side at bind time so the device only ever sees
+resolved physical constants (days / scaled ints).
+
+Physical constant encodings: DECIMAL → scaled int, DATE → days since epoch,
+TIMESTAMP → micros, INTERVAL → (months, days, micros), VARCHAR → str.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from duckdb_tpu.types import TypeId
+
+
+def _add_months(days: int, months: int) -> int:
+    d = datetime.date(1970, 1, 1) + datetime.timedelta(days=days)
+    y = d.year + (d.month - 1 + months) // 12
+    m = (d.month - 1 + months) % 12 + 1
+    # clamp to last day of month (duckdb AddOperator date+interval semantics,
+    # /root/reference/src/common/operator/add.cpp)
+    last = [31, 29 if y % 4 == 0 and (y % 100 != 0 or y % 400 == 0) else 28,
+            31, 30, 31, 30, 31, 31, 30, 31, 30, 31][m - 1]
+    nd = datetime.date(y, m, min(d.day, last))
+    return (nd - datetime.date(1970, 1, 1)).days
+
+
+def fold_arithmetic(node) -> object:
+    lt, rt = node.left.ltype, node.right.ltype
+    lv, rv = node.left.const_value(), node.right.const_value()
+    if lv is None or rv is None:
+        return None
+    t = node.ltype
+    # date/timestamp ± interval
+    if TypeId.INTERVAL in (lt.id, rt.id):
+        if lt.id is TypeId.INTERVAL:
+            iv, other, ot = lv, rv, rt
+        else:
+            iv, other, ot = rv, lv, lt
+        months, days, micros = iv
+        sign = 1 if node.op == "+" else -1
+        if ot.id is TypeId.DATE:
+            d = _add_months(other, sign * months) + sign * days
+            if micros:
+                raise ValueError("date ± sub-day interval → timestamp (unsupported fold)")
+            return d
+        if ot.id is TypeId.TIMESTAMP:
+            day_part = _add_months(other // 86400_000_000, sign * months)
+            return (day_part + sign * days) * 86400_000_000 + other % 86400_000_000 + sign * micros
+        raise ValueError(f"cannot fold interval with {ot}")
+    if t.id is TypeId.DECIMAL:
+        sl = node.left.ltype.scale if lt.id is TypeId.DECIMAL else 0
+        sr = node.right.ltype.scale if rt.id is TypeId.DECIMAL else 0
+        if node.op in ("+", "-"):
+            s = t.scale
+            x = lv * 10 ** (s - sl)
+            y = rv * 10 ** (s - sr)
+            return x + y if node.op == "+" else x - y
+        if node.op == "*":
+            return lv * rv
+        raise ValueError("decimal division folds to double")
+    if t.id in (TypeId.DOUBLE, TypeId.FLOAT):
+        x = lv / 10**lt.scale if lt.id is TypeId.DECIMAL else float(lv)
+        y = rv / 10**rt.scale if rt.id is TypeId.DECIMAL else float(rv)
+        return {"+": x + y, "-": x - y, "*": x * y, "/": x / y}[node.op]
+    if node.op == "+":
+        return lv + rv
+    if node.op == "-":
+        return lv - rv
+    if node.op == "*":
+        return lv * rv
+    if node.op == "%":
+        return lv % rv
+    if node.op == "//":
+        return lv // rv
+    raise ValueError(f"cannot fold {node.op}")
+
+
+def fold_cast(node) -> object:
+    v = node.child.const_value()
+    if v is None:
+        return None
+    src, dst = node.child.ltype, node.ltype
+    if src == dst:
+        return v
+    if dst.id is TypeId.DECIMAL:
+        if src.id is TypeId.DECIMAL:
+            return v * 10 ** (dst.scale - src.scale)
+        if src.is_integer or src.id is TypeId.BOOLEAN:
+            return int(v) * 10**dst.scale
+        return round(float(v) * 10**dst.scale)
+    if dst.id is TypeId.DOUBLE:
+        return v / 10**src.scale if src.id is TypeId.DECIMAL else float(v)
+    if dst.is_integer:
+        if src.id is TypeId.DECIMAL:
+            q, r = divmod(abs(v), 10**src.scale)
+            out = q + (1 if 2 * r >= 10**src.scale else 0)
+            return out if v >= 0 else -out
+        return int(v)
+    if dst.id is TypeId.TIMESTAMP and src.id is TypeId.DATE:
+        return v * 86400_000_000
+    if dst.id is TypeId.DATE and src.id is TypeId.TIMESTAMP:
+        return v // 86400_000_000
+    if src.id is TypeId.VARCHAR and dst.id is TypeId.DATE:
+        d = datetime.date.fromisoformat(str(v).strip())
+        return (d - datetime.date(1970, 1, 1)).days
+    if src.id is TypeId.VARCHAR and dst.id is TypeId.TIMESTAMP:
+        dt = datetime.datetime.fromisoformat(str(v).strip())
+        return int((dt - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    raise ValueError(f"cannot fold cast {src} → {dst}")

@@ -1,0 +1,290 @@
+"""Scalar function registry.
+
+Parity model: the reference registers 201 in-tree + 383 core_functions
+entries (/root/reference/src/function/function_list.cpp,
+extension/core_functions/function_list.cpp). This registry grows toward
+that set; each entry is (bind → result type, impl over evaluated Columns).
+
+String functions run on the host dictionary (once per distinct value) and
+become a device LUT remap — O(|dict|) host work instead of O(rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from duckdb_tpu.blocks import Column
+from duckdb_tpu.planner.bound import (
+    BindError,
+    BoundFunction,
+    EvalEnv,
+    _and_validity,
+    _coerce_to,
+    _to_double,
+    civil_from_days,
+)
+from duckdb_tpu.types import (
+    BIGINT,
+    BOOLEAN,
+    DATE,
+    DOUBLE,
+    INTEGER,
+    VARCHAR,
+    LogicalType,
+    TypeId,
+    decimal,
+    max_logical_type,
+)
+
+
+def dict_transform(col: Column, fn) -> Column:
+    """Apply a host string→string fn per distinct value; re-encode codes."""
+    new_vals = np.array([fn(s) for s in col.dict_values], dtype=object)
+    uniq, inv = np.unique(new_vals.astype(str), return_inverse=True)
+    lut = jnp.asarray(inv.astype(np.int32))
+    codes = lut[jnp.clip(col.data, 0, len(col.dict_values) - 1)]
+    return Column(data=codes, ltype=VARCHAR, validity=col.validity,
+                  dict_values=uniq.astype(object))
+
+
+def dict_predicate(col: Column, fn) -> Column:
+    """Host per-distinct-value predicate → device boolean via LUT gather."""
+    lut = np.fromiter((fn(s) for s in col.dict_values), dtype=np.bool_,
+                      count=len(col.dict_values))
+    d = jnp.asarray(lut)[jnp.clip(col.data, 0, len(lut) - 1)]
+    return Column(data=d, ltype=BOOLEAN, validity=col.validity)
+
+
+# -- date part extraction ----------------------------------------------------
+def _extract_impl(part: str):
+    def impl(env: EvalEnv, cols, node):
+        c = cols[0]
+        if c.ltype.id is TypeId.TIMESTAMP:
+            days = c.data // jnp.int64(86400_000_000)
+        else:
+            days = c.data.astype(jnp.int64)
+        y, m, d = civil_from_days(days)
+        if part == "year":
+            out = y
+        elif part == "month":
+            out = m
+        elif part == "day":
+            out = d
+        elif part == "quarter":
+            out = (m - 1) // 3 + 1
+        elif part == "decade":
+            out = jnp.where(y >= 0, y // 10, -((-y + 9) // 10))
+        elif part == "century":
+            out = jnp.where(y > 0, (y + 99) // 100, -((-y + 100) // 100) + 1)
+        elif part in ("dow", "dayofweek"):
+            out = jnp.mod(days + 4, 7)  # 1970-01-01 was Thursday; Sunday=0
+        elif part in ("doy", "dayofyear"):
+            out = d + _days_before_month(y, m)
+        else:
+            raise BindError(f"unsupported extract part {part}")
+        return Column(data=out.astype(jnp.int64), ltype=BIGINT, validity=c.validity)
+
+    return impl
+
+
+def _days_before_month(y, m):
+    cum = jnp.asarray([0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334],
+                      dtype=jnp.int64)
+    leap = ((y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0))).astype(jnp.int64)
+    return cum[m - 1] + jnp.where(m > 2, leap, 0)
+
+
+# -- registry ---------------------------------------------------------------
+# name → bind(arg_types) -> (result_type, impl(env, cols, node) -> Column)
+REGISTRY = {}
+
+
+def register(name):
+    def deco(fn):
+        REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+@register("extract")
+@register("date_part")
+def _bind_extract(arg_exprs):
+    # first arg is the part name literal
+    part = arg_exprs[0].const_value()
+    return BIGINT, _extract_impl(str(part).lower()), arg_exprs[1:]
+
+
+for _p in ("year", "month", "day", "quarter", "decade", "century", "dayofweek",
+           "dayofyear"):
+    def _mk(p):
+        def b(arg_exprs):
+            return BIGINT, _extract_impl(p), arg_exprs
+        return b
+    REGISTRY[_p] = _mk(_p)
+
+
+@register("substring")
+@register("substr")
+def _bind_substring(arg_exprs):
+    start = arg_exprs[1].const_value()
+    length = arg_exprs[2].const_value() if len(arg_exprs) > 2 else None
+
+    def impl(env, cols, node):
+        c = cols[0]
+        s0 = int(start) - 1
+        if length is None:
+            return dict_transform(c, lambda s: s[s0:])
+        return dict_transform(c, lambda s: s[s0:s0 + int(length)])
+
+    return VARCHAR, impl, arg_exprs[:1]
+
+
+@register("upper")
+@register("ucase")
+def _bind_upper(arg_exprs):
+    return VARCHAR, (lambda env, cols, node: dict_transform(cols[0], str.upper)), arg_exprs
+
+
+@register("lower")
+@register("lcase")
+def _bind_lower(arg_exprs):
+    return VARCHAR, (lambda env, cols, node: dict_transform(cols[0], str.lower)), arg_exprs
+
+
+@register("trim")
+def _bind_trim(arg_exprs):
+    return VARCHAR, (lambda env, cols, node: dict_transform(cols[0], str.strip)), arg_exprs
+
+
+@register("ltrim")
+def _bind_ltrim(arg_exprs):
+    return VARCHAR, (lambda env, cols, node: dict_transform(cols[0], str.lstrip)), arg_exprs
+
+
+@register("rtrim")
+def _bind_rtrim(arg_exprs):
+    return VARCHAR, (lambda env, cols, node: dict_transform(cols[0], str.rstrip)), arg_exprs
+
+
+@register("length")
+@register("len")
+@register("strlen")
+def _bind_length(arg_exprs):
+    def impl(env, cols, node):
+        c = cols[0]
+        lut = np.fromiter((len(s) for s in c.dict_values), dtype=np.int64,
+                          count=len(c.dict_values))
+        d = jnp.asarray(lut)[jnp.clip(c.data, 0, len(lut) - 1)]
+        return Column(data=d, ltype=BIGINT, validity=c.validity)
+
+    return BIGINT, impl, arg_exprs
+
+
+@register("contains")
+def _bind_contains(arg_exprs):
+    needle = arg_exprs[1].const_value()
+
+    def impl(env, cols, node):
+        return dict_predicate(cols[0], lambda s: needle in s)
+
+    return BOOLEAN, impl, arg_exprs[:1]
+
+
+@register("starts_with")
+@register("prefix")
+def _bind_starts_with(arg_exprs):
+    pre = arg_exprs[1].const_value()
+
+    def impl(env, cols, node):
+        return dict_predicate(cols[0], lambda s: s.startswith(pre))
+
+    return BOOLEAN, impl, arg_exprs[:1]
+
+
+@register("abs")
+def _bind_abs(arg_exprs):
+    t = arg_exprs[0].ltype
+
+    def impl(env, cols, node):
+        c = cols[0]
+        return Column(data=jnp.abs(c.data), ltype=t, validity=c.validity)
+
+    return t, impl, arg_exprs
+
+
+@register("round")
+def _bind_round(arg_exprs):
+    t = arg_exprs[0].ltype
+    nd = int(arg_exprs[1].const_value()) if len(arg_exprs) > 1 else 0
+    if t.id is TypeId.DECIMAL:
+        rt = decimal(t.width, min(t.scale, nd))
+
+        def impl(env, cols, node):
+            c = cols[0]
+            drop = 10 ** (t.scale - rt.scale)
+            if drop == 1:
+                return c
+            x = c.data.astype(jnp.int64)
+            half = drop // 2
+            d = jnp.where(x >= 0, (x + half) // drop, -((-x + half) // drop))
+            return Column(data=d, ltype=rt, validity=c.validity)
+
+        return rt, impl, arg_exprs[:1]
+
+    def impl(env, cols, node):
+        c = cols[0]
+        scale = 10.0**nd
+        d = jnp.round(_to_double(c) * scale) / scale
+        return Column(data=d, ltype=DOUBLE, validity=c.validity)
+
+    return DOUBLE, impl, arg_exprs[:1]
+
+
+@register("floor")
+def _bind_floor(arg_exprs):
+    def impl(env, cols, node):
+        return Column(data=jnp.floor(_to_double(cols[0])), ltype=DOUBLE,
+                      validity=cols[0].validity)
+    return DOUBLE, impl, arg_exprs
+
+
+@register("ceil")
+@register("ceiling")
+def _bind_ceil(arg_exprs):
+    def impl(env, cols, node):
+        return Column(data=jnp.ceil(_to_double(cols[0])), ltype=DOUBLE,
+                      validity=cols[0].validity)
+    return DOUBLE, impl, arg_exprs
+
+
+@register("sqrt")
+def _bind_sqrt(arg_exprs):
+    def impl(env, cols, node):
+        return Column(data=jnp.sqrt(_to_double(cols[0])), ltype=DOUBLE,
+                      validity=cols[0].validity)
+    return DOUBLE, impl, arg_exprs
+
+
+@register("coalesce")
+def _bind_coalesce(arg_exprs):
+    t = arg_exprs[0].ltype
+    for a in arg_exprs[1:]:
+        if a.ltype.id is not TypeId.SQLNULL:
+            t = max_logical_type(t, a.ltype)
+
+    def impl(env, cols, node):
+        acc = _coerce_to(cols[-1], t, env)
+        data = jnp.broadcast_to(acc.data, (env.plen,))
+        valid = (jnp.broadcast_to(acc.validity, (env.plen,))
+                 if acc.validity is not None else jnp.ones((env.plen,), jnp.bool_))
+        for c in reversed(cols[:-1]):
+            cc = _coerce_to(c, t, env)
+            cv = (jnp.broadcast_to(cc.validity, (env.plen,))
+                  if cc.validity is not None else jnp.ones((env.plen,), jnp.bool_))
+            data = jnp.where(cv, jnp.broadcast_to(cc.data, (env.plen,)), data)
+            valid = jnp.logical_or(cv, valid)
+        return Column(data=data, ltype=t, validity=valid)
+
+    return t, impl, arg_exprs

@@ -1,0 +1,85 @@
+"""Plan operator tree.
+
+The reference lowers LogicalOperator → PhysicalOperator
+(/root/reference/src/execution/physical_plan_generator.cpp). Here one tree
+serves both roles: each node is executed as whole-block XLA programs by
+duckdb_tpu/execution/executor.py; there is no pull/push interpreter to
+lower into — the "physical" representation is the traced jnp graph itself.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from duckdb_tpu.planner.bound import BoundAggregate, BoundExpr
+from duckdb_tpu.types import LogicalType
+
+
+class PlanNode:
+    pass
+
+
+@dataclass
+class Scan(PlanNode):
+    table: str
+    alias: str
+    # colname → key mapping (keys are f"{alias}.{col}")
+    cols: List[Tuple[str, str, LogicalType]]  # (colname, key, type)
+
+
+@dataclass
+class Filter(PlanNode):
+    child: PlanNode
+    expr: BoundExpr
+
+
+@dataclass
+class Project(PlanNode):
+    child: PlanNode
+    items: List[Tuple[str, BoundExpr]]  # (output key, expr)
+
+
+@dataclass
+class Aggregate(PlanNode):
+    child: PlanNode
+    groups: List[Tuple[str, BoundExpr]]  # (output key, expr)
+    aggs: List[BoundAggregate]
+
+
+@dataclass
+class Join(PlanNode):
+    probe: PlanNode  # "left" side of SQL semantics after planner normalization
+    build: PlanNode
+    jtype: str  # inner / left / semi / anti / single
+    probe_keys: List[BoundExpr]
+    build_keys: List[BoundExpr]
+    # residual ON predicate over combined (probe ∪ build) columns
+    extra: Optional[BoundExpr] = None
+
+
+@dataclass
+class CrossJoin(PlanNode):
+    probe: PlanNode
+    build: PlanNode
+
+
+@dataclass
+class Order(PlanNode):
+    child: PlanNode
+    items: List[Tuple[BoundExpr, bool, Optional[bool]]]  # (expr, desc, nulls_first)
+
+
+@dataclass
+class Limit(PlanNode):
+    child: PlanNode
+    n: Optional[int]
+    offset: int = 0
+
+
+@dataclass
+class SetOp(PlanNode):
+    op: str  # union_all (union/except/intersect lower to agg/semi/anti joins)
+    left: PlanNode
+    right: PlanNode
+    keys: List[Tuple[str, LogicalType]] = field(default_factory=list)

@@ -1,0 +1,850 @@
+"""Statement planner: parsed AST → plan tree.
+
+Covers the reference's Binder + subquery flattening + (a first slice of)
+the optimizer (/root/reference/src/planner/binder.cpp,
+src/planner/subquery/, src/optimizer/):
+
+- FROM trees flatten into an atom pool; WHERE conjuncts classify into
+  per-atom pushed filters, equi-join edges, and deferred predicates
+  (filter pushdown for free).
+- Join order: greedy — largest atom is the probe spine, smallest
+  connected atom joins next as build side (the spirit of the reference's
+  join-order optimizer's greedy fallback, src/optimizer/join_order/).
+- Subqueries are flattened relationally, like duckdb's FlattenDependentJoins:
+  EXISTS/IN → semi/anti joins; correlated scalar aggregates → grouped
+  aggregate atom + equi-join on the correlation keys; uncorrelated scalar
+  subqueries → lazily-executed scalar constants.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Set, Tuple
+
+import jax.numpy as jnp
+
+from duckdb_tpu.sql import nodes as N
+from duckdb_tpu.planner import bound as B
+from duckdb_tpu.planner import plan as P
+from duckdb_tpu.planner.binder import (
+    AGGREGATE_NAMES,
+    BindError,
+    ExprBinder,
+    Scope,
+    resolve_type_name,
+)
+from duckdb_tpu.types import (
+    BIGINT,
+    BOOLEAN,
+    DOUBLE,
+    LogicalType,
+    SQLNULL,
+    TypeId,
+    decimal,
+    max_logical_type,
+)
+
+
+def split_conjuncts(e: Optional[N.Expr]) -> List[N.Expr]:
+    if e is None:
+        return []
+    if isinstance(e, N.Conjunction) and e.op == "and":
+        out = []
+        for c in e.children:
+            out.extend(split_conjuncts(c))
+        return out
+    return [e]
+
+
+@dataclass
+class BoundScalarSubquery(B.BoundExpr):
+    """Uncorrelated scalar subquery: executed once, on first eval."""
+
+    planner: "Planner"
+    plan: P.PlanNode
+    out_key: str
+    ltype: LogicalType
+
+    def eval(self, env):
+        v = self.const_value()
+        return B.BoundLiteral(v, self.ltype).eval(env)
+
+    def is_const(self):
+        return True
+
+    def const_value(self):
+        if not hasattr(self, "_value"):
+            from duckdb_tpu.execution.executor import Executor
+
+            ex = Executor(self.planner.catalog)
+            res = ex.run(self.plan, [("v", self.out_key, self.ltype)])
+            if res.nrows == 0:
+                self._value = None
+            else:
+                vals, valid, dvals = res.columns[0]
+                if valid is not None and not valid[0]:
+                    self._value = None
+                elif self.ltype.id is TypeId.VARCHAR:
+                    self._value = str(dvals[vals[0]])
+                elif self.ltype.is_float:
+                    self._value = float(vals[0])
+                else:
+                    self._value = int(vals[0])
+        return self._value
+
+
+@dataclass
+class Atom:
+    id: int
+    plan: P.PlanNode
+    rows: int  # cardinality estimate (table rows; post-filter unknown)
+    keys: Set[str]  # binding keys this atom provides
+
+
+@dataclass
+class SemiSpec:
+    jtype: str  # semi | anti
+    build_plan: P.PlanNode
+    probe_keys: List[B.BoundExpr]  # over outer columns
+    build_keys: List[B.BoundExpr]  # over subquery columns
+    extra: Optional[B.BoundExpr]  # residual over combined columns
+
+
+class Planner:
+    def __init__(self, catalog):
+        self.catalog = catalog
+        self._key_counter = itertools.count()
+        self.key_owner: Dict[str, int] = {}  # binding key → atom id
+
+    def fresh(self, name: str) -> str:
+        return f"{name}#{next(self._key_counter)}"
+
+    # -- entry ---------------------------------------------------------------
+    def plan_select(self, stmt: N.SelectStatement, outer_scope=None,
+                    cte_scope: Optional[dict] = None):
+        """→ (plan, output [(name, key, ltype)])."""
+        ctes = dict(cte_scope or {})
+        for cte in stmt.ctes:
+            ctes[cte.name.lower()] = cte
+        plan, output, scope = self.plan_query_node(
+            stmt.node, outer_scope, ctes
+        )
+        if stmt.order_by:
+            plan = self._plan_order(plan, stmt.order_by, output, scope)
+        if stmt.limit is not None or stmt.offset is not None:
+            n = off = None
+            if stmt.limit is not None:
+                n = int(ExprBinder(Scope()).bind(stmt.limit).const_value())
+            off = (int(ExprBinder(Scope()).bind(stmt.offset).const_value())
+                   if stmt.offset is not None else 0)
+            plan = P.Limit(plan, n, off)
+        return plan, output
+
+    def plan_query_node(self, node, outer_scope, ctes):
+        if isinstance(node, N.SelectNode):
+            return self.plan_select_node(node, outer_scope, ctes)
+        if isinstance(node, N.SetOpNode):
+            return self.plan_setop(node, outer_scope, ctes)
+        raise BindError(f"unsupported query node {type(node).__name__}")
+
+    def plan_setop(self, node: N.SetOpNode, outer_scope, ctes):
+        lplan, lout, lscope = self.plan_query_node(node.left, outer_scope, ctes)
+        rplan, rout, rscope = self.plan_query_node(node.right, outer_scope, ctes)
+        if len(lout) != len(rout):
+            raise BindError("set operation children must have same column count")
+        if node.op == "union":
+            # project right onto left's keys, concat, optional dedup
+            items = []
+            for (ln, lk, lt), (rn, rk, rt) in zip(lout, rout):
+                e: B.BoundExpr = B.BoundColumnRef(rk, rt)
+                if rt != lt:
+                    e = B.BoundCast(e, max_logical_type(lt, rt))
+                items.append((lk, e))
+            rplan = P.Project(rplan, items)
+            setop_keys = [(k, t) for _, k, t in lout]
+            plan: P.PlanNode = P.SetOp("union_all", lplan, rplan, setop_keys)
+            if not node.all:
+                plan = P.Aggregate(plan, [(k, B.BoundColumnRef(k, t))
+                                          for _, k, t in lout], [])
+        else:
+            # EXCEPT/INTERSECT → dedup left, semi/anti join against right
+            jt = "semi" if node.op == "intersect" else "anti"
+            lkeys = [B.BoundColumnRef(k, t) for _, k, t in lout]
+            rkeys = [B.BoundColumnRef(k, t) for _, k, t in rout]
+            dedup = P.Aggregate(lplan, [(k, B.BoundColumnRef(k, t))
+                                        for _, k, t in lout], [])
+            plan = P.Join(dedup, rplan, jt, lkeys, rkeys, None)
+        return plan, lout, lscope
+
+    # -- FROM planning -------------------------------------------------------
+    def _plan_base_table(self, ref: N.BaseTableRef, ctes):
+        name = ref.name.lower()
+        alias = (ref.alias or ref.name).lower()
+        if name in ctes:
+            cte = ctes[name]
+            sub_ctes = {k: v for k, v in ctes.items() if k != name}
+            plan, output = self.plan_select(cte.query, None, sub_ctes)
+            cols = list(cte.column_aliases) if cte.column_aliases else None
+            return self._subquery_atom(plan, output, alias, cols)
+        if self.catalog.has_table(name):
+            entry = self.catalog.get_table(name)
+            cols = []
+            scope_adds = []
+            for cd in entry.columns:
+                key = self.fresh(f"{alias}.{cd.name}")
+                cols.append((cd.name, key, cd.ltype))
+                scope_adds.append((alias, cd.name, key, cd.ltype))
+            plan = P.Scan(name, alias, cols)
+            return plan, scope_adds, entry.nrows
+        if name in self.catalog.views:
+            plan, output = self.plan_select(self.catalog.views[name], None, ctes)
+            return self._subquery_atom(plan, output, alias, None)
+        raise BindError(f"Table with name {ref.name} does not exist!")
+
+    def _subquery_atom(self, plan, output, alias, col_aliases):
+        scope_adds = []
+        for i, (n, key, t) in enumerate(output):
+            cn = col_aliases[i] if col_aliases and i < len(col_aliases) else n
+            scope_adds.append((alias, cn, key, t))
+        nrows = 10_000  # unknown; middle-of-road estimate
+        return plan, scope_adds, nrows
+
+    def collect_atoms(self, ref: N.TableRef, ctes, scope: Scope,
+                      atoms: List[Atom], pred_asts: List[N.Expr]):
+        """Flatten a FROM tree into atoms + predicate ASTs (inner joins only).
+
+        Outer joins are planned as nested subtrees once both sides collect.
+        """
+        if isinstance(ref, N.BaseTableRef):
+            plan, scope_adds, nrows = self._plan_base_table(ref, ctes)
+            self._add_atom(plan, scope_adds, nrows, scope, atoms)
+            return
+        if isinstance(ref, N.SubqueryRef):
+            alias = (ref.alias or f"subq{len(atoms)}").lower()
+            plan, output = self.plan_select(ref.subquery, None, ctes)
+            plan2, scope_adds, nrows = self._subquery_atom(
+                plan, output, alias, list(ref.column_aliases) or None
+            )
+            self._add_atom(plan2, scope_adds, nrows, scope, atoms)
+            return
+        if isinstance(ref, N.JoinRef):
+            jt = ref.join_type
+            if jt in ("inner", "cross"):
+                self.collect_atoms(ref.left, ctes, scope, atoms, pred_asts)
+                self.collect_atoms(ref.right, ctes, scope, atoms, pred_asts)
+                if ref.condition is not None:
+                    pred_asts.extend(split_conjuncts(ref.condition))
+                if ref.using:
+                    for col in ref.using:
+                        raise BindError("USING join not yet supported")
+                return
+            if jt in ("left", "right", "semi", "anti", "full"):
+                # plan both sides as independent pools, then a join node
+                left_atoms: List[Atom] = []
+                right_atoms: List[Atom] = []
+                lpreds: List[N.Expr] = []
+                rpreds: List[N.Expr] = []
+                self.collect_atoms(ref.left, ctes, scope, left_atoms, lpreds)
+                self.collect_atoms(ref.right, ctes, scope, right_atoms, rpreds)
+                binder = self._pred_binder(scope)
+                cond = [binder.bind(c) for c in split_conjuncts(ref.condition)]
+                cond += [binder.bind(c) for c in lpreds + rpreds]
+                lkeyset = set().union(*[a.keys for a in left_atoms])
+                rkeyset = set().union(*[a.keys for a in right_atoms])
+                lplan = self.plan_pool(
+                    left_atoms,
+                    [c for c in cond if self._keys_of(c) <= lkeyset],
+                )
+                rplan = self.plan_pool(
+                    right_atoms,
+                    [c for c in cond if self._keys_of(c) <= rkeyset
+                     and not (self._keys_of(c) <= lkeyset)],
+                )
+                across = [c for c in cond
+                          if not (self._keys_of(c) <= lkeyset)
+                          and not (self._keys_of(c) <= rkeyset)]
+                pk, bk, extra = self._split_join_conds(across, lkeyset, rkeyset)
+                if jt == "right":
+                    jt2, probe, build = "left", rplan, lplan
+                    pk, bk = bk, pk
+                else:
+                    jt2, probe, build = jt, lplan, rplan
+                plan = P.Join(probe, build, jt2, pk, bk, extra)
+                keys = lkeyset | (rkeyset if jt2 != "semi" and jt2 != "anti" else set())
+                aid = len(atoms) + 10_000
+                atom = Atom(aid, plan, 100_000, lkeyset | rkeyset)
+                for k in atom.keys:
+                    self.key_owner[k] = atom.id
+                atoms.append(atom)
+                return
+            raise BindError(f"join type {jt} not supported")
+        if isinstance(ref, N.TableFunctionRef):
+            raise BindError(f"table function {ref.name} not supported yet")
+        raise BindError(f"FROM element {type(ref).__name__} not supported")
+
+    def _add_atom(self, plan, scope_adds, nrows, scope: Scope, atoms: List[Atom]):
+        aid = len(atoms)
+        keys = set()
+        for alias, col, key, t in scope_adds:
+            scope.add(alias, col, key, t)
+            keys.add(key)
+            self.key_owner[key] = aid
+        atoms.append(Atom(aid, plan, nrows, keys))
+
+    def _keys_of(self, e: B.BoundExpr) -> Set[str]:
+        return {n.key for n in B.walk(e) if isinstance(n, B.BoundColumnRef)}
+
+    def _atoms_of(self, e: B.BoundExpr, key2atom) -> Set[int]:
+        return {key2atom[k] for k in self._keys_of(e) if k in key2atom}
+
+    def _split_join_conds(self, conds, lkeys, rkeys):
+        """Partition cross-side conditions into equi keys + residual."""
+        pk, bk, residual = [], [], []
+        for c in conds:
+            if (isinstance(c, B.BoundComparison) and c.op in ("=", "==")):
+                ks_l, ks_r = self._keys_of(c.left), self._keys_of(c.right)
+                if ks_l <= lkeys and ks_r <= rkeys:
+                    pk.append(c.left)
+                    bk.append(c.right)
+                    continue
+                if ks_l <= rkeys and ks_r <= lkeys:
+                    pk.append(c.right)
+                    bk.append(c.left)
+                    continue
+            residual.append(c)
+        extra = B.BoundConjunction("and", residual) if residual else None
+        if not pk and extra is not None:
+            raise BindError("non-equi outer join without equi keys unsupported")
+        return pk, bk, extra
+
+    # -- predicate binding with subquery flattening ---------------------------
+    def _pred_binder(self, scope: Scope) -> ExprBinder:
+        return ExprBinder(scope, subquery_binder=self._bind_subquery_expr)
+
+    def _bind_subquery_expr(self, e, binder: ExprBinder):
+        """Scalar/IN/EXISTS subquery inside an arbitrary expression.
+
+        Uncorrelated scalar subqueries become lazy constants. Correlated
+        forms are handled at conjunct level by the flattener; reaching here
+        means unsupported placement.
+        """
+        if isinstance(e, N.ScalarSubquery):
+            plan, output = self.plan_select(e.subquery, None, self._ctes_now)
+            name, key, t = output[0]
+            return BoundScalarSubquery(self, plan, key, t)
+        raise BindError(
+            f"{type(e).__name__} subquery only supported as a top-level WHERE conjunct"
+        )
+
+    # -- pool join ordering ---------------------------------------------------
+    def plan_pool(self, atoms: List[Atom], preds: List[B.BoundExpr]) -> P.PlanNode:
+        """Join all atoms; apply predicates as soon as their support is joined."""
+        if not atoms:
+            raise BindError("empty FROM")
+        key2atom = {}
+        for a in atoms:
+            for k in a.keys:
+                key2atom[k] = a.id
+        by_id = {a.id: a for a in atoms}
+
+        # push single-atom predicates
+        multi = []
+        for p in preds:
+            sup = self._atoms_of(p, key2atom)
+            if len(sup) <= 1:
+                aid = next(iter(sup)) if sup else atoms[0].id
+                by_id[aid].plan = P.Filter(by_id[aid].plan, p)
+            else:
+                multi.append(p)
+
+        remaining = dict(by_id)
+        # start from the largest atom (fact-table probe spine)
+        cur = max(remaining.values(), key=lambda a: a.rows)
+        del remaining[cur.id]
+        joined_keys = set(cur.keys)
+        joined_ids = {cur.id}
+        plan = cur.plan
+        pending = list(multi)
+
+        def try_apply_pending(plan):
+            nonlocal pending
+            rest = []
+            for p in pending:
+                if self._keys_of(p) <= joined_keys:
+                    plan = P.Filter(plan, p)
+                else:
+                    rest.append(p)
+            pending = rest
+            return plan
+
+        while remaining:
+            # candidate atoms connected by at least one equi edge
+            best = None
+            for a in remaining.values():
+                edges = self._edges_between(pending, joined_keys, a.keys)
+                if edges:
+                    if best is None or a.rows < best[0].rows:
+                        best = (a, edges)
+            if best is None:
+                # no connection: cross join the smallest
+                a = min(remaining.values(), key=lambda x: x.rows)
+                del remaining[a.id]
+                plan = P.CrossJoin(plan, a.plan)
+                joined_keys |= a.keys
+                joined_ids.add(a.id)
+                plan = try_apply_pending(plan)
+                continue
+            a, edges = best
+            del remaining[a.id]
+            pk, bk, used = [], [], []
+            for p, probe_side, build_side in edges:
+                pk.append(probe_side)
+                bk.append(build_side)
+                used.append(p)
+            pending = [p for p in pending if not any(p is u for u in used)]
+            plan = P.Join(plan, a.plan, "inner", pk, bk, None)
+            joined_keys |= a.keys
+            joined_ids.add(a.id)
+            plan = try_apply_pending(plan)
+        if pending:
+            for p in pending:
+                plan = P.Filter(plan, p)
+        return plan
+
+    def _edges_between(self, preds, joined_keys: Set[str], atom_keys: Set[str]):
+        out = []
+        for p in preds:
+            if not isinstance(p, B.BoundComparison) or p.op not in ("=", "=="):
+                continue
+            kl, kr = self._keys_of(p.left), self._keys_of(p.right)
+            if kl and kr:
+                if kl <= joined_keys and kr <= atom_keys:
+                    out.append((p, p.left, p.right))
+                elif kr <= joined_keys and kl <= atom_keys:
+                    out.append((p, p.right, p.left))
+        return out
+
+    # -- SELECT node ----------------------------------------------------------
+    def plan_select_node(self, sel: N.SelectNode, outer_scope, ctes):
+        self._ctes_now = ctes
+        scope = Scope(parent=outer_scope)
+        atoms: List[Atom] = []
+        pred_asts: List[N.Expr] = []
+        if sel.from_table is not None:
+            self.collect_atoms(sel.from_table, ctes, scope, atoms, pred_asts)
+        pred_asts = pred_asts + split_conjuncts(sel.where)
+
+        binder = self._pred_binder(scope)
+        bound_preds: List[B.BoundExpr] = []
+        semis: List[SemiSpec] = []
+        local_keys = set().union(*[a.keys for a in atoms]) if atoms else set()
+
+        for ast in pred_asts:
+            handled = self._flatten_conjunct(ast, scope, ctes, local_keys,
+                                             bound_preds, semis, atoms)
+            if not handled:
+                bound_preds.append(binder.bind(ast))
+
+        if atoms:
+            plan = self.plan_pool(atoms, bound_preds)
+        else:
+            plan = _ConstantRow()
+        for s in semis:
+            plan = P.Join(plan, s.build_plan, s.jtype, s.probe_keys,
+                          s.build_keys, s.extra)
+
+        # -- aggregation ------------------------------------------------------
+        has_agg = bool(sel.group_by) or sel.group_by_all
+        for e, _ in sel.select_list:
+            if _contains_aggregate(e):
+                has_agg = True
+        if sel.having is not None:
+            has_agg = True
+
+        select_aliases = {}
+        for e, alias in sel.select_list:
+            if alias:
+                select_aliases[alias.lower()] = e
+
+        if has_agg:
+            plan, post_binder, scope2 = self._plan_aggregate(
+                plan, sel, scope, select_aliases, binder
+            )
+        else:
+            post_binder = binder
+            scope2 = scope
+
+        # -- projection -------------------------------------------------------
+        items = []
+        output = []
+        select_exprs = self._expand_stars(sel.select_list, scope)
+        for e, alias in select_exprs:
+            be = post_binder.bind(e)
+            key = self.fresh("out")
+            name = alias or _default_name(e)
+            items.append((key, be))
+            output.append((name, key, be.ltype))
+        if sel.having is not None and has_agg:
+            hb = post_binder.bind(sel.having)
+            plan = P.Filter(plan, hb)
+        plan = P.Project(plan, items)
+
+        if sel.distinct:
+            plan = P.Aggregate(
+                plan,
+                [(k, B.BoundColumnRef(k, t)) for _, k, t in output],
+                [],
+            )
+        out_scope = Scope()
+        for nme, key, t in output:
+            out_scope.add("", nme, key, t)
+        self._last_select_aliases = select_aliases
+        return plan, output, (out_scope, scope2, post_binder)
+
+    def _expand_stars(self, select_list, scope: Scope):
+        out = []
+        for e, alias in select_list:
+            if isinstance(e, N.Star):
+                cols = (scope.columns_of(e.table) if e.table
+                        else scope.all_columns())
+                for a, c, b in cols:
+                    if c.lower() in (x.lower() for x in e.exclude):
+                        continue
+                    out.append((N.ColumnRef((a, c)), c))
+            else:
+                out.append((e, alias))
+        return out
+
+    # -- aggregate planning ---------------------------------------------------
+    def _plan_aggregate(self, plan, sel: N.SelectNode, scope, select_aliases,
+                        binder):
+        group_asts = []
+        for g in sel.group_by:
+            g = self._resolve_group_ast(g, sel, select_aliases)
+            group_asts.append(g)
+        if sel.group_by_all:
+            for e, alias in sel.select_list:
+                if not _contains_aggregate(e):
+                    group_asts.append(e)
+
+        groups: List[Tuple[str, B.BoundExpr]] = []
+        group_lookup: List[Tuple[N.Expr, str, LogicalType]] = []
+        for g in group_asts:
+            bg = binder.bind(g)
+            key = self.fresh("grp")
+            groups.append((key, bg))
+            group_lookup.append((g, key, bg.ltype))
+
+        aggs: List[B.BoundAggregate] = []
+
+        def collector(fc: N.FunctionCall, b):
+            return self._bind_aggregate_call(fc, binder, aggs)
+
+        post = _PostAggBinder(scope, group_lookup, collector,
+                              self._bind_subquery_expr, binder)
+        agg_node = P.Aggregate(plan, groups, aggs)
+        return agg_node, post, scope
+
+    def _resolve_group_ast(self, g, sel, select_aliases):
+        if isinstance(g, N.Literal) and isinstance(g.value, int):
+            idx = g.value - 1
+            return sel.select_list[idx][0]
+        if isinstance(g, N.ColumnRef) and len(g.parts) == 1:
+            a = g.parts[0].lower()
+            if a in select_aliases:
+                return select_aliases[a]
+        return g
+
+    def _bind_aggregate_call(self, fc: N.FunctionCall, binder,
+                             aggs: List[B.BoundAggregate]):
+        name = fc.name.lower()
+        if name == "count" and fc.is_star:
+            func = "count_star"
+            args = []
+        else:
+            func = {"mean": "avg"}.get(name, name)
+            args = [binder.bind(a) for a in fc.args]
+        t = _agg_result_type(func, args)
+        # dedup structurally identical aggregates
+        for a in aggs:
+            if (a.func == func and a.distinct == fc.distinct
+                    and len(a.args) == len(args)
+                    and all(_bound_eq(x, y) for x, y in zip(a.args, args))):
+                return B.BoundAggregateRef(a.key, a.ltype)
+        key = self.fresh(f"agg.{func}")
+        agg = B.BoundAggregate(func, args, fc.distinct, t, key)
+        aggs.append(agg)
+        return B.BoundAggregateRef(key, t)
+
+    # -- subquery flattening --------------------------------------------------
+    def _flatten_conjunct(self, ast, scope, ctes, local_keys, bound_preds,
+                          semis, atoms) -> bool:
+        """Handle EXISTS / IN-subquery / correlated scalar-agg conjuncts."""
+        neg = False
+        inner = ast
+        if isinstance(inner, N.NotExpr):
+            neg = True
+            inner = inner.child
+        if isinstance(inner, N.Exists):
+            negated = neg != inner.negated
+            self._plan_semijoin_exists(inner.subquery, None, negated, scope,
+                                       ctes, local_keys, semis)
+            return True
+        if isinstance(inner, N.InSubquery):
+            negated = neg != inner.negated
+            self._plan_semijoin_exists(inner.subquery, inner.expr, negated,
+                                       scope, ctes, local_keys, semis)
+            return True
+        if isinstance(inner, N.BinaryOp) and inner.op in B._CMP_OPS and not neg:
+            for e_side, other, flip in ((inner.right, inner.left, False),
+                                        (inner.left, inner.right, True)):
+                if isinstance(e_side, N.ScalarSubquery):
+                    if self._try_correlated_scalar(
+                        inner.op, other, e_side.subquery, flip, scope, ctes,
+                        local_keys, bound_preds, atoms
+                    ):
+                        return True
+                    return False  # uncorrelated → normal binding path
+        return False
+
+    def _plan_sub_pool(self, sub: N.SelectStatement, scope, ctes, local_keys):
+        """Plan a subquery's FROM/WHERE with correlation extraction.
+
+        Returns (pool_atoms, local_bound, corr_eqs [(outer_e, inner_e)],
+        corr_extra residual, sub_scope, sel_node).
+        """
+        if sub.ctes or sub.order_by or sub.limit:
+            raise BindError("complex subquery (ctes/order/limit) unsupported")
+        sel = sub.node
+        if not isinstance(sel, N.SelectNode):
+            raise BindError("set-op subquery unsupported")
+        sub_scope = Scope(parent=scope)
+        sub_atoms: List[Atom] = []
+        pred_asts: List[N.Expr] = []
+        self.collect_atoms(sel.from_table, ctes, sub_scope, sub_atoms, pred_asts)
+        pred_asts = pred_asts + split_conjuncts(sel.where)
+        sub_keys = set().union(*[a.keys for a in sub_atoms])
+        binder = self._pred_binder(sub_scope)
+        local_bound, corr_eqs, corr_extra = [], [], []
+        for ast in pred_asts:
+            bp = binder.bind(ast)
+            ks = self._keys_of(bp)
+            if ks <= sub_keys:
+                local_bound.append(bp)
+                continue
+            # correlated: equality with one side fully-outer?
+            if isinstance(bp, B.BoundComparison) and bp.op in ("=", "=="):
+                kl, kr = self._keys_of(bp.left), self._keys_of(bp.right)
+                if kl <= sub_keys and kr <= local_keys:
+                    corr_eqs.append((bp.right, bp.left))
+                    continue
+                if kr <= sub_keys and kl <= local_keys:
+                    corr_eqs.append((bp.left, bp.right))
+                    continue
+            corr_extra.append(bp)
+        return sub_atoms, local_bound, corr_eqs, corr_extra, sub_scope, sel
+
+    def _plan_semijoin_exists(self, sub, in_expr, negated, scope, ctes,
+                              local_keys, semis):
+        (sub_atoms, local_bound, corr_eqs, corr_extra, sub_scope,
+         sel) = self._plan_sub_pool(sub, scope, ctes, local_keys)
+        build = self.plan_pool(sub_atoms, local_bound)
+        probe_keys = [o for o, i in corr_eqs]
+        build_keys = [i for o, i in corr_eqs]
+        if in_expr is not None:
+            # IN: add expr = select-item equality
+            if len(sel.select_list) != 1:
+                raise BindError("IN subquery must select one column")
+            item_ast = sel.select_list[0][0]
+            inner_b = self._pred_binder(sub_scope).bind(item_ast)
+            outer_b = self._pred_binder(scope).bind(in_expr)
+            probe_keys.append(outer_b)
+            build_keys.append(inner_b)
+        extra = (B.BoundConjunction("and", corr_extra) if corr_extra else None)
+        if not probe_keys:
+            # uncorrelated EXISTS → constant gate; rare. Use cross-style check.
+            raise BindError("uncorrelated EXISTS unsupported (use scalar count)")
+        semis.append(SemiSpec("anti" if negated else "semi", build,
+                              probe_keys, build_keys, extra))
+
+    def _try_correlated_scalar(self, op, other_ast, sub, flip, scope, ctes,
+                               local_keys, bound_preds, atoms) -> bool:
+        """`other op (SELECT agg-expr FROM ... WHERE corr)` → join transform."""
+        try:
+            (sub_atoms, local_bound, corr_eqs, corr_extra, sub_scope,
+             sel) = self._plan_sub_pool(sub, scope, ctes, local_keys)
+        except BindError:
+            return False
+        if not corr_eqs or corr_extra:
+            return False
+        if len(sel.select_list) != 1 or sel.group_by or sel.having:
+            return False
+        item_ast = sel.select_list[0][0]
+        if not _contains_aggregate(item_ast):
+            return False
+        subplan = self.plan_pool(sub_atoms, local_bound)
+        sub_binder = self._pred_binder(sub_scope)
+        # group by the inner correlation expressions
+        groups = []
+        group_lookup = []
+        for outer_e, inner_e in corr_eqs:
+            key = self.fresh("corr")
+            groups.append((key, inner_e))
+            group_lookup.append((None, key, inner_e.ltype))
+        aggs: List[B.BoundAggregate] = []
+
+        def collector(fc, b):
+            return self._bind_aggregate_call(fc, sub_binder, aggs)
+
+        post = ExprBinder(sub_scope, agg_collector=collector,
+                          subquery_binder=self._bind_subquery_expr)
+        item_b = post.bind(item_ast)
+        agg_plan = P.Aggregate(subplan, groups, aggs)
+        out_key = self.fresh("subagg")
+        agg_plan = P.Project(agg_plan, [(out_key, item_b)])
+        # register as atom joined on correlation keys
+        aid = 50_000 + len(atoms)
+        keys = {out_key} | {k for k, _ in groups}
+        atom = Atom(aid, agg_plan, 10_000, keys)
+        for k in keys:
+            self.key_owner[k] = aid
+        atoms.append(atom)
+        for (outer_e, inner_e), (gkey, _) in zip(corr_eqs, groups):
+            bound_preds.append(B.BoundComparison(
+                "=", outer_e, B.BoundColumnRef(gkey, inner_e.ltype)))
+        outer_b = self._pred_binder(scope).bind(other_ast)
+        sub_ref = B.BoundAggregateRef(out_key, item_b.ltype)
+        sub_ref = B.BoundColumnRef(out_key, item_b.ltype)
+        lhs, rhs = (sub_ref, outer_b) if flip else (outer_b, sub_ref)
+        bound_preds.append(B.BoundComparison(op, lhs, rhs))
+        return True
+
+    # -- order ---------------------------------------------------------------
+    def _plan_order(self, plan, order_items, output, scope_info):
+        out_scope, pre_scope, post_binder = scope_info
+        items = []
+        for it in order_items:
+            e = it.expr
+            be = None
+            if isinstance(e, N.Literal) and isinstance(e.value, int):
+                _, key, t = output[e.value - 1]
+                be = B.BoundColumnRef(key, t)
+            elif isinstance(e, N.ColumnRef) and len(e.parts) == 1:
+                b = out_scope.try_resolve(e.parts)
+                if b is not None:
+                    be = B.BoundColumnRef(b.key, b.ltype)
+            if be is None:
+                be = post_binder.bind(e)
+            items.append((be, it.descending, it.nulls_first))
+        return P.Order(plan, items)
+
+
+class _ConstantRow(P.PlanNode):
+    """SELECT without FROM: one live row, no columns."""
+
+
+def _contains_aggregate(e: N.Expr) -> bool:
+    if isinstance(e, N.FunctionCall):
+        if e.name.lower() in AGGREGATE_NAMES or e.is_star:
+            return True
+        return any(_contains_aggregate(a) for a in e.args)
+    for f_name in getattr(e, "__dataclass_fields__", {}):
+        v = getattr(e, f_name)
+        if isinstance(v, N.Expr) and _contains_aggregate(v):
+            return True
+        if isinstance(v, list):
+            for x in v:
+                if isinstance(x, N.Expr) and _contains_aggregate(x):
+                    return True
+                if isinstance(x, tuple):
+                    for y in x:
+                        if isinstance(y, N.Expr) and _contains_aggregate(y):
+                            return True
+    return False
+
+
+def _bound_eq(a: B.BoundExpr, b: B.BoundExpr) -> bool:
+    if type(a) is not type(b):
+        return False
+    if isinstance(a, B.BoundColumnRef):
+        return a.key == b.key
+    if isinstance(a, B.BoundLiteral):
+        return a.value == b.value and a.ltype == b.ltype
+    ca, cb = a.children(), b.children()
+    if len(ca) != len(cb):
+        return False
+    core_a = {k: v for k, v in a.__dict__.items()
+              if not isinstance(v, (B.BoundExpr, list))}
+    core_b = {k: v for k, v in b.__dict__.items()
+              if not isinstance(v, (B.BoundExpr, list))}
+    if core_a != core_b:
+        return False
+    return all(_bound_eq(x, y) for x, y in zip(ca, cb))
+
+
+def _agg_result_type(func: str, args) -> LogicalType:
+    if func in ("count", "count_star", "approx_count_distinct"):
+        return BIGINT
+    t = args[0].ltype if args else SQLNULL
+    if func == "sum":
+        if t.id is TypeId.DECIMAL:
+            return decimal(38, t.scale)
+        if t.is_float:
+            return DOUBLE
+        return BIGINT  # duckdb: HUGEINT; int64 until i64-pair kernels land
+    if func in ("avg", "mean"):
+        return DOUBLE
+    if func in ("min", "max", "first", "last", "any_value"):
+        return t
+    if func in ("stddev", "stddev_samp", "stddev_pop", "var_samp", "var_pop",
+                "variance"):
+        return DOUBLE
+    if func in ("bool_and", "bool_or"):
+        return BOOLEAN
+    raise BindError(f"unknown aggregate {func}")
+
+
+class _PostAggBinder(ExprBinder):
+    """Binds select/having/order expressions after aggregation.
+
+    Subtrees matching a GROUP BY expression become refs to the group output;
+    aggregate calls route to the collector; anything else must resolve
+    through group keys (else it's an ungrouped-column error).
+    """
+
+    def __init__(self, scope, group_lookup, collector, subquery_binder,
+                 pre_binder):
+        super().__init__(scope, agg_collector=collector,
+                         subquery_binder=subquery_binder)
+        self.group_lookup = group_lookup
+        self.pre_binder = pre_binder
+
+    def bind(self, e: N.Expr) -> B.BoundExpr:
+        for ast, key, t in self.group_lookup:
+            if ast is not None and _ast_eq(ast, e, self.scope):
+                return B.BoundColumnRef(key, t)
+        return super().bind(e)
+
+
+def _ast_eq(a: N.Expr, b: N.Expr, scope: Scope) -> bool:
+    if isinstance(a, N.ColumnRef) and isinstance(b, N.ColumnRef):
+        ba = scope.try_resolve(a.parts)
+        bb = scope.try_resolve(b.parts)
+        return ba is not None and bb is not None and ba.key == bb.key
+    return a == b
+
+
+def _default_name(e: N.Expr) -> str:
+    if isinstance(e, N.ColumnRef):
+        return e.parts[-1]
+    if isinstance(e, N.FunctionCall):
+        return e.name.lower()
+    if isinstance(e, N.CastExpr):
+        return _default_name(e.child)
+    return "expr"
+
+
+def plan_select(catalog, stmt: N.SelectStatement):
+    p = Planner(catalog)
+    return p.plan_select(stmt)
