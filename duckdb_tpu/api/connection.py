@@ -30,13 +30,20 @@ class Connection:
         self.database = database
         self.catalog = Catalog()
         self.settings = {}
+        # plan cache: SQL text → (plan, output), invalidated on DDL/DML
+        self._plan_cache = {}
+        self._catalog_version = 0
 
     # -- main entry -----------------------------------------------------------
     def sql(self, query: str) -> Optional[Result]:
         """Execute SQL; returns a Result for queries, None for statements."""
         stmts = Parser(query).parse_statements()
+        if len(stmts) == 1 and isinstance(stmts[0], N.SelectStatement):
+            stmts[0]._sql_text = query
         res = None
         for s in stmts:
+            if not isinstance(s, N.SelectStatement):
+                self._plan_cache.clear()  # DDL/DML invalidates cached plans
             res = self._execute_statement(s)
         return res
 
@@ -45,8 +52,15 @@ class Connection:
 
     def _execute_statement(self, s):
         if isinstance(s, N.SelectStatement):
-            planner = Planner(self.catalog)
-            plan, output = planner.plan_select(s)
+            key = getattr(s, "_sql_text", None)
+            cached = self._plan_cache.get(key) if key else None
+            if cached is not None:
+                plan, output = cached
+            else:
+                planner = Planner(self.catalog)
+                plan, output = planner.plan_select(s)
+                if key:
+                    self._plan_cache[key] = (plan, output)
             return Executor(self.catalog).run(plan, output)
         if isinstance(s, N.CreateTable):
             return self._create_table(s)

@@ -369,7 +369,12 @@ class Executor:
     # -- aggregation ---------------------------------------------------------
     def _exec_Aggregate(self, node: P.Aggregate) -> Batch:
         from duckdb_tpu.execution.aggregate_exec import execute_aggregate
+        from duckdb_tpu.execution.fused_agg import try_fused_aggregate
 
+        if node.groups:
+            fused = try_fused_aggregate(self, node)
+            if fused is not None:
+                return fused
         child = self.execute(node.child)
         return execute_aggregate(self, child, node)
 

@@ -205,6 +205,10 @@ class BoundComparison(BoundExpr):
         rc = self.right.eval(env)
         if lc.ltype.id is TypeId.VARCHAR or rc.ltype.id is TypeId.VARCHAR:
             data = self._eval_varchar(lc, rc)
+        elif (TypeId.DECIMAL in (lc.ltype.id, rc.ltype.id)
+              and not (lc.ltype.is_float or rc.ltype.is_float)
+              and lc.ltype.scale != rc.ltype.scale):
+            data = _decimal_compare(self.op, lc, rc)
         else:
             x, y = _common_numeric(lc, rc)
             data = _cmp(self.op, x, y)
@@ -217,6 +221,40 @@ class BoundComparison(BoundExpr):
         )
         la, lb = _varchar_rank_luts(lc, rc)
         return _cmp(self.op, la[lc.data], lb[rc.data])
+
+
+def _decimal_compare(op: str, lc: Column, rc: Column):
+    """Exact mixed-scale decimal comparison without rescale overflow.
+
+    x·10^d ⋛ y is decided via q = ⌊y/10^d⌋, r = y mod 10^d (both exact in
+    int64): x>q ⇒ gt; x==q ⇒ (r==0 ? eq : lt-for-x). The reference instead
+    widens to int128 (src/common/types/hugeint.cpp); this stays in 64-bit.
+    """
+    sl = lc.ltype.scale if lc.ltype.id is TypeId.DECIMAL else 0
+    sr = rc.ltype.scale if rc.ltype.id is TypeId.DECIMAL else 0
+    x = lc.data.astype(jnp.int64)
+    y = rc.data.astype(jnp.int64)
+    flip = sl > sr
+    if flip:
+        x, y, sl, sr = y, x, sr, sl
+    d = jnp.int64(10 ** (sr - sl))
+    q = jnp.floor_divide(y, d)
+    r = y - q * d  # 0 <= r < d (floor semantics hold for negatives)
+    lt = jnp.logical_or(x < q, jnp.logical_and(x == q, r > 0))
+    eq = jnp.logical_and(x == q, r == 0)
+    if flip:
+        lt = jnp.logical_not(jnp.logical_or(lt, eq))  # y·10^d < x ⇔ not (x<=y)
+    if op in ("=", "=="):
+        return eq
+    if op in ("<>", "!="):
+        return jnp.logical_not(eq)
+    if op == "<":
+        return lt
+    if op == "<=":
+        return jnp.logical_or(lt, eq)
+    if op == ">":
+        return jnp.logical_not(jnp.logical_or(lt, eq))
+    return jnp.logical_not(lt)  # >=
 
 
 def _decimal_align(lc: Column, rc: Column):

@@ -57,6 +57,27 @@ def split_conjuncts(e: Optional[N.Expr]) -> List[N.Expr]:
     return [e]
 
 
+def hoist_or_common(ast: N.Expr) -> List[N.Expr]:
+    """OR(A∧X, A∧Y) → [A, OR(X, Y)] — exposes join edges hidden inside OR
+    branches (Q19 shape; the reference's filter-combiner does the same,
+    src/optimizer/filter_combiner.cpp)."""
+    if not (isinstance(ast, N.Conjunction) and ast.op == "or"):
+        return [ast]
+    branch_lists = [split_conjuncts(b) for b in ast.children]
+    common = [c for c in branch_lists[0]
+              if all(any(c == d for d in bl) for bl in branch_lists[1:])]
+    if not common:
+        return [ast]
+    rest_branches = []
+    for bl in branch_lists:
+        rest = [c for c in bl if not any(c == d for d in common)]
+        if not rest:
+            return common  # one branch is exactly the common set → OR is implied
+        rest_branches.append(rest[0] if len(rest) == 1
+                             else N.Conjunction("and", rest))
+    return common + [N.Conjunction("or", rest_branches)]
+
+
 @dataclass
 class BoundScalarSubquery(B.BoundExpr):
     """Uncorrelated scalar subquery: executed once, on first eval."""
@@ -247,7 +268,7 @@ class Planner:
                 rpreds: List[N.Expr] = []
                 self.collect_atoms(ref.left, ctes, scope, left_atoms, lpreds)
                 self.collect_atoms(ref.right, ctes, scope, right_atoms, rpreds)
-                binder = self._pred_binder(scope)
+                binder = self._pred_binder(scope, ctes)
                 cond = [binder.bind(c) for c in split_conjuncts(ref.condition)]
                 cond += [binder.bind(c) for c in lpreds + rpreds]
                 lkeyset = set().union(*[a.keys for a in left_atoms])
@@ -319,10 +340,15 @@ class Planner:
         return pk, bk, extra
 
     # -- predicate binding with subquery flattening ---------------------------
-    def _pred_binder(self, scope: Scope) -> ExprBinder:
-        return ExprBinder(scope, subquery_binder=self._bind_subquery_expr)
+    def _pred_binder(self, scope: Scope, ctes=None) -> ExprBinder:
+        if ctes is None:
+            ctes = {}
+        return ExprBinder(
+            scope,
+            subquery_binder=lambda e, b: self._bind_subquery_expr(e, b, ctes),
+        )
 
-    def _bind_subquery_expr(self, e, binder: ExprBinder):
+    def _bind_subquery_expr(self, e, binder: ExprBinder, ctes):
         """Scalar/IN/EXISTS subquery inside an arbitrary expression.
 
         Uncorrelated scalar subqueries become lazy constants. Correlated
@@ -330,7 +356,7 @@ class Planner:
         means unsupported placement.
         """
         if isinstance(e, N.ScalarSubquery):
-            plan, output = self.plan_select(e.subquery, None, self._ctes_now)
+            plan, output = self.plan_select(e.subquery, None, ctes)
             name, key, t = output[0]
             return BoundScalarSubquery(self, plan, key, t)
         raise BindError(
@@ -427,15 +453,15 @@ class Planner:
 
     # -- SELECT node ----------------------------------------------------------
     def plan_select_node(self, sel: N.SelectNode, outer_scope, ctes):
-        self._ctes_now = ctes
         scope = Scope(parent=outer_scope)
         atoms: List[Atom] = []
         pred_asts: List[N.Expr] = []
         if sel.from_table is not None:
             self.collect_atoms(sel.from_table, ctes, scope, atoms, pred_asts)
         pred_asts = pred_asts + split_conjuncts(sel.where)
+        pred_asts = [h for p in pred_asts for h in hoist_or_common(p)]
 
-        binder = self._pred_binder(scope)
+        binder = self._pred_binder(scope, ctes)
         bound_preds: List[B.BoundExpr] = []
         semis: List[SemiSpec] = []
         local_keys = set().union(*[a.keys for a in atoms]) if atoms else set()
@@ -469,7 +495,7 @@ class Planner:
 
         if has_agg:
             plan, post_binder, scope2 = self._plan_aggregate(
-                plan, sel, scope, select_aliases, binder
+                plan, sel, scope, select_aliases, binder, ctes
             )
         else:
             post_binder = binder
@@ -518,7 +544,7 @@ class Planner:
 
     # -- aggregate planning ---------------------------------------------------
     def _plan_aggregate(self, plan, sel: N.SelectNode, scope, select_aliases,
-                        binder):
+                        binder, ctes):
         group_asts = []
         for g in sel.group_by:
             g = self._resolve_group_ast(g, sel, select_aliases)
@@ -541,8 +567,9 @@ class Planner:
         def collector(fc: N.FunctionCall, b):
             return self._bind_aggregate_call(fc, binder, aggs)
 
-        post = _PostAggBinder(scope, group_lookup, collector,
-                              self._bind_subquery_expr, binder)
+        post = _PostAggBinder(
+            scope, group_lookup, collector,
+            lambda e, b: self._bind_subquery_expr(e, b, ctes), binder)
         agg_node = P.Aggregate(plan, groups, aggs)
         return agg_node, post, scope
 
@@ -624,10 +651,15 @@ class Planner:
         pred_asts: List[N.Expr] = []
         self.collect_atoms(sel.from_table, ctes, sub_scope, sub_atoms, pred_asts)
         pred_asts = pred_asts + split_conjuncts(sel.where)
+        pred_asts = [h for p in pred_asts for h in hoist_or_common(p)]
         sub_keys = set().union(*[a.keys for a in sub_atoms])
-        binder = self._pred_binder(sub_scope)
+        binder = self._pred_binder(sub_scope, ctes)
         local_bound, corr_eqs, corr_extra = [], [], []
+        sub_semis: List[SemiSpec] = []
         for ast in pred_asts:
+            if self._flatten_conjunct(ast, sub_scope, ctes, sub_keys,
+                                      local_bound, sub_semis, sub_atoms):
+                continue
             bp = binder.bind(ast)
             ks = self._keys_of(bp)
             if ks <= sub_keys:
@@ -643,13 +675,35 @@ class Planner:
                     corr_eqs.append((bp.left, bp.right))
                     continue
             corr_extra.append(bp)
-        return sub_atoms, local_bound, corr_eqs, corr_extra, sub_scope, sel
+        return (sub_atoms, local_bound, corr_eqs, corr_extra, sub_scope, sel,
+                sub_semis)
 
     def _plan_semijoin_exists(self, sub, in_expr, negated, scope, ctes,
                               local_keys, semis):
+        # grouped/complex subquery (Q18's IN ... GROUP BY ... HAVING): plan it
+        # as a full standalone query and semi-join against its output column.
+        sel0 = sub.node
+        complex_sub = (
+            not isinstance(sel0, N.SelectNode)
+            or sel0.group_by or sel0.group_by_all or sel0.having is not None
+            or sel0.distinct or sub.ctes or sub.order_by or sub.limit
+            or any(_contains_aggregate(e) for e, _ in sel0.select_list)
+        )
+        if complex_sub and in_expr is not None:
+            build, output = self.plan_select(sub, None, ctes)
+            _, okey, ot = output[0]
+            outer_b = self._pred_binder(scope, ctes).bind(in_expr)
+            semis.append(SemiSpec(
+                "anti" if negated else "semi", build, [outer_b],
+                [B.BoundColumnRef(okey, ot)], None,
+            ))
+            return
         (sub_atoms, local_bound, corr_eqs, corr_extra, sub_scope,
-         sel) = self._plan_sub_pool(sub, scope, ctes, local_keys)
+         sel, sub_semis) = self._plan_sub_pool(sub, scope, ctes, local_keys)
         build = self.plan_pool(sub_atoms, local_bound)
+        for ss in sub_semis:
+            build = P.Join(build, ss.build_plan, ss.jtype, ss.probe_keys,
+                           ss.build_keys, ss.extra)
         probe_keys = [o for o, i in corr_eqs]
         build_keys = [i for o, i in corr_eqs]
         if in_expr is not None:
@@ -657,8 +711,8 @@ class Planner:
             if len(sel.select_list) != 1:
                 raise BindError("IN subquery must select one column")
             item_ast = sel.select_list[0][0]
-            inner_b = self._pred_binder(sub_scope).bind(item_ast)
-            outer_b = self._pred_binder(scope).bind(in_expr)
+            inner_b = self._pred_binder(sub_scope, ctes).bind(item_ast)
+            outer_b = self._pred_binder(scope, ctes).bind(in_expr)
             probe_keys.append(outer_b)
             build_keys.append(inner_b)
         extra = (B.BoundConjunction("and", corr_extra) if corr_extra else None)
@@ -673,7 +727,7 @@ class Planner:
         """`other op (SELECT agg-expr FROM ... WHERE corr)` → join transform."""
         try:
             (sub_atoms, local_bound, corr_eqs, corr_extra, sub_scope,
-             sel) = self._plan_sub_pool(sub, scope, ctes, local_keys)
+             sel, sub_semis) = self._plan_sub_pool(sub, scope, ctes, local_keys)
         except BindError:
             return False
         if not corr_eqs or corr_extra:
@@ -684,7 +738,10 @@ class Planner:
         if not _contains_aggregate(item_ast):
             return False
         subplan = self.plan_pool(sub_atoms, local_bound)
-        sub_binder = self._pred_binder(sub_scope)
+        for ss in sub_semis:
+            subplan = P.Join(subplan, ss.build_plan, ss.jtype, ss.probe_keys,
+                             ss.build_keys, ss.extra)
+        sub_binder = self._pred_binder(sub_scope, ctes)
         # group by the inner correlation expressions
         groups = []
         group_lookup = []
@@ -697,8 +754,9 @@ class Planner:
         def collector(fc, b):
             return self._bind_aggregate_call(fc, sub_binder, aggs)
 
-        post = ExprBinder(sub_scope, agg_collector=collector,
-                          subquery_binder=self._bind_subquery_expr)
+        post = ExprBinder(
+            sub_scope, agg_collector=collector,
+            subquery_binder=lambda e, b: self._bind_subquery_expr(e, b, ctes))
         item_b = post.bind(item_ast)
         agg_plan = P.Aggregate(subplan, groups, aggs)
         out_key = self.fresh("subagg")
@@ -713,7 +771,7 @@ class Planner:
         for (outer_e, inner_e), (gkey, _) in zip(corr_eqs, groups):
             bound_preds.append(B.BoundComparison(
                 "=", outer_e, B.BoundColumnRef(gkey, inner_e.ltype)))
-        outer_b = self._pred_binder(scope).bind(other_ast)
+        outer_b = self._pred_binder(scope, ctes).bind(other_ast)
         sub_ref = B.BoundAggregateRef(out_key, item_b.ltype)
         sub_ref = B.BoundColumnRef(out_key, item_b.ltype)
         lhs, rhs = (sub_ref, outer_b) if flip else (outer_b, sub_ref)

@@ -38,7 +38,8 @@ def _parse_answer(path):
     with open(path) as f:
         lines = f.read().splitlines()
     header = lines[0].split("|")
-    rows = [line.split("|") for line in lines[1:] if line]
+    # keep empty lines: a row of all-NULL values renders as "" (e.g. q17 sf0.01)
+    rows = [line.split("|") for line in lines[1:]]
     return header, rows
 
 
