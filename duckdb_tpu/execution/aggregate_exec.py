@@ -33,7 +33,7 @@ from duckdb_tpu.types import BIGINT, DOUBLE, LogicalType, TypeId
 _I64_MIN = np.iinfo(np.int64).min
 _I64_MAX = np.iinfo(np.int64).max
 
-PERFECT_LIMIT = 1 << 22  # max dense group domain for the perfect path
+PERFECT_LIMIT = 1 << 23  # max dense group domain for the perfect path
 
 
 def _key_data(c: Column, plen: int) -> jnp.ndarray:
@@ -72,6 +72,28 @@ def execute_aggregate(executor, child, node: P.Aggregate):
             agg_inputs.append((c, _full_valid(c, plen)))
         else:
             agg_inputs.append(None)
+
+    # pre-group compaction: joins leave sparse masks over big blocks; the
+    # sort-based grouping cost is O(P log P), so shrink P first (the analog
+    # of duckdb only sinking selected rows into the aggregate HT).
+    if node.groups and plen > (1 << 16):
+        n_live = int(jnp.sum(live))
+        if n_live * 4 < plen:
+            cap = max(128, pad_bucket(n_live))
+            idx, _ = compact_indices(live, cap)
+            def _slice_col(c):
+                data = jnp.broadcast_to(c.data, (plen,))[idx]
+                validity = (jnp.broadcast_to(c.validity, (plen,))[idx]
+                            if c.validity is not None else None)
+                return Column(data=data, ltype=c.ltype, validity=validity,
+                              dict_values=c.dict_values)
+            key_cols = [_slice_col(c) for c in key_cols]
+            key_data = [kd[idx] for kd in key_data]
+            key_valid = [kv[idx] for kv in key_valid]
+            agg_inputs = [None if inp is None else (_slice_col(inp[0]), inp[1][idx])
+                          for inp in agg_inputs]
+            live = jnp.arange(cap) < n_live
+            plen = cap
 
     if node.groups:
         gids, n_groups, rep_cols = _group(

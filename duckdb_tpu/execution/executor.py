@@ -56,6 +56,15 @@ class ColSource:
         except KeyError:
             return False
 
+    def stats_range(self, key: str):
+        """(min, max) value bounds for an integer-physical column, or None.
+
+        Bounds survive filters/gathers (they only shrink the value set) —
+        the zone-map idea from the reference (src/storage/statistics/)
+        reused to size perfect-hash join tables without device syncs.
+        """
+        return None
+
 
 class TableCols(ColSource):
     def __init__(self, entry: TableEntry, keymap: Dict[str, str], plen: int):
@@ -68,6 +77,21 @@ class TableCols(ColSource):
         assert col.padded_len == self.plen
         return col
 
+    def stats_range(self, key: str):
+        if key not in self.keymap:
+            return None
+        col_name = self.keymap[key]
+        t = self.entry.col_types[col_name]
+        if t.id is TypeId.VARCHAR:
+            _, _, dvals = self.entry.host_column(col_name)
+            return (0, max(0, len(dvals) - 1)) if dvals is not None else None
+        if not (t.is_integer or t.id.name in ("DATE", "DECIMAL", "BOOLEAN")):
+            return None
+        st = self.entry.stats_for(col_name)
+        if st.min_val is None or st.max_val is None:
+            return None
+        return (int(st.min_val), int(st.max_val))
+
 
 class DictCols(ColSource):
     def __init__(self, cols: Dict[str, Column]):
@@ -75,6 +99,9 @@ class DictCols(ColSource):
 
     def __getitem__(self, key: str) -> Column:
         return self.cols[key]
+
+    def stats_range(self, key: str):
+        return None
 
 
 class ChainCols(ColSource):
@@ -90,6 +117,12 @@ class ChainCols(ColSource):
             except KeyError:
                 continue
         raise KeyError(key)
+
+    def stats_range(self, key: str):
+        for s in self.sources:
+            if key in s:
+                return s.stats_range(key)
+        return None
 
 
 class GatherCols(ColSource):
@@ -116,6 +149,9 @@ class GatherCols(ColSource):
                      dict_values=col.dict_values)
         self._cache[key] = out
         return out
+
+    def stats_range(self, key: str):
+        return self.parent.stats_range(key)
 
 
 @dataclass
@@ -245,18 +281,31 @@ class Executor:
             valid = jnp.logical_and(valid, _full_valid(c, batch.plen))
         return arrs, valid
 
+    def _key_bounds(self, batch: Batch, expr) -> Optional[Tuple[int, int]]:
+        """Static value bounds for a join-key expr, from table stats."""
+        from duckdb_tpu.planner.bound import BoundColumnRef
+
+        if isinstance(expr, BoundColumnRef):
+            try:
+                return batch.src.stats_range(expr.key)
+            except KeyError:
+                return None
+        return None
+
     def _pack_keys(self, probe_b: Batch, build_b: Batch, probe_keys, build_keys):
         """Pack multi-column equi-keys into one int64 per side.
 
-        Per-key value ranges come from a device min/max + host sync over the
-        build side (the analog of duckdb sizing its perfect-hash join from
-        table stats, perfect_hash_join_executor.cpp).
+        Per-key value ranges come from table stats when available (the
+        zone-map analog of duckdb sizing its perfect-hash join from stats,
+        perfect_hash_join_executor.cpp), else one device min/max sync over
+        the build side.
         """
         p_arrs, p_valid = self._join_keys(probe_b, probe_keys)
         b_arrs, b_valid = self._join_keys(build_b, build_keys)
         packed_p = jnp.zeros((probe_b.plen,), jnp.int64)
         packed_b = jnp.zeros((build_b.plen,), jnp.int64)
-        for (pc, _), (bc, _) in zip(p_arrs, b_arrs):
+        dense_size = 1  # Π (rng_i + 1) — direct-address table size
+        for i, ((pc, _), (bc, _)) in enumerate(zip(p_arrs, b_arrs)):
             if pc.ltype.id is TypeId.VARCHAR:
                 from duckdb_tpu.planner.bound import _varchar_rank_luts
 
@@ -267,29 +316,99 @@ class Executor:
             else:
                 pd = _bdata(pc, probe_b.plen).astype(jnp.int64)
                 bd = _bdata(bc, build_b.plen).astype(jnp.int64)
-                blive = jnp.logical_and(build_b.live, b_valid)
-                plive = jnp.logical_and(probe_b.live, p_valid)
-                any_b = bool(jnp.any(blive))
-                if not any_b:
-                    lo, hi = 0, 1
-                else:
-                    lo = int(jnp.min(jnp.where(blive, bd, _I64_MAX)))
-                    hi = int(jnp.max(jnp.where(blive, bd, _I64_MIN)))
+                bounds = self._key_bounds(build_b, build_keys[i])
+                if bounds is None:
+                    blive = jnp.logical_and(build_b.live, b_valid)
+                    if not bool(jnp.any(blive)):
+                        bounds = (0, 0)
+                    else:
+                        bounds = (int(jnp.min(jnp.where(blive, bd, _I64_MAX))),
+                                  int(jnp.max(jnp.where(blive, bd, _I64_MIN))))
+                lo, hi = bounds
             rng = hi - lo + 1
             packed_p = packed_p * jnp.int64(rng + 1) + jnp.clip(pd - lo, -1, rng)
             packed_b = packed_b * jnp.int64(rng + 1) + jnp.clip(bd - lo, -1, rng)
+            dense_size *= rng + 1
             # probe values outside [lo,hi] clip to -1/rng sentinels per key
             # column, which cannot collide with any in-range packed build key.
-        return packed_p, p_valid, packed_b, b_valid
+        return packed_p, p_valid, packed_b, b_valid, dense_size
+
+    # direct-address join table cap: 2^24 int32 slots = 64 MiB
+    DENSE_JOIN_LIMIT = 1 << 24
 
     def _exec_Join(self, node: P.Join) -> Batch:
         probe_b = self.execute(node.probe)
         build_b = self.execute(node.build)
-        pk, p_valid, bk, b_valid = self._pack_keys(
+        pk, p_valid, bk, b_valid, dense_size = self._pack_keys(
             probe_b, build_b, node.probe_keys, node.build_keys
         )
         build_live = jnp.logical_and(build_b.live, b_valid)
         probe_live = jnp.logical_and(probe_b.live, p_valid)
+
+        if dense_size <= self.DENSE_JOIN_LIMIT:
+            out = self._dense_join(node, probe_b, build_b, pk, bk,
+                                   probe_live, build_live, dense_size)
+            if out is not None:
+                return out
+        return self._sorted_join(node, probe_b, build_b, pk, bk,
+                                 probe_live, build_live)
+
+    def _dense_join(self, node, probe_b, build_b, pk, bk, probe_live,
+                    build_live, size):
+        """Perfect direct-address join (unique build keys): probe = 1 gather.
+
+        The duckdb PerfectHashJoinExecutor analog
+        (src/execution/operator/join/perfect_hash_join_executor.cpp),
+        generalized to every PK-side build with a stats-bounded dense range.
+        Inner/left joins keep the PROBE block shape (mask, no expansion) —
+        zero cardinality syncs.
+        """
+        rows = jnp.arange(build_b.plen, dtype=jnp.int32)
+        slot = jnp.where(build_live, jnp.clip(bk, 0, size), size).astype(jnp.int32)
+        occ = jnp.zeros((size + 1,), jnp.int32).at[slot].add(1, mode="drop")
+        if int(jnp.max(occ[:size])) > 1:
+            return None  # duplicate build keys → sorted path
+        slots = jnp.full((size + 1,), -1, jnp.int32).at[slot].set(
+            jnp.where(build_live, rows, -1), mode="drop")
+        in_range = jnp.logical_and(pk >= 0, pk < size)
+        idx = jnp.clip(pk, 0, size - 1).astype(jnp.int32)
+        brow = jnp.where(in_range, slots[idx], -1)
+        matched = jnp.logical_and(probe_live, brow >= 0)
+        brow_c = jnp.clip(brow, 0, build_b.plen - 1)
+
+        if node.extra is not None:
+            pair_src = ChainCols([
+                probe_b.src,
+                GatherCols(build_b.src, brow_c, null_rows=~matched),
+            ])
+            env = EvalEnv(cols=pair_src, plen=probe_b.plen, live=matched)
+            c = node.extra.eval(env)
+            em = jnp.logical_and(c.data.astype(jnp.bool_),
+                                 _full_valid(c, probe_b.plen))
+            matched = jnp.logical_and(matched, jnp.broadcast_to(em, (probe_b.plen,)))
+
+        if node.jtype == "semi":
+            return Batch(src=probe_b.src, plen=probe_b.plen,
+                         live=jnp.logical_and(probe_b.live, matched))
+        if node.jtype == "anti":
+            return Batch(src=probe_b.src, plen=probe_b.plen,
+                         live=jnp.logical_and(probe_b.live, ~matched))
+        if node.jtype == "inner":
+            src = ChainCols([
+                probe_b.src,
+                GatherCols(build_b.src, brow_c),
+            ])
+            return Batch(src=src, plen=probe_b.plen, live=matched)
+        if node.jtype in ("left", "single"):
+            src = ChainCols([
+                probe_b.src,
+                GatherCols(build_b.src, brow_c, null_rows=~matched),
+            ])
+            return Batch(src=src, plen=probe_b.plen, live=probe_b.live)
+        return None
+
+    def _sorted_join(self, node, probe_b, build_b, pk, bk, probe_live,
+                     build_live):
         table = J.build_sorted(bk, build_live)
         counts, lo, hi = J.probe_counts(table, pk, probe_live)
 
@@ -377,6 +496,11 @@ class Executor:
                 return fused
         child = self.execute(node.child)
         return execute_aggregate(self, child, node)
+
+    def _exec_Window(self, node: P.Window) -> Batch:
+        from duckdb_tpu.execution.window_exec import execute_window
+
+        return execute_window(self, node)
 
     # -- order / limit --------------------------------------------------------
     def _exec_Order(self, node: P.Order) -> Batch:

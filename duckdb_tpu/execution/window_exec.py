@@ -1,0 +1,318 @@
+"""Window function execution.
+
+The reference's window engine hash-partitions + sorts, then runs
+per-partition executors with segment trees for running aggregates
+(/root/reference/src/function/window/, src/common/sort/hashed_sort.cpp).
+The TPU shape: ONE multi-operand `lax.sort` orders the whole block by
+(partition keys, order keys); every window function is then a composition
+of segmented prefix scans (cumsum/cummax over run boundaries) — fully
+data-parallel, no per-partition loops — and results scatter back through
+the sort permutation.
+
+Frames: default frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW with peers
+when ORDER BY present, whole partition otherwise) plus ROWS BETWEEN
+offsets for sum/count/avg via prefix-sum differences.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from duckdb_tpu.blocks import Column
+from duckdb_tpu.ops import sort as S
+from duckdb_tpu.planner import plan as P
+from duckdb_tpu.types import BIGINT, DOUBLE, TypeId
+
+_I64_MAX = np.iinfo(np.int64).max
+_I64_MIN = np.iinfo(np.int64).min
+
+
+def _propagate_from_start(vals, seg_start):
+    """Broadcast the value at each segment start across the segment."""
+    idx = jnp.arange(vals.shape[0])
+    start_idx = jax.lax.associative_scan(jnp.maximum, jnp.where(seg_start, idx, 0))
+    return vals[start_idx], start_idx
+
+
+def execute_window(executor, node: P.Window):
+    from duckdb_tpu.execution.executor import (
+        Batch, ChainCols, DictCols, GatherCols, _bdata, _full_valid,
+    )
+
+    b = executor.execute(node.child)
+    plen = b.plen
+    env = b.env()
+    out_cols = {}
+
+    # group windows by (partition, order) signature → share one sort
+    for w in node.windows:
+        pkeys = []
+        for e in w.partition_by:
+            c = e.eval(env)
+            pkeys.append(S.orderable_int64(
+                _bdata(c, plen).astype(jnp.int64)
+                if c.ltype.id is TypeId.VARCHAR else _bdata(c, plen),
+                c.validity, False, True))
+        okeys = []
+        for e, desc, nf in w.order_by:
+            c = e.eval(env)
+            if nf is None:
+                nf = False
+            okeys.append(S.orderable_int64(
+                _bdata(c, plen).astype(jnp.int64)
+                if c.ltype.id is TypeId.VARCHAR else _bdata(c, plen),
+                c.validity, desc, nf))
+        iota = jnp.arange(plen, dtype=jnp.int32)
+        operands = [jnp.logical_not(b.live)] + pkeys + okeys + [iota]
+        sorted_ops = jax.lax.sort(operands, num_keys=len(operands) - 1,
+                                  is_stable=True)
+        dead_s = sorted_ops[0]
+        perm = sorted_ops[-1]
+        pk_s = sorted_ops[1:1 + len(pkeys)]
+        ok_s = sorted_ops[1 + len(pkeys):-1]
+
+        # partition boundaries (first row of each partition), in sorted order
+        seg_start = jnp.zeros((plen,), jnp.bool_).at[0].set(True)
+        for k in pk_s:
+            seg_start = jnp.logical_or(seg_start, k != jnp.roll(k, 1))
+        seg_start = seg_start.at[0].set(True)
+        # peer boundaries (order-key change within partition)
+        peer_start = seg_start
+        for k in ok_s:
+            peer_start = jnp.logical_or(peer_start, k != jnp.roll(k, 1))
+        peer_start = peer_start.at[0].set(True)
+
+        res_sorted, res_valid_sorted = _compute_window(
+            w, env, plen, perm, seg_start, peer_start, bool(len(ok_s)), b)
+        # scatter back to row order
+        data = jnp.zeros((plen,), res_sorted.dtype).at[perm].set(res_sorted)
+        validity = None
+        if res_valid_sorted is not None:
+            validity = jnp.zeros((plen,), jnp.bool_).at[perm].set(res_valid_sorted)
+        dict_vals = None
+        if w.ltype.id is TypeId.VARCHAR and w.args:
+            c0 = w.args[0].eval(env)
+            dict_vals = c0.dict_values
+        out_cols[w.key] = Column(data=data, ltype=w.ltype, validity=validity,
+                                 dict_values=dict_vals)
+
+    return Batch(src=ChainCols([DictCols(out_cols), b.src]), plen=plen,
+                 live=b.live)
+
+
+def _compute_window(w: P.BoundWindow, env, plen, perm, seg_start, peer_start,
+                    has_order, b):
+    """→ (values in sorted order, validity in sorted order | None)."""
+    from duckdb_tpu.execution.executor import _bdata, _full_valid
+
+    idx = jnp.arange(plen, dtype=jnp.int64)
+    _, start_idx = _propagate_from_start(idx, seg_start)
+    pos_in_seg = idx - start_idx  # 0-based row number within partition
+
+    f = w.func
+    if f == "row_number":
+        return pos_in_seg + 1, None
+    if f == "rank":
+        _, peer_idx = _propagate_from_start(idx, peer_start)
+        return peer_idx - start_idx + 1, None
+    if f == "dense_rank":
+        # count of peer-run starts since the segment start
+        ps = jnp.cumsum(peer_start.astype(jnp.int64))
+        seg_ps, _ = _propagate_from_start(ps, seg_start)
+        return ps - seg_ps + 1, None
+    if f == "ntile":
+        n = int(w.args[0].const_value())
+        # partition size: propagate from start of NEXT segment... compute via
+        # total positions: size = (next_start - start); next_start via reverse
+        rev = seg_start[::-1]
+        _, rev_start = _propagate_from_start(jnp.arange(plen, dtype=jnp.int64),
+                                             jnp.roll(rev, 1).at[0].set(True))
+        seg_end = (plen - 1) - rev_start[::-1]  # last index of segment
+        size = seg_end - start_idx + 1
+        k = pos_in_seg
+        base = size // n
+        rem = size % n
+        big = jnp.minimum(k // jnp.maximum(base + 1, 1), rem)
+        tile = jnp.where(k < rem * (base + 1),
+                         k // jnp.maximum(base + 1, 1),
+                         rem + (k - rem * (base + 1)) // jnp.maximum(base, 1))
+        return tile + 1, None
+
+    # value-based functions need the argument in sorted order
+    if w.args:
+        c = w.args[0].eval(env)
+        vals = _bdata(c, plen)[perm]
+        valid = (_full_valid(c, plen)[perm] if c.validity is not None
+                 else jnp.ones((plen,), jnp.bool_))
+    else:
+        c = None
+        vals = jnp.zeros((plen,), jnp.int64)
+        valid = jnp.ones((plen,), jnp.bool_)
+    live_s = b.live[perm]
+    valid = jnp.logical_and(valid, live_s)
+
+    if f in ("lag", "lead"):
+        off = int(w.args[1].const_value()) if len(w.args) > 1 else 1
+        shift = -off if f == "lag" else off
+        src = idx + shift
+        in_range = jnp.logical_and(src >= 0, src < plen)
+        srcc = jnp.clip(src, 0, plen - 1)
+        same_seg = start_idx[srcc] == start_idx
+        ok = jnp.logical_and(in_range, same_seg)
+        out = jnp.where(ok, vals[srcc], 0)
+        outv = jnp.logical_and(ok, valid[srcc])
+        if len(w.args) > 2:  # default value
+            dflt = w.args[2].eval(env)
+            dv = _bdata(dflt, plen)[perm]
+            out = jnp.where(ok, out, dv)
+            outv = jnp.where(ok, outv, True)
+        return out, outv
+    if f == "first_value":
+        fv, _ = _propagate_from_start(vals, seg_start)
+        fvv, _ = _propagate_from_start(valid, seg_start)
+        return fv, fvv
+    if f == "last_value":
+        # default frame ends at current row (peers included when ordered)
+        if has_order:
+            return _peer_end_gather(vals, peer_start, plen), \
+                _peer_end_gather(valid, peer_start, plen)
+        return _seg_end_gather(vals, seg_start, plen), \
+            _seg_end_gather(valid, seg_start, plen)
+
+    # running / framed aggregates: sum, count, avg, min, max
+    is_float = c is not None and (c.ltype.is_float or f in ("avg",))
+    if f in ("sum", "avg", "count"):
+        if f == "count":
+            x = valid.astype(jnp.int64)
+        elif c.ltype.is_float:
+            x = jnp.where(valid, vals.astype(jnp.float64), 0.0)
+        else:
+            x = jnp.where(valid, vals.astype(jnp.int64), 0)
+        cnt = valid.astype(jnp.int64)
+        if w.frame is not None and w.frame[0] == "rows":
+            s = _rows_frame_sum(x, w.frame, seg_start, plen)
+            n_ = _rows_frame_sum(cnt, w.frame, seg_start, plen)
+        elif has_order:
+            s = _running_sum(x, seg_start, peer_start, plen)
+            n_ = _running_sum(cnt, seg_start, peer_start, plen)
+        else:
+            s = _seg_total(x, seg_start, plen)
+            n_ = _seg_total(cnt, seg_start, plen)
+        if f == "count":
+            return s, None
+        if f == "sum":
+            if c.ltype.is_float:
+                return s, n_ > 0
+            return s, n_ > 0
+        # avg
+        if c.ltype.id is TypeId.DECIMAL:
+            d = s.astype(jnp.float64) / (n_.astype(jnp.float64)
+                                         * (10.0 ** c.ltype.scale))
+        else:
+            d = s.astype(jnp.float64) / n_.astype(jnp.float64)
+        return d, n_ > 0
+    if f in ("min", "max"):
+        if c.ltype.is_float:
+            sent = jnp.inf if f == "min" else -jnp.inf
+            x = jnp.where(valid, vals.astype(jnp.float64), sent)
+        else:
+            sent = _I64_MAX if f == "min" else _I64_MIN
+            x = jnp.where(valid, vals.astype(jnp.int64), sent)
+        op = jnp.minimum if f == "min" else jnp.maximum
+        if has_order and w.frame is None:
+            # running min/max: segmented scan
+            run = jax.lax.associative_scan(
+                _segmented_combine(op), (x, seg_start))[0]
+            run = _peer_end_gather(run, peer_start, plen)
+        else:
+            run = _seg_total_minmax(x, seg_start, plen, op)
+        nvalid = _running_sum(valid.astype(jnp.int64), seg_start, peer_start,
+                              plen) if has_order and w.frame is None else \
+            _seg_total(valid.astype(jnp.int64), seg_start, plen)
+        return run.astype(vals.dtype), nvalid > 0
+    raise NotImplementedError(f"window function {f}")
+
+
+def _segmented_combine(op):
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return (jnp.where(bf, bv, op(av, bv)), jnp.logical_or(af, bf))
+    return comb
+
+
+def _running_sum(x, seg_start, peer_start, plen):
+    """RANGE UNBOUNDED PRECEDING..CURRENT ROW including peers."""
+    ps = jax.lax.associative_scan(_segmented_combine(jnp.add), (x, seg_start))[0]
+    return _peer_end_gather(ps, peer_start, plen)
+
+
+def _seg_total(x, seg_start, plen):
+    ps = jax.lax.associative_scan(_segmented_combine(jnp.add), (x, seg_start))[0]
+    return _seg_end_gather(ps, seg_start, plen)
+
+
+def _seg_total_minmax(x, seg_start, plen, op):
+    ps = jax.lax.associative_scan(_segmented_combine(op), (x, seg_start))[0]
+    return _seg_end_gather(ps, seg_start, plen)
+
+
+def _seg_end_gather(ps, seg_start, plen):
+    """Gather the value at each segment's last row."""
+    idx = jnp.arange(plen, dtype=jnp.int64)
+    nxt = jnp.roll(seg_start, -1).at[-1].set(True)  # last row of each segment
+    rev_vals = jnp.where(nxt, idx, jnp.int64(_I64_MAX))[::-1]
+    end_idx = jax.lax.associative_scan(jnp.minimum, rev_vals)[::-1]
+    return ps[jnp.clip(end_idx, 0, plen - 1)]
+
+
+def _peer_end_gather(ps, peer_start, plen):
+    """Gather the value at the last row of each peer run."""
+    nxt = jnp.roll(peer_start, -1).at[-1].set(True)
+    idx = jnp.arange(plen, dtype=jnp.int64)
+    rev_vals = jnp.where(nxt, idx, jnp.int64(_I64_MAX))[::-1]
+    end_idx = jax.lax.associative_scan(jnp.minimum, rev_vals)[::-1]
+    return ps[jnp.clip(end_idx, 0, plen - 1)]
+
+
+def _rows_frame_sum(x, frame, seg_start, plen):
+    """ROWS BETWEEN a AND b via prefix-sum differences, clamped to segment."""
+    mode, lo, hi = frame
+    idx = jnp.arange(plen, dtype=jnp.int64)
+    _, start_idx = _propagate_from_start(idx, seg_start)
+    # segment end
+    nxt = jnp.roll(seg_start, -1).at[-1].set(True)
+    rev_vals = jnp.where(nxt, idx, jnp.int64(_I64_MAX))[::-1]
+    end_idx = jax.lax.associative_scan(jnp.minimum, rev_vals)[::-1]
+
+    def bound_pos(spec, default):
+        kind, e = spec
+        if kind == "unbounded_preceding":
+            return start_idx
+        if kind == "unbounded_following":
+            return end_idx
+        if kind == "current":
+            return idx
+        n = int(_const_frame(e))
+        return idx - n if kind == "preceding" else idx + n
+
+    lo_pos = jnp.clip(bound_pos(lo, start_idx), start_idx, end_idx + 1)
+    hi_pos = jnp.clip(bound_pos(hi, end_idx), start_idx - 1, end_idx)
+    ps = jax.lax.associative_scan(_segmented_combine(jnp.add), (x, seg_start))[0]
+    seg_base, _ = _propagate_from_start(ps - x, seg_start)
+    pref = ps - seg_base  # prefix within segment, inclusive
+    hi_v = jnp.where(hi_pos >= start_idx, pref[jnp.clip(hi_pos, 0, plen - 1)], 0)
+    lo_v = jnp.where(lo_pos > start_idx, pref[jnp.clip(lo_pos - 1, 0, plen - 1)], 0)
+    return hi_v - lo_v
+
+
+def _const_frame(e):
+    from duckdb_tpu.planner.binder import ExprBinder, Scope
+
+    if hasattr(e, "const_value"):
+        return e.const_value()
+    return ExprBinder(Scope()).bind(e).const_value()

@@ -254,10 +254,12 @@ class ExprBinder:
     subqueries (installed by the planner).
     """
 
-    def __init__(self, scope: Scope, agg_collector=None, subquery_binder=None):
+    def __init__(self, scope: Scope, agg_collector=None, subquery_binder=None,
+                 window_collector=None):
         self.scope = scope
         self.agg_collector = agg_collector
         self.subquery_binder = subquery_binder
+        self.window_collector = window_collector
 
     def bind(self, e: N.Expr) -> B.BoundExpr:
         m = getattr(self, "_bind_" + type(e).__name__, None)
@@ -418,6 +420,11 @@ class ExprBinder:
             rt, impl, args2 = F.REGISTRY[name](args)
             return B.BoundFunction(name, args2, rt, impl)
         raise BindError(f"Scalar Function with name {name} does not exist!")
+
+    def _bind_WindowFunction(self, e):
+        if self.window_collector is None:
+            raise BindError("window functions not allowed in this context")
+        return self.window_collector(e, self)
 
     # -- subqueries ----------------------------------------------------------
     def _bind_ScalarSubquery(self, e):

@@ -65,6 +65,23 @@ class CrossJoin(PlanNode):
 
 
 @dataclass
+class BoundWindow:
+    key: str  # output binding
+    func: str  # row_number/rank/dense_rank/sum/avg/min/max/count/lag/lead/...
+    args: List[BoundExpr]
+    partition_by: List[BoundExpr]
+    order_by: List[Tuple[BoundExpr, bool, Optional[bool]]]  # (expr, desc, nulls_first)
+    frame: Optional[Tuple[str, tuple, tuple]]  # (mode, start, end) or None
+    ltype: "LogicalType" = None
+
+
+@dataclass
+class Window(PlanNode):
+    child: PlanNode
+    windows: List[BoundWindow]
+
+
+@dataclass
 class Order(PlanNode):
     child: PlanNode
     items: List[Tuple[BoundExpr, bool, Optional[bool]]]  # (expr, desc, nulls_first)

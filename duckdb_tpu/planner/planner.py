@@ -121,6 +121,9 @@ class Atom:
     plan: P.PlanNode
     rows: int  # cardinality estimate (table rows; post-filter unknown)
     keys: Set[str]  # binding keys this atom provides
+    # key → (catalog table, column) for base-scan atoms; drives the
+    # fanout estimate in the greedy join order (PK edge ⇒ fanout 1)
+    col_of: Dict[str, Tuple[str, str]] = field(default_factory=dict)
 
 
 @dataclass
@@ -239,7 +242,10 @@ class Planner:
         """
         if isinstance(ref, N.BaseTableRef):
             plan, scope_adds, nrows = self._plan_base_table(ref, ctes)
-            self._add_atom(plan, scope_adds, nrows, scope, atoms)
+            tbl = (ref.name.lower()
+                   if ref.name.lower() not in ctes
+                   and self.catalog.has_table(ref.name.lower()) else None)
+            self._add_atom(plan, scope_adds, nrows, scope, atoms, table=tbl)
             return
         if isinstance(ref, N.SubqueryRef):
             alias = (ref.alias or f"subq{len(atoms)}").lower()
@@ -304,14 +310,18 @@ class Planner:
             raise BindError(f"table function {ref.name} not supported yet")
         raise BindError(f"FROM element {type(ref).__name__} not supported")
 
-    def _add_atom(self, plan, scope_adds, nrows, scope: Scope, atoms: List[Atom]):
+    def _add_atom(self, plan, scope_adds, nrows, scope: Scope, atoms: List[Atom],
+                  table: Optional[str] = None):
         aid = len(atoms)
         keys = set()
+        col_of = {}
         for alias, col, key, t in scope_adds:
             scope.add(alias, col, key, t)
             keys.add(key)
             self.key_owner[key] = aid
-        atoms.append(Atom(aid, plan, nrows, keys))
+            if table is not None:
+                col_of[key] = (table, col)
+        atoms.append(Atom(aid, plan, nrows, keys, col_of))
 
     def _keys_of(self, e: B.BoundExpr) -> Set[str]:
         return {n.key for n in B.walk(e) if isinstance(n, B.BoundColumnRef)}
@@ -405,13 +415,20 @@ class Planner:
             return plan
 
         while remaining:
-            # candidate atoms connected by at least one equi edge
+            # candidate atoms connected by at least one equi edge, scored by
+            # estimated join fanout (PK-range edge ⇒ 1) then size — the
+            # greedy spirit of the reference's join-order optimizer
+            # (src/optimizer/join_order/) without its full DP.
             best = None
+            best_score = None
             for a in remaining.values():
                 edges = self._edges_between(pending, joined_keys, a.keys)
                 if edges:
-                    if best is None or a.rows < best[0].rows:
+                    fanout = self._fanout_estimate(a, edges)
+                    score = (fanout, a.rows)
+                    if best is None or score < best_score:
                         best = (a, edges)
+                        best_score = score
             if best is None:
                 # no connection: cross join the smallest
                 a = min(remaining.values(), key=lambda x: x.rows)
@@ -437,6 +454,23 @@ class Planner:
             for p in pending:
                 plan = P.Filter(plan, p)
         return plan
+
+    def _fanout_estimate(self, atom: Atom, edges) -> float:
+        """Rows matched per probe row: build_rows / Π per-edge key ranges."""
+        denom = 1.0
+        for _, probe_side, build_side in edges:
+            rng = None
+            if isinstance(build_side, B.BoundColumnRef):
+                tc = atom.col_of.get(build_side.key)
+                if tc is not None:
+                    st = self.catalog.get_table(tc[0]).stats_for(tc[1])
+                    if st.min_val is not None and st.max_val is not None:
+                        rng = max(1, int(st.max_val) - int(st.min_val) + 1)
+                    if st.n_unique is not None:
+                        rng = max(rng or 1, st.n_unique)
+            if rng is not None:
+                denom *= rng
+        return max(1.0, atom.rows / denom)
 
     def _edges_between(self, preds, joined_keys: Set[str], atom_keys: Set[str]):
         out = []
@@ -501,6 +535,14 @@ class Planner:
             post_binder = binder
             scope2 = scope
 
+        # -- windows ----------------------------------------------------------
+        windows: List[P.BoundWindow] = []
+
+        def wcollector(wf, b):
+            return self._bind_window_call(wf, b, windows)
+
+        post_binder.window_collector = wcollector
+
         # -- projection -------------------------------------------------------
         items = []
         output = []
@@ -514,6 +556,11 @@ class Planner:
         if sel.having is not None and has_agg:
             hb = post_binder.bind(sel.having)
             plan = P.Filter(plan, hb)
+        qual_b = post_binder.bind(sel.qualify) if sel.qualify is not None else None
+        if windows:
+            plan = P.Window(plan, windows)
+        if qual_b is not None:
+            plan = P.Filter(plan, qual_b)
         plan = P.Project(plan, items)
 
         if sel.distinct:
@@ -602,6 +649,27 @@ class Planner:
         key = self.fresh(f"agg.{func}")
         agg = B.BoundAggregate(func, args, fc.distinct, t, key)
         aggs.append(agg)
+        return B.BoundAggregateRef(key, t)
+
+    def _bind_window_call(self, wf, binder, windows: List[P.BoundWindow]):
+        fc, spec = wf.func, wf.spec
+        name = fc.name.lower()
+        args = [binder.bind(a) for a in fc.args]
+        part = [binder.bind(e) for e in spec.partition_by]
+        order = [(binder.bind(it.expr), it.descending, it.nulls_first)
+                 for it in spec.order_by]
+        if name in ("row_number", "rank", "dense_rank", "ntile", "count"):
+            t = BIGINT
+        elif name == "sum":
+            t = _agg_result_type("sum", args)
+        elif name in ("avg", "mean"):
+            t = DOUBLE
+        elif name in ("min", "max", "lag", "lead", "first_value", "last_value"):
+            t = args[0].ltype if args else SQLNULL
+        else:
+            raise BindError(f"window function {name} not supported")
+        key = self.fresh(f"win.{name}")
+        windows.append(P.BoundWindow(key, name, args, part, order, spec.frame, t))
         return B.BoundAggregateRef(key, t)
 
     # -- subquery flattening --------------------------------------------------
@@ -803,6 +871,10 @@ class _ConstantRow(P.PlanNode):
 
 
 def _contains_aggregate(e: N.Expr) -> bool:
+    if isinstance(e, N.WindowFunction):
+        # a windowed aggregate is not a GROUP BY aggregate (unless its args
+        # contain one, e.g. sum(sum(x)) OVER — check args only)
+        return any(_contains_aggregate(a) for a in e.func.args)
     if isinstance(e, N.FunctionCall):
         if e.name.lower() in AGGREGATE_NAMES or e.is_star:
             return True
