@@ -81,6 +81,8 @@ class Connection:
             return None
         if isinstance(s, N.InsertStatement):
             return self._insert(s)
+        if isinstance(s, N.CopyStatement):
+            return self._copy(s)
         if isinstance(s, N.SetStatement):
             self.settings[s.name.lower()] = s.value
             return None
@@ -215,6 +217,83 @@ class Connection:
                 merged = np.concatenate([old_vals, phys.astype(old_vals.dtype)])
                 new_valid = _concat_valid(old_valid, valid, len(old_vals), n_new)
                 entry.set_host_column(cd.name, merged, validity=new_valid)
+        entry.nrows += n_new
+
+    # -- COPY ------------------------------------------------------------------
+    def _copy(self, s: N.CopyStatement):
+        from duckdb_tpu.storage import csv as csvmod
+
+        fmt = str(s.options.get("format", "")).lower()
+        is_parquet = fmt == "parquet" or s.target.endswith(".parquet")
+        if s.direction == "to":
+            if s.select is not None:
+                planner = Planner(self.catalog)
+                plan, output = planner.plan_select(s.select)
+                res = Executor(self.catalog).run(plan, output)
+            else:
+                res = self.sql(f"SELECT * FROM {s.table}")
+            if is_parquet:
+                from duckdb_tpu.storage import parquet as pq
+
+                pq.write_parquet(s.target, res.names, res.types, res.columns,
+                                 res.nrows)
+            else:
+                delim = str(s.options.get("delimiter",
+                                          s.options.get("delim", ",")))
+                header = s.options.get("header", True) not in (False, "false", "0")
+                csvmod.write_csv(s.target, res.names, res.rows(), delim, header)
+            return None
+        # COPY table FROM file
+        entry = self.catalog.get_table(s.table)
+        if is_parquet:
+            from duckdb_tpu.storage import parquet as pq
+
+            src_entry = pq.parquet_table_entry("__copy_src", s.target)
+            cols = {cd.name: src_entry.host_column(cd.name)
+                    for cd in src_entry.columns}
+            n_new = src_entry.nrows
+        else:
+            delim = s.options.get("delimiter", s.options.get("delim"))
+            header_opt = s.options.get("header")
+            sn_delim, sn_header, _ = csvmod.sniff_csv(s.target)
+            delim = str(delim) if delim else sn_delim
+            header = (header_opt not in (False, "false", "0")
+                      if header_opt is not None else sn_header)
+            schema = [(cd.name, cd.ltype) for cd in entry.columns]
+            cols = csvmod.load_csv(s.target, schema, delim, header)
+            first = next(iter(cols.values()), None)
+            n_new = len(first[0]) if first is not None else 0
+        self._append_columns(entry, cols, n_new)
+        self._plan_cache.clear()
+        return None
+
+    def _append_columns(self, entry: TableEntry, cols, n_new: int):
+        """Append parsed columnar data (same schema) to a table."""
+        for cd in entry.columns:
+            vals, valid, dvals = cols[cd.name]
+            if entry.nrows == 0:
+                entry.set_host_column(cd.name, vals, validity=valid,
+                                      dict_values=dvals)
+                continue
+            old_vals, old_valid, old_dict = entry.host_column(cd.name)
+            if cd.ltype.id is TypeId.VARCHAR:
+                old_strs = (old_dict[old_vals] if old_dict is not None
+                            else np.empty(0, object))
+                new_strs = (dvals[vals] if dvals is not None
+                            else np.empty(0, object))
+                allv = np.concatenate([old_strs, new_strs]).astype(str)
+                uniq, codes = np.unique(allv, return_inverse=True)
+                entry.set_host_column(
+                    cd.name, codes.astype(np.int32),
+                    validity=_concat_valid(old_valid, valid, len(old_vals),
+                                           n_new),
+                    dict_values=uniq.astype(object))
+            else:
+                entry.set_host_column(
+                    cd.name,
+                    np.concatenate([old_vals, vals.astype(old_vals.dtype)]),
+                    validity=_concat_valid(old_valid, valid, len(old_vals),
+                                           n_new))
         entry.nrows += n_new
 
     # -- convenience ----------------------------------------------------------

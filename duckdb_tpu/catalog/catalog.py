@@ -104,6 +104,36 @@ class Catalog:
     def __init__(self):
         self.tables: Dict[str, TableEntry] = {}
         self.views: Dict[str, object] = {}  # name -> parsed SELECT AST
+        self._file_tables: Dict[tuple, str] = {}  # (path, mtime) -> table name
+
+    def ensure_file_table(self, path: str) -> str:
+        """Register a CSV/parquet file as a scannable table (replacement
+        scan, the reference's `SELECT * FROM 'file.csv'` behavior)."""
+        import os
+
+        mtime = os.path.getmtime(path)
+        key = (os.path.abspath(path), mtime)
+        if key in self._file_tables:
+            return self._file_tables[key]
+        name = f"__file_{len(self._file_tables)}"
+        if path.endswith(".parquet"):
+            from duckdb_tpu.storage import parquet as pq
+
+            entry = pq.parquet_table_entry(name, path)
+        else:
+            from duckdb_tpu.storage import csv as csvmod
+
+            delim, has_header, schema = csvmod.sniff_csv(path)
+            cols = csvmod.load_csv(path, schema, delim, has_header)
+            entry = TableEntry(name, [ColumnDef(n, t) for n, t in schema])
+            first = next(iter(cols.values()), None)
+            entry.nrows = len(first[0]) if first is not None else 0
+            for cname, (vals, valid, dvals) in cols.items():
+                entry.set_host_column(cname, vals, validity=valid,
+                                      dict_values=dvals)
+        self.create_table(entry, or_replace=True)
+        self._file_tables[key] = name
+        return name
 
     def create_table(self, entry: TableEntry, or_replace: bool = False):
         key = entry.name.lower()

@@ -30,6 +30,7 @@ from duckdb_tpu.ops import join as J
 from duckdb_tpu.ops import sort as S
 from duckdb_tpu.ops.compact import compact_indices
 from duckdb_tpu.planner import plan as P
+from duckdb_tpu.planner import bound as B
 from duckdb_tpu.planner.bound import BoundAggregate, EvalEnv, _to_double
 from duckdb_tpu.types import (
     BIGINT,
@@ -225,16 +226,99 @@ class Executor:
 
     # -- entry ---------------------------------------------------------------
     def run(self, plan: P.PlanNode, output: List[Tuple[str, str, LogicalType]]) -> Result:
+        res = self._run_fused_tail(plan, output)
+        if res is not None:
+            return res
         batch = self.execute(plan)
         n = batch.count_live()
         idx, _ = compact_indices(batch.live, max(1, pad_bucket(n)))
+        cols = [batch.src[key] for _, key, _ in output]
+        device = [(c.data[idx][:n],
+                   _full_valid(c, batch.plen)[idx][:n] if c.validity is not None
+                   else None) for c in cols]
+        host = jax.device_get(device)
+        columns = [(d, v, c.dict_values) for (d, v), c in zip(host, cols)]
+        return Result(names=[n_ for n_, _, _ in output],
+                      types=[t for _, _, t in output], columns=columns, nrows=n)
+
+    def _run_fused_tail(self, plan, output) -> Optional[Result]:
+        """Fuse Limit?(Order?(Project(X))) + result materialization into one
+        compiled program over X's columns — a single device dispatch and a
+        single host transfer for the whole query tail."""
+        from duckdb_tpu.execution.tracing import run_jitted
+        from duckdb_tpu.ops import sort as S
+
+        node = plan
+        limit_node = order_node = None
+        if isinstance(node, P.Limit):
+            limit_node, node = node, node.child
+        if isinstance(node, P.Order):
+            order_node, node = node, node.child
+        if not isinstance(node, P.Project):
+            return None
+        proj, child = node, node.child
+        batch = self.execute(child)
+        plen = batch.plen
+        overlay = dict(proj.items)
+        out_keys = [key for _, key, _ in output]
+        exprs = [e for _, e in proj.items]
+        if order_node:
+            exprs = exprs + [it[0] for it in order_node.items]
+        if limit_node:
+            off = limit_node.offset or 0
+            cap = min(plen, max(1, pad_bucket(
+                off + (limit_node.n if limit_node.n is not None else plen))))
+        else:
+            off = 0
+            cap = plen
+
+        def body(env):
+            live = env.live
+            out_cols = {k: env[k] for k in out_keys}
+            if order_node is not None:
+                norm = []
+                for e, desc, nf in order_node.items:
+                    c = e.eval(env)
+                    nf2 = False if nf is None else nf
+                    data = jnp.broadcast_to(c.data, (plen,))
+                    if c.ltype.id is TypeId.VARCHAR:
+                        data = data.astype(jnp.int64)
+                    norm.append(S.orderable_int64(data, c.validity, desc, nf2))
+                perm = S.sort_permutation(norm, live)
+            else:
+                # compact live rows to the front
+                (perm,) = jnp.nonzero(live, size=plen, fill_value=plen - 1)
+            n_live = jnp.sum(live)
+            n_out = n_live - off
+            if limit_node is not None and limit_node.n is not None:
+                n_out = jnp.minimum(n_out, limit_node.n)
+            n_out = jnp.maximum(n_out, 0)
+            rows = perm[jnp.clip(jnp.arange(cap) + off, 0, plen - 1)]
+            outs = []
+            for k in out_keys:
+                c = out_cols[k]
+                data = jnp.broadcast_to(c.data, (plen,))[rows]
+                valid = (jnp.broadcast_to(c.validity, (plen,))[rows]
+                         if c.validity is not None else None)
+                outs.append((data, valid))
+            return n_out, outs
+
+        try:
+            n_out, outs = run_jitted(proj, "tail", batch, exprs, body,
+                                     overlay=overlay)
+        except (KeyError, B.BindError):
+            return None
+        host = jax.device_get((n_out, outs))
+        n = int(host[0])
+        env_cols = {k: None for k in out_keys}
         columns = []
-        for name, key, t in output:
-            col = batch.src[key]
-            data = np.asarray(col.data[idx][:n])
-            valid = (np.asarray(_full_valid(col, batch.plen)[idx][:n])
-                     if col.validity is not None else None)
-            columns.append((data, valid, col.dict_values))
+        # dict metadata: evaluate types/dicts from the overlay templates
+        meta_env = batch.env()
+        for (name, key, t), (d, v) in zip(output, host[1]):
+            dvals = None
+            if t.id is TypeId.VARCHAR:
+                dvals = overlay[key].eval(meta_env).dict_values if key in overlay else None
+            columns.append((d[:n], None if v is None else v[:n], dvals))
         return Result(names=[n_ for n_, _, _ in output],
                       types=[t for _, _, t in output], columns=columns, nrows=n)
 
@@ -250,11 +334,18 @@ class Executor:
         return Batch(src=TableCols(entry, keymap, plen), plen=plen, live=live)
 
     def _exec_Filter(self, node: P.Filter) -> Batch:
+        from duckdb_tpu.execution.tracing import run_jitted
+
         b = self.execute(node.child)
-        c = node.expr.eval(b.env())
-        keep = jnp.broadcast_to(c.data.astype(jnp.bool_), (b.plen,))
-        keep = jnp.logical_and(keep, _full_valid(c, b.plen))  # NULL → reject
-        return Batch(src=b.src, plen=b.plen, live=jnp.logical_and(b.live, keep))
+
+        def body(env):
+            c = node.expr.eval(env)
+            keep = jnp.broadcast_to(c.data.astype(jnp.bool_), (b.plen,))
+            keep = jnp.logical_and(keep, _full_valid(c, b.plen))  # NULL → reject
+            return jnp.logical_and(env.live, keep)
+
+        live = run_jitted(node, "filter", b, [node.expr], body)
+        return Batch(src=b.src, plen=b.plen, live=live)
 
     def _exec_Project(self, node: P.Project) -> Batch:
         b = self.execute(node.child)

@@ -136,6 +136,15 @@ def try_fused_aggregate(executor, node: P.Aggregate):
             return None
 
     # 5. build / fetch the jitted program
+    from duckdb_tpu.execution.tracing import prefetch_scalar_subqueries
+
+    all_exprs = [nd.expr for nd in chain if isinstance(nd, P.Filter)]
+    for nd in chain:
+        if isinstance(nd, P.Project):
+            all_exprs += [e for _, e in nd.items]
+    for agg in node.aggs:
+        all_exprs += agg.args
+    prefetch_scalar_subqueries(all_exprs)
     cache = node.__dict__.setdefault("_fused_cache", {})
     sig = (plen, tuple(needed))
     if sig not in cache:

@@ -307,8 +307,51 @@ class Planner:
                 return
             raise BindError(f"join type {jt} not supported")
         if isinstance(ref, N.TableFunctionRef):
-            raise BindError(f"table function {ref.name} not supported yet")
+            plan, scope_adds, nrows, tbl = self._plan_table_function(ref, ctes)
+            self._add_atom(plan, scope_adds, nrows, scope, atoms, table=tbl)
+            return
         raise BindError(f"FROM element {type(ref).__name__} not supported")
+
+    def _plan_table_function(self, ref: N.TableFunctionRef, ctes):
+        """Built-in table functions (reference: src/function/table/)."""
+        import numpy as np
+        from duckdb_tpu.catalog.catalog import ColumnDef, TableEntry
+
+        name = ref.name.lower()
+        binder = ExprBinder(Scope())
+        args = [binder.bind(a).const_value() for a in ref.args]
+        alias = (ref.alias or name).lower()
+        if name in ("read_csv", "read_csv_auto", "read_parquet", "__file_scan"):
+            tname = self.catalog.ensure_file_table(str(args[0]))
+        elif name in ("range", "generate_series"):
+            if len(args) == 1:
+                lo, hi, step = 0, int(args[0]), 1
+            else:
+                lo, hi = int(args[0]), int(args[1])
+                step = int(args[2]) if len(args) > 2 else 1
+            if name == "generate_series":
+                hi = hi + (1 if step > 0 else -1)  # inclusive end
+            vals = np.arange(lo, hi, step, dtype=np.int64)
+            tname = f"__{name}_{self.fresh('tf')}".replace("#", "_").lower()
+            entry = TableEntry(tname, [ColumnDef("range", BIGINT)])
+            entry.nrows = len(vals)
+            entry.set_host_column("range", vals)
+            self.catalog.create_table(entry, or_replace=True)
+        else:
+            raise BindError(
+                f"Table Function with name {ref.name} does not exist!"
+            )
+        entry = self.catalog.get_table(tname)
+        cols = []
+        scope_adds = []
+        for cd in entry.columns:
+            key = self.fresh(f"{alias}.{cd.name}")
+            cols.append((cd.name, key, cd.ltype))
+            scope_adds.append((alias, cd.name, key, cd.ltype))
+        if ref.column_aliases:
+            scope_adds = [(alias, ref.column_aliases[i] if i < len(ref.column_aliases) else c,
+                           k, t) for i, (a, c, k, t) in enumerate(scope_adds)]
+        return P.Scan(tname, alias, cols), scope_adds, entry.nrows, tname
 
     def _add_atom(self, plan, scope_adds, nrows, scope: Scope, atoms: List[Atom],
                   table: Optional[str] = None):

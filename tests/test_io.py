@@ -1,0 +1,76 @@
+"""CSV / Parquet ingest + COPY round trips + table functions."""
+
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def con(tmp_path):
+    import duckdb_tpu
+
+    return duckdb_tpu.connect()
+
+
+@pytest.fixture()
+def csv_file(tmp_path):
+    p = tmp_path / "people.csv"
+    p.write_text("name,age,score,joined\n"
+                 "alice,30,9.5,2020-01-15\n"
+                 "bob,25,,2021-06-01\n"
+                 "carol,35,7.25,2019-12-31\n")
+    return str(p)
+
+
+def test_file_replacement_scan(con, csv_file):
+    rows = con.sql(f"SELECT name, age FROM '{csv_file}' ORDER BY age").rows()
+    assert rows == [("bob", 25), ("alice", 30), ("carol", 35)]
+
+
+def test_read_csv_function(con, csv_file):
+    rows = con.sql(f"SELECT count(*), avg(age) FROM read_csv('{csv_file}')").rows()
+    assert rows == [(3, 30.0)]
+
+
+def test_csv_null_sniffing(con, csv_file):
+    rows = con.sql(f"SELECT name FROM '{csv_file}' WHERE score IS NULL").rows()
+    assert rows == [("bob",)]
+
+
+def test_copy_from_and_to(con, csv_file, tmp_path):
+    con.sql("CREATE TABLE p (name VARCHAR, age INT, score DOUBLE, joined DATE)")
+    con.sql(f"COPY p FROM '{csv_file}' (HEADER)")
+    assert con.sql("SELECT count(*) FROM p").rows() == [(3,)]
+    out = tmp_path / "out.csv"
+    con.sql(f"COPY (SELECT name, age*2 AS dbl FROM p ORDER BY name) TO '{out}'")
+    lines = out.read_text().strip().splitlines()
+    assert lines[0] == "name,dbl"
+    assert lines[1] == "alice,60"
+
+
+def test_copy_from_appends(con, csv_file):
+    con.sql("CREATE TABLE p (name VARCHAR, age INT, score DOUBLE, joined DATE)")
+    con.sql(f"COPY p FROM '{csv_file}' (HEADER)")
+    con.sql(f"COPY p FROM '{csv_file}' (HEADER)")
+    assert con.sql("SELECT count(*) FROM p").rows() == [(6,)]
+    assert con.sql("SELECT count(DISTINCT name) FROM p").rows() == [(3,)]
+
+
+def test_parquet_round_trip(con, csv_file, tmp_path):
+    con.sql("CREATE TABLE p (name VARCHAR, age INT, score DOUBLE, joined DATE)")
+    con.sql(f"COPY p FROM '{csv_file}' (HEADER)")
+    pq = tmp_path / "p.parquet"
+    con.sql(f"COPY p TO '{pq}' (FORMAT PARQUET)")
+    rows = con.sql(f"SELECT name, joined FROM '{pq}' ORDER BY name").rows()
+    assert rows[0][0] == "alice"
+    assert str(rows[0][1]) == "2020-01-15"
+    # NULL survives the round trip
+    assert con.sql(f"SELECT count(*) FROM '{pq}' WHERE score IS NULL").rows() \
+        == [(1,)]
+
+
+def test_range_functions(con):
+    assert con.sql("SELECT sum(range) FROM range(10)").rows() == [(45,)]
+    assert con.sql("SELECT count(*) FROM generate_series(1,5)").rows() == [(5,)]
+    assert con.sql("SELECT min(range), max(range) FROM range(2, 10, 3)").rows() \
+        == [(2, 8)]
