@@ -27,12 +27,23 @@ class ConnectionException(Exception):
 
 class Connection:
     def __init__(self, database: str = ":memory:"):
+        from duckdb_tpu.main.settings import SettingsManager
+
         self.database = database
         self.catalog = Catalog()
-        self.settings = {}
+        self.settings = SettingsManager()
+        self.catalog.settings_manager = self.settings
         # plan cache: SQL text → (plan, output), invalidated on DDL/DML
         self._plan_cache = {}
         self._catalog_version = 0
+        self.last_profile = None
+        if database not in (":memory:", ""):
+            from duckdb_tpu.storage.persist import open_database
+
+            open_database(self, database)
+
+    _MUTATING = (N.CreateTable, N.CreateView, N.DropStatement,
+                 N.InsertStatement, N.DeleteStatement, N.UpdateStatement)
 
     # -- main entry -----------------------------------------------------------
     def sql(self, query: str) -> Optional[Result]:
@@ -41,14 +52,45 @@ class Connection:
         if len(stmts) == 1 and isinstance(stmts[0], N.SelectStatement):
             stmts[0]._sql_text = query
         res = None
+        mutated = False
         for s in stmts:
             if not isinstance(s, N.SelectStatement):
                 self._plan_cache.clear()  # DDL/DML invalidates cached plans
+            if isinstance(s, self._MUTATING) or (
+                    isinstance(s, N.CopyStatement) and s.direction == "from"):
+                mutated = True
+            if isinstance(s, N.CreateView):
+                s._sql_text = query  # persisted view definition
             res = self._execute_statement(s)
+        if (mutated and self.database not in (":memory:", "")
+                and not getattr(self, "_replaying", False)):
+            from duckdb_tpu.storage.persist import checkpoint, wal_append
+            import os
+
+            wal_append(self.database, query)
+            wal_path = os.path.join(self.database, "wal.sql")
+            threshold = 16 << 20
+            if (os.path.exists(wal_path)
+                    and os.path.getsize(wal_path) > threshold):
+                checkpoint(self, self.database)
         return res
 
     execute = sql
     query = sql
+
+    def _execute_statement_nowal(self, text: str):
+        """Replay one WAL statement without re-logging it."""
+        self._replaying = True
+        try:
+            self.sql(text)
+        finally:
+            self._replaying = False
+
+    def close(self):
+        if self.database not in (":memory:", ""):
+            from duckdb_tpu.storage.persist import checkpoint
+
+            checkpoint(self, self.database)
 
     def _execute_statement(self, s):
         if isinstance(s, N.SelectStatement):
@@ -68,6 +110,8 @@ class Connection:
             key = s.name.lower()
             if key in self.catalog.views and not s.or_replace:
                 raise ConnectionException(f'view "{s.name}" already exists')
+            if getattr(s, "_sql_text", None):
+                s.query._sql_text = s._sql_text
             self.catalog.views[key] = s.query
             return None
         if isinstance(s, N.DropStatement):
@@ -84,22 +128,90 @@ class Connection:
         if isinstance(s, N.CopyStatement):
             return self._copy(s)
         if isinstance(s, N.SetStatement):
-            self.settings[s.name.lower()] = s.value
+            if s.is_reset:
+                self.settings.reset(s.name)
+            else:
+                self.settings.set(s.name, s.value)
             return None
         if isinstance(s, N.PragmaStatement):
-            return None  # accepted, no-op for now
+            return self._pragma(s)
         if isinstance(s, N.TransactionStatement):
-            return None  # single-version catalog; txn layer forthcoming
+            return self._transaction(s)
         if isinstance(s, N.ExplainStatement):
-            planner = Planner(self.catalog)
-            plan, output = planner.plan_select(s.query)
-            from duckdb_tpu.planner.explain import render_plan
-
-            print(render_plan(plan))
-            return None
+            return self._explain(s)
         raise ConnectionException(
             f"statement {type(s).__name__} not supported yet"
         )
+
+    def _explain(self, s: N.ExplainStatement):
+        from duckdb_tpu.execution.executor import Result
+        from duckdb_tpu.planner.explain import render_plan
+        from duckdb_tpu.types import VARCHAR
+        import numpy as np
+
+        planner = Planner(self.catalog)
+        plan, output = planner.plan_select(s.query)
+        if s.analyze:
+            from duckdb_tpu.main.profiler import (QueryProfile, Timer,
+                                                  profile_executor)
+            import time as _time
+
+            profile = QueryProfile(query=getattr(s.query, "_sql_text", ""))
+            ex = profile_executor(Executor(self.catalog), profile)
+            t0 = _time.perf_counter()
+            ex.run(plan, output)
+            profile.total_s = _time.perf_counter() - t0
+            self.last_profile = profile
+            text = profile.render()
+        else:
+            text = render_plan(plan)
+        vals, codes = np.unique(np.array([text], dtype=object), return_inverse=True)
+        return Result(names=["explain_value"], types=[VARCHAR],
+                      columns=[(codes.astype(np.int32), None,
+                                vals.astype(object))], nrows=1)
+
+    def _pragma(self, s: N.PragmaStatement):
+        name = s.name.lower()
+        if name in ("show", "show_tables"):
+            return self.sql("SELECT name FROM duckdb_tables() ORDER BY name")
+        if name == "table_info":
+            t = s.args[0].value if s.args else ""
+            return self.sql(
+                f"SELECT * FROM pragma_table_info('{t}')")
+        if name == "database_size":
+            return None
+        if name in ("enable_profiling", "disable_profiling"):
+            self.settings.set("enable_profiling", name == "enable_profiling")
+            return None
+        return None
+
+    def _transaction(self, s: N.TransactionStatement):
+        from duckdb_tpu.storage.persist import checkpoint
+
+        a = s.action
+        if a == "begin":
+            self._txn_snapshot = (dict(self.catalog.tables),
+                                  dict(self.catalog.views))
+        elif a == "rollback":
+            snap = getattr(self, "_txn_snapshot", None)
+            if snap is None:
+                raise ConnectionException(
+                    "TransactionContext Error: cannot rollback - "
+                    "no transaction is active")
+            self.catalog.tables, self.catalog.views = (dict(snap[0]),
+                                                       dict(snap[1]))
+            self._txn_snapshot = None
+            self._plan_cache.clear()
+        elif a == "commit":
+            if getattr(self, "_txn_snapshot", None) is None:
+                raise ConnectionException(
+                    "TransactionContext Error: cannot commit - "
+                    "no transaction is active")
+            self._txn_snapshot = None
+        elif a == "checkpoint":
+            if self.database not in (":memory:", ""):
+                checkpoint(self, self.database)
+        return None
 
     # -- DDL / DML ------------------------------------------------------------
     def _create_table(self, s: N.CreateTable):

@@ -244,8 +244,11 @@ class Executor:
     def _run_fused_tail(self, plan, output) -> Optional[Result]:
         """Fuse Limit?(Order?(Project(X))) + result materialization into one
         compiled program over X's columns — a single device dispatch and a
-        single host transfer for the whole query tail."""
-        from duckdb_tpu.execution.tracing import run_jitted
+        single host transfer for the whole query tail. When X is itself a
+        fusable aggregate, the ENTIRE query (scan→filter→aggregate→project→
+        order→limit→collect) becomes one XLA program."""
+        from duckdb_tpu.execution.fused_agg import build_fused_agg
+        from duckdb_tpu.execution.tracing import TraceEnv, run_jitted
         from duckdb_tpu.ops import sort as S
 
         node = plan
@@ -257,67 +260,103 @@ class Executor:
         if not isinstance(node, P.Project):
             return None
         proj, child = node, node.child
-        batch = self.execute(child)
-        plen = batch.plen
+
+        fa = None
+        if isinstance(child, P.Aggregate) and child.groups:
+            try:
+                fa = build_fused_agg(self, child)
+            except (KeyError, B.BindError):
+                fa = None
+            if fa is not None and fa.total > (1 << 20):
+                fa = None  # sorting the full dense domain would dominate
+        if fa is not None:
+            batch = fa.base_batch
+            inner_plen = fa.total
+        else:
+            batch = self.execute(child)
+            inner_plen = batch.plen
+
         overlay = dict(proj.items)
         out_keys = [key for _, key, _ in output]
         exprs = [e for _, e in proj.items]
         if order_node:
             exprs = exprs + [it[0] for it in order_node.items]
+        if fa is not None:
+            keyrefs = [B.BoundColumnRef(k, batch.src[k].ltype)
+                       for k in fa.needed]
+            in_exprs = keyrefs
+        else:
+            in_exprs = exprs
         if limit_node:
             off = limit_node.offset or 0
-            cap = min(plen, max(1, pad_bucket(
-                off + (limit_node.n if limit_node.n is not None else plen))))
+            cap = min(inner_plen, max(1, pad_bucket(
+                off + (limit_node.n if limit_node.n is not None else inner_plen))))
         else:
             off = 0
-            cap = plen
+            cap = inner_plen
 
-        def body(env):
-            live = env.live
-            out_cols = {k: env[k] for k in out_keys}
+        def tail(env2):
+            plen2 = env2.plen
+            live = env2.live
+            out_cols = {k: env2[k] for k in out_keys}
             if order_node is not None:
                 norm = []
                 for e, desc, nf in order_node.items:
-                    c = e.eval(env)
+                    c = e.eval(env2)
                     nf2 = False if nf is None else nf
-                    data = jnp.broadcast_to(c.data, (plen,))
+                    data = jnp.broadcast_to(c.data, (plen2,))
                     if c.ltype.id is TypeId.VARCHAR:
                         data = data.astype(jnp.int64)
                     norm.append(S.orderable_int64(data, c.validity, desc, nf2))
                 perm = S.sort_permutation(norm, live)
             else:
-                # compact live rows to the front
-                (perm,) = jnp.nonzero(live, size=plen, fill_value=plen - 1)
+                (perm,) = jnp.nonzero(live, size=plen2, fill_value=plen2 - 1)
             n_live = jnp.sum(live)
             n_out = n_live - off
             if limit_node is not None and limit_node.n is not None:
                 n_out = jnp.minimum(n_out, limit_node.n)
             n_out = jnp.maximum(n_out, 0)
-            rows = perm[jnp.clip(jnp.arange(cap) + off, 0, plen - 1)]
+            rows = perm[jnp.clip(jnp.arange(cap) + off, 0, plen2 - 1)]
             outs = []
             for k in out_keys:
                 c = out_cols[k]
-                data = jnp.broadcast_to(c.data, (plen,))[rows]
-                valid = (jnp.broadcast_to(c.validity, (plen,))[rows]
+                data = jnp.broadcast_to(c.data, (plen2,))[rows]
+                valid = (jnp.broadcast_to(c.validity, (plen2,))[rows]
                          if c.validity is not None else None)
                 outs.append((data, valid))
             return n_out, outs
 
+        def body(env):
+            if fa is not None:
+                agg_cols, occ = fa.body(env)
+                env2 = TraceEnv(agg_cols, fa.total, occ > 0, overlay=overlay)
+                return tail(env2)
+            return tail(env)
+
         try:
-            n_out, outs = run_jitted(proj, "tail", batch, exprs, body,
-                                     overlay=overlay)
+            n_out, outs = run_jitted(proj, "tail", batch, in_exprs, body,
+                                     overlay=None if fa is not None else overlay)
         except (KeyError, B.BindError):
             return None
         host = jax.device_get((n_out, outs))
         n = int(host[0])
-        env_cols = {k: None for k in out_keys}
         columns = []
-        # dict metadata: evaluate types/dicts from the overlay templates
+        if fa is not None:
+            dict_lookup = {k: dv for k, (t, dv) in fa.out_types.items()}
         meta_env = batch.env()
         for (name, key, t), (d, v) in zip(output, host[1]):
             dvals = None
             if t.id is TypeId.VARCHAR:
-                dvals = overlay[key].eval(meta_env).dict_values if key in overlay else None
+                if fa is not None:
+                    e = overlay.get(key)
+                    rk = e.key if isinstance(e, (B.BoundColumnRef,
+                                                 B.BoundAggregateRef)) else None
+                    dvals = dict_lookup.get(rk) if rk else None
+                    if dvals is None:
+                        return None  # complex varchar projection: fall back
+                else:
+                    dvals = (overlay[key].eval(meta_env).dict_values
+                             if key in overlay else None)
             columns.append((d[:n], None if v is None else v[:n], dvals))
         return Result(names=[n_ for n_, _, _ in output],
                       types=[t for _, _, t in output], columns=columns, nrows=n)

@@ -13,16 +13,16 @@ Eligibility (else the general path runs):
 - group keys are direct column refs with statically-known domains
   (dictionary length for VARCHAR, table min/max stats for integers/dates)
 - aggregates in {sum, count, count_star, avg, min, max}, no DISTINCT
-- dense domain product ≤ PERFECT_LIMIT (2^22 slots)
+- dense domain product ≤ PERFECT_LIMIT slots
 
-The jit cache key is (plan node identity, padded length): repeated
-queries (the benchmark steady state, prepared statements) skip straight
-to dispatch.
+`build_fused_agg(executor, node)` exposes the traced body so the query
+tail (projection/order/limit, executor._run_fused_tail) can compose the
+ENTIRE query into a single device program — one dispatch, one transfer.
 """
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,15 +34,28 @@ from duckdb_tpu.planner import plan as P
 from duckdb_tpu.planner import bound as B
 from duckdb_tpu.types import BIGINT, DOUBLE, TypeId
 
-PERFECT_LIMIT = 1 << 22
+PERFECT_LIMIT = 1 << 23
 
 _FUSABLE_AGGS = {"sum", "count", "count_star", "avg", "mean", "min", "max"}
 
 
-def try_fused_aggregate(executor, node: P.Aggregate):
-    """Returns a Batch or None if the fused path doesn't apply."""
-    from duckdb_tpu.execution.executor import Batch, DictCols, TableCols
+class FusedAgg:
+    """Prepared fused-aggregate: base batch + a traced body.
 
+    body(env over base columns) → (cols: key→Column sized (total,),
+    occ: int32 (total,)) — group keys decoded in-trace, aggregates with
+    validity planes. Slot `i` is live iff occ[i] > 0.
+    """
+
+    def __init__(self, base_batch, needed, body, total, out_types):
+        self.base_batch = base_batch
+        self.needed = needed
+        self.body = body
+        self.total = total
+        self.out_types = out_types  # key → (ltype, dict_values|None)
+
+
+def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
     # 1. peel Filter/Project chain down to a Scan
     chain = []
     base = node.child
@@ -51,7 +64,7 @@ def try_fused_aggregate(executor, node: P.Aggregate):
         base = base.child
     if not isinstance(base, P.Scan):
         return None
-    chain.reverse()  # execution order: bottom-up
+    chain.reverse()
 
     for agg in node.aggs:
         if agg.func not in _FUSABLE_AGGS or agg.distinct:
@@ -61,14 +74,14 @@ def try_fused_aggregate(executor, node: P.Aggregate):
         if agg.ltype.id is TypeId.VARCHAR:
             return None  # min/max over strings: dict plumbing → general path
 
-    # 2. resolve project indirection for group keys: must be column refs
+    # 2. group keys must resolve (through projections) to column refs
     project_items = {}
     for nd in chain:
         if isinstance(nd, P.Project):
             for k, e in nd.items:
                 project_items[k] = e
 
-    def resolve(e: B.BoundExpr) -> Optional[B.BoundExpr]:
+    def resolve(e):
         while isinstance(e, B.BoundColumnRef) and e.key in project_items:
             e = project_items[e.key]
         return e
@@ -80,7 +93,7 @@ def try_fused_aggregate(executor, node: P.Aggregate):
             return None
         group_resolved.append((gkey, r))
 
-    # 3. base batch + needed column set
+    # 3. base batch + needed columns
     base_batch = executor.execute(base)
     plen = base_batch.plen
     entry = executor.catalog.get_table(base.table)
@@ -88,7 +101,7 @@ def try_fused_aggregate(executor, node: P.Aggregate):
 
     needed: List[str] = []
 
-    def collect(e: B.BoundExpr):
+    def collect(e):
         for nn in B.walk(e):
             if isinstance(nn, B.BoundColumnRef) and nn.key in key2col:
                 if nn.key not in needed:
@@ -108,7 +121,7 @@ def try_fused_aggregate(executor, node: P.Aggregate):
 
     base_cols = {k: base_batch.src[k] for k in needed}
 
-    # 4. static domains for each group key
+    # 4. static per-key domains
     mins, domains = [], []
     for _, ref in group_resolved:
         c = base_cols.get(ref.key)
@@ -135,7 +148,6 @@ def try_fused_aggregate(executor, node: P.Aggregate):
         if total > PERFECT_LIMIT:
             return None
 
-    # 5. build / fetch the jitted program
     from duckdb_tpu.execution.tracing import prefetch_scalar_subqueries
 
     all_exprs = [nd.expr for nd in chain if isinstance(nd, P.Filter)]
@@ -145,111 +157,41 @@ def try_fused_aggregate(executor, node: P.Aggregate):
     for agg in node.aggs:
         all_exprs += agg.args
     prefetch_scalar_subqueries(all_exprs)
-    cache = node.__dict__.setdefault("_fused_cache", {})
-    sig = (plen, tuple(needed))
-    if sig not in cache:
-        cache[sig] = _build_program(
-            node, chain, group_resolved, base_cols, needed, mins, domains,
-            total, plen,
-        )
-    fn = cache[sig]
 
-    arrays = []
-    for k in needed:
-        c = base_cols[k]
-        arrays.append(c.data)
-        arrays.append(c.validity if c.validity is not None
-                      else jnp.ones((0,), jnp.bool_))
-    occ, slot_outputs = fn(base_batch.live, *arrays)
+    filters = [nd.expr for nd in chain if isinstance(nd, P.Filter)]
+    proj_list = list(project_items.items())
+    out_types = {}
+    for (gkey, ref) in group_resolved:
+        c = base_cols[ref.key]
+        out_types[gkey] = (c.ltype, c.dict_values)
+    for agg in node.aggs:
+        out_types[agg.key] = (agg.ltype, None)
 
-    # 6. compact occupied slots (host sync on group count only)
-    n_groups = int(jnp.sum(occ > 0))
-    out_plen = max(128, pad_bucket(max(1, n_groups)))
-    slot_idx, _ = compact_indices(occ > 0, out_plen)
-    slots64 = slot_idx.astype(jnp.int64)
-
-    cols = {}
-    # decode group key values from slot id (mixed radix)
     strides = []
     stride = 1
     for d in reversed(domains):
         strides.append(stride)
         stride *= d
     strides.reverse()
-    for (gkey, ref), lo, dom, st in zip(group_resolved, mins, domains, strides):
-        src_col = base_cols[ref.key]
-        comp = (slots64 // jnp.int64(st)) % jnp.int64(dom)
-        validity = comp > 0
-        vals = (comp - 1 + jnp.int64(lo)).astype(src_col.data.dtype)
-        out_live_mask = jnp.arange(out_plen) < n_groups
-        validity = jnp.where(out_live_mask, validity, False)
-        cols[gkey] = Column(data=vals, ltype=src_col.ltype, validity=validity,
-                            dict_values=src_col.dict_values)
-    for agg, (data, valid) in zip(node.aggs, slot_outputs):
-        d = data[slot_idx]
-        v = valid[slot_idx] if valid is not None else None
-        cols[agg.key] = Column(data=d, ltype=agg.ltype, validity=v)
 
-    out_live = jnp.arange(out_plen) < n_groups
-    return Batch(src=DictCols(cols), plen=out_plen, live=out_live)
+    def body(env):
+        from duckdb_tpu.execution.tracing import TraceEnv
 
-
-def _build_program(node, chain, group_resolved, base_cols, needed, mins,
-                   domains, total, plen):
-    """Trace the fused pipeline into one jitted program."""
-    templates = {k: base_cols[k] for k in needed}
-    filters = [nd.expr for nd in chain if isinstance(nd, P.Filter)]
-    project_items = []
-    for nd in chain:
-        if isinstance(nd, P.Project):
-            project_items.extend(nd.items)
-
-    class _Env:
-        """Eval env resolving base columns + project items lazily."""
-
-        def __init__(self, cols, plen, live):
-            self._cols = cols
-            self.plen = plen
-            self.live = live
-            self._proj = dict(project_items)
-
-        @property
-        def cols(self):
-            return self
-
-        def __getitem__(self, key):
-            if key in self._cols:
-                return self._cols[key]
-            if key in self._proj:
-                c = self._proj[key].eval(self)
-                self._cols[key] = c
-                return c
-            raise KeyError(key)
-
-    def program(live, *arrays):
-        cols = {}
-        for i, k in enumerate(needed):
-            data = arrays[2 * i]
-            validity = arrays[2 * i + 1]
-            t = templates[k]
-            cols[k] = Column(
-                data=data, ltype=t.ltype,
-                validity=None if validity.shape[0] == 0 else validity,
-                dict_values=t.dict_values,
-            )
-        env = _Env(cols, plen, live)
+        live = env.live
+        env2 = TraceEnv({k: env[k] for k in needed}, plen, live,
+                        overlay=dict(proj_list))
         for f in filters:
-            c = f.eval(env)
+            c = f.eval(env2)
             keep = jnp.broadcast_to(c.data.astype(jnp.bool_), (plen,))
             if c.validity is not None:
-                keep = jnp.logical_and(keep, jnp.broadcast_to(c.validity, (plen,)))
+                keep = jnp.logical_and(keep,
+                                       jnp.broadcast_to(c.validity, (plen,)))
             live = jnp.logical_and(live, keep)
-            env.live = live
+            env2.live = live
 
-        # dense mixed-radix slot ids
         dense = jnp.zeros((plen,), jnp.int64)
         for (gkey, ref), lo, dom in zip(group_resolved, mins, domains):
-            c = env[ref.key]
+            c = env2[ref.key]
             kd = jnp.broadcast_to(c.data, (plen,)).astype(jnp.int64)
             if c.validity is not None:
                 off = jnp.where(jnp.broadcast_to(c.validity, (plen,)),
@@ -262,13 +204,57 @@ def _build_program(node, chain, group_resolved, base_cols, needed, mins,
 
         occ = jax.ops.segment_sum(live.astype(jnp.int32), dense,
                                   num_segments=nseg)[:-1]
-
-        outputs = []
+        cols: Dict[str, Column] = {}
+        slots = jnp.arange(total, dtype=jnp.int64)
+        for (gkey, ref), lo, dom, st in zip(group_resolved, mins, domains,
+                                            strides):
+            src_col = base_cols[ref.key]
+            comp = (slots // jnp.int64(st)) % jnp.int64(dom)
+            validity = jnp.logical_and(comp > 0, occ > 0)
+            vals = (comp - 1 + jnp.int64(lo)).astype(src_col.data.dtype)
+            cols[gkey] = Column(data=vals, ltype=src_col.ltype,
+                                validity=validity,
+                                dict_values=src_col.dict_values)
         for agg in node.aggs:
-            outputs.append(_slot_agg(agg, env, dense, nseg, live, plen))
-        return occ, outputs
+            data, valid = _slot_agg(agg, env2, dense, nseg, live, plen)
+            cols[agg.key] = Column(data=data, ltype=agg.ltype, validity=valid)
+        return cols, occ
 
-    return jax.jit(program)
+    return FusedAgg(base_batch, needed, body, total, out_types)
+
+
+def try_fused_aggregate(executor, node: P.Aggregate):
+    """Standalone fused aggregate → Batch (or None)."""
+    from duckdb_tpu.execution.executor import Batch, DictCols
+    from duckdb_tpu.execution.tracing import run_jitted
+
+    fa = build_fused_agg(executor, node)
+    if fa is None:
+        return None
+
+    keyrefs = [B.BoundColumnRef(k, fa.base_batch.src[k].ltype)
+               for k in fa.needed]
+
+    def jit_body(env):
+        cols, occ = fa.body(env)
+        flat = [(cols[k].data, cols[k].validity) for k in sorted(cols)]
+        return occ, flat
+
+    occ, flat = run_jitted(node, "agg", fa.base_batch, keyrefs, jit_body)
+    names = sorted(fa.out_types)
+    n_groups = int(jnp.sum(occ > 0))
+    out_plen = max(128, pad_bucket(max(1, n_groups)))
+    slot_idx, _ = compact_indices(occ > 0, out_plen)
+    out_live = jnp.arange(out_plen) < n_groups
+    cols = {}
+    for k, (data, valid) in zip(names, flat):
+        t, dvals = fa.out_types[k]
+        d = data[slot_idx]
+        v = valid[slot_idx] if valid is not None else None
+        if v is not None:
+            v = jnp.where(out_live, v, False)
+        cols[k] = Column(data=d, ltype=t, validity=v, dict_values=dvals)
+    return Batch(src=DictCols(cols), plen=out_plen, live=out_live)
 
 
 def _slot_agg(agg, env, dense, nseg, live, plen):

@@ -1,0 +1,83 @@
+"""Declarative settings registry.
+
+The reference generates its settings surface from one JSON file
+(/root/reference/src/common/settings.json → scripts/generate_settings.py,
+180 entries, global vs session scope). Same pattern: one table drives
+SET/RESET/PRAGMA and the duckdb_settings() system function.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+
+@dataclass
+class Setting:
+    name: str
+    default: object
+    typ: str  # BOOLEAN / BIGINT / VARCHAR / DOUBLE
+    scope: str  # GLOBAL / LOCAL
+    description: str
+
+
+SETTINGS = [
+    Setting("threads", 0, "BIGINT", "GLOBAL",
+            "Host threads for native loaders (0 = hardware concurrency)"),
+    Setting("memory_limit", "80% of HBM", "VARCHAR", "GLOBAL",
+            "Device memory budget for resident columns"),
+    Setting("enable_progress_bar", False, "BOOLEAN", "LOCAL",
+            "Show progress for long queries"),
+    Setting("enable_profiling", False, "BOOLEAN", "LOCAL",
+            "Collect per-operator timings (EXPLAIN ANALYZE implies it)"),
+    Setting("explain_output", "physical_only", "VARCHAR", "LOCAL",
+            "EXPLAIN rendering mode"),
+    Setting("default_null_order", "nulls_last", "VARCHAR", "LOCAL",
+            "Default NULL ordering for ORDER BY"),
+    Setting("default_order", "asc", "VARCHAR", "LOCAL",
+            "Default sort direction"),
+    Setting("num_shards", 1, "BIGINT", "GLOBAL",
+            "Device-mesh shards for distributed execution (1 = single chip)"),
+    Setting("disabled_optimizers", "", "VARCHAR", "LOCAL",
+            "Comma-separated optimizer passes to skip"),
+    Setting("max_expression_depth", 1000, "BIGINT", "LOCAL",
+            "Parser recursion guard"),
+    Setting("timezone", "UTC", "VARCHAR", "LOCAL", "Session time zone"),
+    Setting("preserve_insertion_order", True, "BOOLEAN", "GLOBAL",
+            "Stable result ordering for unordered queries"),
+    Setting("checkpoint_threshold", "16MB", "VARCHAR", "GLOBAL",
+            "WAL size that triggers automatic checkpoint"),
+    Setting("enable_object_cache", True, "BOOLEAN", "GLOBAL",
+            "Cache compiled query programs"),
+]
+
+BY_NAME: Dict[str, Setting] = {s.name: s for s in SETTINGS}
+
+
+class SettingsManager:
+    def __init__(self):
+        self.values: Dict[str, object] = {s.name: s.default for s in SETTINGS}
+
+    def set(self, name: str, value):
+        name = name.lower()
+        if name not in BY_NAME:
+            raise ValueError(
+                f'unrecognized configuration parameter "{name}"')
+        spec = BY_NAME[name]
+        if spec.typ == "BOOLEAN" and isinstance(value, str):
+            value = value.lower() in ("true", "on", "1")
+        elif spec.typ == "BIGINT":
+            value = int(value)
+        self.values[name] = value
+
+    def reset(self, name: str):
+        name = name.lower()
+        if name in BY_NAME:
+            self.values[name] = BY_NAME[name].default
+
+    def get(self, name: str, default=None):
+        return self.values.get(name.lower(), default)
+
+    def rows(self):
+        return [(s.name, str(self.values[s.name]), s.description, s.typ,
+                 s.scope) for s in SETTINGS]

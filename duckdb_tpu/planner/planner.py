@@ -337,6 +337,10 @@ class Planner:
             entry.nrows = len(vals)
             entry.set_host_column("range", vals)
             self.catalog.create_table(entry, or_replace=True)
+        elif name in ("duckdb_tables", "duckdb_columns", "duckdb_views",
+                      "duckdb_settings", "pragma_table_info", "duckdb_types",
+                      "duckdb_functions"):
+            tname = self._system_table_function(name, args)
         else:
             raise BindError(
                 f"Table Function with name {ref.name} does not exist!"
@@ -352,6 +356,82 @@ class Planner:
             scope_adds = [(alias, ref.column_aliases[i] if i < len(ref.column_aliases) else c,
                            k, t) for i, (a, c, k, t) in enumerate(scope_adds)]
         return P.Scan(tname, alias, cols), scope_adds, entry.nrows, tname
+
+    def _system_table_function(self, name: str, args) -> str:
+        """Catalog introspection TFs (reference: src/function/table/system/)."""
+        import numpy as np
+        from duckdb_tpu.catalog.catalog import ColumnDef, TableEntry
+        from duckdb_tpu.types import VARCHAR as VC, BIGINT as BI, BOOLEAN as BO
+
+        def make(tname, cols, rows):
+            entry = TableEntry(tname, [ColumnDef(n, t) for n, t in cols])
+            entry.nrows = len(rows)
+            for ci, (cname, t) in enumerate(cols):
+                vals = [r[ci] for r in rows]
+                if t.id is TypeId.VARCHAR:
+                    uniq, codes = (np.unique(np.array(vals, dtype=str),
+                                             return_inverse=True)
+                                   if vals else (np.empty(0, object),
+                                                 np.empty(0, np.int64)))
+                    entry.set_host_column(cname, codes.astype(np.int32),
+                                          dict_values=uniq.astype(object))
+                else:
+                    entry.set_host_column(
+                        cname, np.array(vals, dtype=t.np_dtype))
+            self.catalog.create_table(entry, or_replace=True)
+            return tname
+
+        user_tables = [(n, e) for n, e in sorted(self.catalog.tables.items())
+                       if not n.startswith("__")]
+        if name == "duckdb_tables":
+            rows = [(n, "main", e.nrows, len(e.columns))
+                    for n, e in user_tables]
+            return make("__sys_tables", [("name", VC), ("schema_name", VC),
+                                         ("estimated_size", BI),
+                                         ("column_count", BI)], rows)
+        if name == "duckdb_columns":
+            rows = []
+            for n, e in user_tables:
+                for i, cd in enumerate(e.columns):
+                    rows.append((n, cd.name, i, str(cd.ltype)))
+            return make("__sys_columns", [("table_name", VC),
+                                          ("column_name", VC),
+                                          ("column_index", BI),
+                                          ("data_type", VC)], rows)
+        if name == "duckdb_views":
+            rows = [(n, "main") for n in sorted(self.catalog.views)]
+            return make("__sys_views", [("view_name", VC),
+                                        ("schema_name", VC)], rows)
+        if name == "duckdb_settings":
+            mgr = getattr(self.catalog, "settings_manager", None)
+            rows = mgr.rows() if mgr else []
+            return make("__sys_settings", [("name", VC), ("value", VC),
+                                           ("description", VC),
+                                           ("input_type", VC),
+                                           ("scope", VC)], rows)
+        if name == "pragma_table_info":
+            t = self.catalog.get_table(str(args[0]))
+            rows = [(i, cd.name, str(cd.ltype), False, "", False)
+                    for i, cd in enumerate(t.columns)]
+            return make("__sys_table_info", [("cid", BI), ("name", VC),
+                                             ("type", VC), ("notnull", BO),
+                                             ("dflt_value", VC), ("pk", BO)],
+                        rows)
+        if name == "duckdb_types":
+            from duckdb_tpu.planner.binder import _TYPE_NAMES
+
+            rows = sorted({(str(t), n) for n, t in _TYPE_NAMES.items()})
+            return make("__sys_types", [("logical_type", VC),
+                                        ("sql_name", VC)], rows)
+        if name == "duckdb_functions":
+            from duckdb_tpu.planner.functions import REGISTRY
+            from duckdb_tpu.planner.binder import AGGREGATE_NAMES
+
+            rows = [(f, "scalar") for f in sorted(REGISTRY)]
+            rows += [(f, "aggregate") for f in sorted(AGGREGATE_NAMES)]
+            return make("__sys_functions", [("function_name", VC),
+                                            ("function_type", VC)], rows)
+        raise BindError(name)
 
     def _add_atom(self, plan, scope_adds, nrows, scope: Scope, atoms: List[Atom],
                   table: Optional[str] = None):

@@ -1,0 +1,175 @@
+"""Persistence: database directory, checkpoint, logical WAL.
+
+The reference persists to a single block file + WAL (src/storage/
+single_file_block_manager.cpp, write_ahead_log.cpp; replay at
+wal_replay.cpp:354). Here the durable format is a directory:
+
+  <db>/catalog.json            table/view definitions + row counts
+  <db>/data/<table>/           binary columnar files (meta.json,
+                               <col>.i64/.i32/.f64, <col>.len/.bytes,
+                               <col>.valid) — same format the native
+                               loaders emit, so checkpointed tables mmap
+                               straight back in
+  <db>/wal.sql                 logical WAL: statements since checkpoint
+
+CHECKPOINT writes all dirty tables + truncates the WAL (the reference's
+checkpoint-truncates-WAL contract); opening replays catalog.json then the
+WAL (crash recovery).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict
+
+import numpy as np
+
+from duckdb_tpu.catalog.catalog import Catalog, ColumnDef, TableEntry
+from duckdb_tpu.types import LogicalType, TypeId, decimal as make_decimal
+
+
+def _type_to_json(t: LogicalType):
+    if t.id is TypeId.DECIMAL:
+        return {"id": "decimal", "width": t.width, "scale": t.scale}
+    return {"id": t.id.value}
+
+
+def _type_from_json(d) -> LogicalType:
+    if d["id"] == "decimal":
+        return make_decimal(d["width"], d["scale"])
+    return LogicalType(TypeId(d["id"]))
+
+
+_KIND = {np.dtype(np.int64): "i64", np.dtype(np.int32): "i32",
+         np.dtype(np.float64): "f64", np.dtype(np.bool_): "i32",
+         np.dtype(np.int16): "i32", np.dtype(np.int8): "i32",
+         np.dtype(np.float32): "f64"}
+
+
+def checkpoint(con, path: str):
+    """Write the full catalog + data to the database directory."""
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    cat = con.catalog
+    meta = {"tables": [], "views": {}}
+    for name, entry in cat.tables.items():
+        if name.startswith("__"):
+            continue  # ephemeral file/table-function tables
+        tdir = os.path.join(path, "data", name)
+        os.makedirs(tdir, exist_ok=True)
+        cols_meta = []
+        for cd in entry.columns:
+            vals, valid, dvals = entry.host_column(cd.name)
+            base = os.path.join(tdir, cd.name)
+            if cd.ltype.id is TypeId.VARCHAR:
+                strs = (dvals[vals] if dvals is not None and len(vals)
+                        else np.empty(0, object))
+                lens = np.array([len(s.encode()) for s in strs],
+                                dtype=np.uint32)
+                lens.tofile(base + ".len")
+                with open(base + ".bytes", "wb") as f:
+                    for s in strs:
+                        f.write(s.encode())
+                kind = "str"
+            else:
+                arr = np.asarray(vals)
+                kind = _KIND.get(arr.dtype, "i64")
+                if kind == "i64":
+                    arr.astype(np.int64).tofile(base + ".i64")
+                elif kind == "f64":
+                    arr.astype(np.float64).tofile(base + ".f64")
+                else:
+                    arr.astype(np.int32).tofile(base + ".i32")
+            if valid is not None:
+                np.asarray(valid, dtype=np.uint8).tofile(base + ".valid")
+            elif os.path.exists(base + ".valid"):
+                os.remove(base + ".valid")
+            cols_meta.append({"name": cd.name, "kind": kind})
+        with open(os.path.join(tdir, "meta.json"), "w") as f:
+            json.dump({"rows": entry.nrows, "columns": cols_meta}, f)
+        meta["tables"].append({
+            "name": name,
+            "columns": [{"name": cd.name, "type": _type_to_json(cd.ltype)}
+                        for cd in entry.columns],
+            "rows": entry.nrows,
+        })
+    for vname, vast in cat.views.items():
+        sql_text = getattr(vast, "_sql_text", None)
+        if sql_text:
+            meta["views"][vname] = sql_text
+    tmp = os.path.join(path, "catalog.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, os.path.join(path, "catalog.json"))
+    # checkpoint truncates the WAL
+    wal = os.path.join(path, "wal.sql")
+    if os.path.exists(wal):
+        os.remove(wal)
+
+
+def wal_append(path: str, sql: str):
+    with open(os.path.join(path, "wal.sql"), "a") as f:
+        f.write(sql.rstrip().rstrip(";") + ";\n--WAL_ENTRY\n")
+
+
+def open_database(con, path: str):
+    """Open (or create) a database directory; replay catalog + WAL."""
+    os.makedirs(path, exist_ok=True)
+    cat_path = os.path.join(path, "catalog.json")
+    if os.path.exists(cat_path):
+        with open(cat_path) as f:
+            meta = json.load(f)
+        from duckdb_tpu.storage import binary_dir
+        from functools import partial
+
+        for t in meta["tables"]:
+            tdir = os.path.join(path, "data", t["name"])
+            cols = [ColumnDef(c["name"], _type_from_json(c["type"]))
+                    for c in t["columns"]]
+            entry = TableEntry(t["name"], cols)
+            entry.nrows = t["rows"]
+            with open(os.path.join(tdir, "meta.json")) as f:
+                tmeta = json.load(f)
+            kinds = {c["name"]: c["kind"] for c in tmeta["columns"]}
+
+            def loader(tdir, cname, kind, ltype):
+                validity = None
+                vp = os.path.join(tdir, cname + ".valid")
+                if os.path.exists(vp):
+                    validity = np.fromfile(vp, dtype=np.uint8).astype(bool)
+                if kind == "str":
+                    values = binary_dir.read_string_column(tdir, cname)
+                    codes, uniq = binary_dir.dict_encode(values)
+                    return codes, validity, uniq
+                if kind == "f64":
+                    v = np.fromfile(os.path.join(tdir, cname + ".f64"),
+                                    dtype=np.float64)
+                else:
+                    v = binary_dir.read_numeric_column(tdir, cname, kind)
+                return v.astype(ltype.np_dtype), validity, None
+
+            for cd in cols:
+                entry.set_lazy_column(
+                    cd.name, partial(loader, tdir, cd.name, kinds[cd.name],
+                                     cd.ltype))
+            con.catalog.create_table(entry, or_replace=True)
+        for vname, vsql in meta.get("views", {}).items():
+            from duckdb_tpu.sql.parser import Parser
+
+            stmts = Parser(vsql).parse_statements()
+            for st in stmts:
+                if hasattr(st, "query") and st.query is not None:
+                    st.query._sql_text = vsql
+                    con.catalog.views[vname] = st.query
+                    break
+                if type(st).__name__ == "SelectStatement":
+                    con.catalog.views[vname] = st
+                    break
+    # crash recovery: replay WAL statements
+    wal = os.path.join(path, "wal.sql")
+    if os.path.exists(wal):
+        text = open(wal).read()
+        for stmt in text.split("--WAL_ENTRY"):
+            stmt = stmt.strip()
+            if stmt:
+                con._execute_statement_nowal(stmt)

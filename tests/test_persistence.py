@@ -1,0 +1,106 @@
+"""Persistence: checkpoint, WAL replay (crash recovery), transactions,
+system table functions, EXPLAIN ANALYZE."""
+
+import os
+
+import pytest
+
+
+def _connect(path):
+    import duckdb_tpu
+
+    return duckdb_tpu.connect(path)
+
+
+def test_wal_replay(tmp_path):
+    db = str(tmp_path / "db")
+    con = _connect(db)
+    con.sql("CREATE TABLE t (a INT, b VARCHAR, c DECIMAL(10,2))")
+    con.sql("INSERT INTO t VALUES (1,'x',1.50),(2,NULL,2.25),(3,'z',NULL)")
+    assert os.path.exists(os.path.join(db, "wal.sql"))
+    # "crash" (no checkpoint) → second connection replays the WAL
+    con2 = _connect(db)
+    rows = con2.sql("SELECT * FROM t ORDER BY a").rows()
+    assert rows[0] == (1, "x", __import__("decimal").Decimal("1.50"))
+    assert rows[1][1] is None
+    assert rows[2][2] is None
+
+
+def test_checkpoint_truncates_wal(tmp_path):
+    db = str(tmp_path / "db")
+    con = _connect(db)
+    con.sql("CREATE TABLE t (a INT)")
+    con.sql("INSERT INTO t VALUES (42)")
+    con.sql("CHECKPOINT")
+    assert not os.path.exists(os.path.join(db, "wal.sql"))
+    con2 = _connect(db)
+    assert con2.sql("SELECT a FROM t").rows() == [(42,)]
+
+
+def test_checkpoint_plus_wal(tmp_path):
+    db = str(tmp_path / "db")
+    con = _connect(db)
+    con.sql("CREATE TABLE t (a INT)")
+    con.sql("INSERT INTO t VALUES (1)")
+    con.sql("CHECKPOINT")
+    con.sql("INSERT INTO t VALUES (2)")
+    con2 = _connect(db)
+    assert con2.sql("SELECT count(*) FROM t").rows() == [(2,)]
+
+
+def test_views_persist(tmp_path):
+    db = str(tmp_path / "db")
+    con = _connect(db)
+    con.sql("CREATE TABLE t (a INT)")
+    con.sql("INSERT INTO t VALUES (5)")
+    con.sql("CREATE VIEW v AS SELECT a*2 AS a2 FROM t")
+    con.sql("CHECKPOINT")
+    con2 = _connect(db)
+    assert con2.sql("SELECT a2 FROM v").rows() == [(10,)]
+
+
+def test_rollback(tmp_path):
+    con = _connect(":memory:")
+    con.sql("CREATE TABLE t (a INT)")
+    con.sql("INSERT INTO t VALUES (1)")
+    con.sql("BEGIN")
+    con.sql("DROP TABLE t")
+    con.sql("ROLLBACK")
+    assert con.sql("SELECT count(*) FROM t").rows() == [(1,)]
+
+
+def test_commit_without_begin_errors():
+    con = _connect(":memory:")
+    with pytest.raises(Exception, match="no transaction is active"):
+        con.sql("COMMIT")
+
+
+def test_system_functions():
+    con = _connect(":memory:")
+    con.sql("CREATE TABLE t1 (a INT, b VARCHAR)")
+    assert con.sql("SELECT name FROM duckdb_tables()").rows() == [("t1",)]
+    cols = con.sql("SELECT column_name, data_type FROM duckdb_columns()").rows()
+    assert ("a", "INTEGER") in cols
+    assert con.sql(
+        "SELECT count(*) > 5 FROM duckdb_settings()").rows() == [(True,)]
+
+
+def test_explain_analyze():
+    con = _connect(":memory:")
+    con.sql("CREATE TABLE t (a INT)")
+    con.sql("INSERT INTO t VALUES (1),(2),(3)")
+    res = con.sql("EXPLAIN ANALYZE SELECT sum(a) FROM t WHERE a > 1")
+    text = res.rows()[0][0]
+    assert "Query Profiling Result" in text
+    assert "ms" in text
+    assert con.last_profile is not None
+
+
+def test_settings_set_reset():
+    con = _connect(":memory:")
+    con.sql("SET enable_profiling = true")
+    assert con.settings.get("enable_profiling") is True
+    con.sql("SET threads = 4")
+    assert con.settings.get("threads") == 4
+    with pytest.raises(Exception):
+        con.sql("SET not_a_real_setting = 1")
