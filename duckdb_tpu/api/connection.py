@@ -125,6 +125,10 @@ class Connection:
             return None
         if isinstance(s, N.InsertStatement):
             return self._insert(s)
+        if isinstance(s, N.DeleteStatement):
+            return self._delete(s)
+        if isinstance(s, N.UpdateStatement):
+            return self._update(s)
         if isinstance(s, N.CopyStatement):
             return self._copy(s)
         if isinstance(s, N.SetStatement):
@@ -330,6 +334,89 @@ class Connection:
                 new_valid = _concat_valid(old_valid, valid, len(old_vals), n_new)
                 entry.set_host_column(cd.name, merged, validity=new_valid)
         entry.nrows += n_new
+
+    # -- UPDATE / DELETE -------------------------------------------------------
+    def _table_mask(self, table: str, alias, where):
+        """Evaluate a WHERE predicate over a base table → (entry, np mask)."""
+        import jax.numpy as jnp
+        from duckdb_tpu.planner.binder import Scope as _Scope
+
+        entry = self.catalog.get_table(table)
+        planner = Planner(self.catalog)
+        ref = N.BaseTableRef(table, alias=alias)
+        plan, scope_adds, _ = planner._plan_base_table(ref, {})
+        scope = _Scope()
+        for a, c, key, t in scope_adds:
+            scope.add(a, c, key, t)
+        ex = Executor(self.catalog)
+        batch = ex.execute(plan)
+        if where is None:
+            mask = np.ones(entry.nrows, dtype=bool)
+        else:
+            wb = planner._pred_binder(scope, {}).bind(where)
+            env = batch.env()
+            c = wb.eval(env)
+            m = jnp.broadcast_to(c.data.astype(jnp.bool_), (batch.plen,))
+            if c.validity is not None:
+                m = jnp.logical_and(m, jnp.broadcast_to(c.validity,
+                                                        (batch.plen,)))
+            mask = np.asarray(jnp.logical_and(batch.live, m))[:entry.nrows]
+        return entry, planner, scope, batch, mask
+
+    def _delete(self, s: N.DeleteStatement):
+        entry, _, _, _, mask = self._table_mask(s.table, s.alias, s.where)
+        keep = ~mask
+        for cd in entry.columns:
+            vals, valid, dvals = entry.host_column(cd.name)
+            entry.set_host_column(cd.name, vals[keep],
+                                  validity=None if valid is None else valid[keep],
+                                  dict_values=dvals)
+        entry.nrows = int(keep.sum())
+        return None
+
+    def _update(self, s: N.UpdateStatement):
+        import jax.numpy as jnp
+
+        entry, planner, scope, batch, mask = self._table_mask(
+            s.table, s.alias, s.where)
+        env = batch.env()
+        binder = planner._pred_binder(scope, {})
+        for cname, expr in s.assignments:
+            cd = next(c for c in entry.columns
+                      if c.name.lower() == cname.lower())
+            from duckdb_tpu.planner.bound import BoundCast, _coerce_to
+
+            be = binder.bind(expr)
+            c = _coerce_to(be.eval(env), cd.ltype, env)
+            new_vals = np.asarray(jnp.broadcast_to(c.data, (batch.plen,))
+                                  )[:entry.nrows]
+            new_valid = (np.asarray(jnp.broadcast_to(c.validity, (batch.plen,))
+                                    )[:entry.nrows]
+                         if c.validity is not None
+                         else np.ones(entry.nrows, bool))
+            old_vals, old_valid, old_dict = entry.host_column(cd.name)
+            if cd.ltype.id is TypeId.VARCHAR:
+                old_strs = (old_dict[old_vals] if old_dict is not None
+                            else np.array([""] * entry.nrows, dtype=object))
+                new_strs = (c.dict_values[np.clip(new_vals, 0,
+                                                  len(c.dict_values) - 1)]
+                            if c.dict_values is not None else old_strs)
+                merged = np.where(mask, new_strs, old_strs).astype(str)
+                uniq, codes = np.unique(merged, return_inverse=True)
+                vals_out = codes.astype(np.int32)
+                dvals_out = uniq.astype(object)
+            else:
+                vals_out = np.where(mask, new_vals.astype(old_vals.dtype),
+                                    old_vals)
+                dvals_out = old_dict
+            ov = old_valid if old_valid is not None else np.ones(entry.nrows,
+                                                                 bool)
+            valid_out = np.where(mask, new_valid, ov)
+            entry.set_host_column(
+                cd.name, vals_out,
+                validity=None if valid_out.all() else valid_out,
+                dict_values=dvals_out)
+        return None
 
     # -- COPY ------------------------------------------------------------------
     def _copy(self, s: N.CopyStatement):

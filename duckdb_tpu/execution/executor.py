@@ -269,6 +269,11 @@ class Executor:
                 fa = None
             if fa is not None and fa.total > (1 << 20):
                 fa = None  # sorting the full dense domain would dominate
+            if fa is not None:
+                from duckdb_tpu.execution.fused_agg import _num_shards
+
+                if _num_shards(self, fa) > 1:
+                    fa = None  # distributed path runs via try_fused_aggregate
         if fa is not None:
             batch = fa.base_batch
             inner_plen = fa.total
@@ -317,14 +322,25 @@ class Executor:
                 n_out = jnp.minimum(n_out, limit_node.n)
             n_out = jnp.maximum(n_out, 0)
             rows = perm[jnp.clip(jnp.arange(cap) + off, 0, plen2 - 1)]
-            outs = []
+            # pack every output column into ONE int64 matrix (+ one bool
+            # validity matrix): a single host transfer regardless of column
+            # count — tunnel-latency resilience
+            packed = []
+            valids = []
             for k in out_keys:
                 c = out_cols[k]
                 data = jnp.broadcast_to(c.data, (plen2,))[rows]
-                valid = (jnp.broadcast_to(c.validity, (plen2,))[rows]
-                         if c.validity is not None else None)
-                outs.append((data, valid))
-            return n_out, outs
+                if jnp.issubdtype(data.dtype, jnp.floating):
+                    d64 = jax.lax.bitcast_convert_type(
+                        data.astype(jnp.float64), jnp.int64)
+                else:
+                    d64 = data.astype(jnp.int64)
+                packed.append(d64)
+                valids.append(jnp.broadcast_to(c.validity, (plen2,))[rows]
+                              if c.validity is not None
+                              else jnp.ones((cap,), jnp.bool_))
+            return (jnp.asarray(n_out, jnp.int64),
+                    jnp.stack(packed), jnp.stack(valids))
 
         def body(env):
             if fa is not None:
@@ -334,17 +350,19 @@ class Executor:
             return tail(env)
 
         try:
-            n_out, outs = run_jitted(proj, "tail", batch, in_exprs, body,
-                                     overlay=None if fa is not None else overlay)
+            n_out, packed, valids = run_jitted(
+                proj, "tail", batch, in_exprs, body,
+                overlay=None if fa is not None else overlay)
         except (KeyError, B.BindError):
             return None
-        host = jax.device_get((n_out, outs))
-        n = int(host[0])
+        host_n, host_packed, host_valids = jax.device_get(
+            (n_out, packed, valids))
+        n = int(host_n)
         columns = []
         if fa is not None:
             dict_lookup = {k: dv for k, (t, dv) in fa.out_types.items()}
         meta_env = batch.env()
-        for (name, key, t), (d, v) in zip(output, host[1]):
+        for i, (name, key, t) in enumerate(output):
             dvals = None
             if t.id is TypeId.VARCHAR:
                 if fa is not None:
@@ -357,7 +375,13 @@ class Executor:
                 else:
                     dvals = (overlay[key].eval(meta_env).dict_values
                              if key in overlay else None)
-            columns.append((d[:n], None if v is None else v[:n], dvals))
+            raw = host_packed[i][:n]
+            if t.is_float:
+                d = raw.view(np.float64)
+            else:
+                d = raw.astype(t.np_dtype)
+            v = host_valids[i][:n]
+            columns.append((d, None if v.all() else v, dvals))
         return Result(names=[n_ for n_, _, _ in output],
                       types=[t for _, _, t in output], columns=columns, nrows=n)
 
@@ -369,7 +393,11 @@ class Executor:
         entry = self.catalog.get_table(node.table)
         plen = max(128, pad_bucket(entry.nrows))
         keymap = {key: col for col, key, _ in node.cols}
-        live = jnp.arange(plen) < entry.nrows
+        cache = entry.__dict__.setdefault("_live_cache", {})
+        if (plen, entry.nrows) not in cache:
+            cache.clear()
+            cache[(plen, entry.nrows)] = jnp.arange(plen) < entry.nrows
+        live = cache[(plen, entry.nrows)]
         return Batch(src=TableCols(entry, keymap, plen), plen=plen, live=live)
 
     def _exec_Filter(self, node: P.Filter) -> Batch:

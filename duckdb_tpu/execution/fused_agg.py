@@ -28,6 +28,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_EMPTY_BOOL_CACHE = []
+
+
+def _empty_bool():
+    if not _EMPTY_BOOL_CACHE:
+        _EMPTY_BOOL_CACHE.append(jnp.ones((0,), jnp.bool_))
+    return _EMPTY_BOOL_CACHE[0]
+
+
 from duckdb_tpu.blocks import Column, pad_bucket
 from duckdb_tpu.ops.compact import compact_indices
 from duckdb_tpu.planner import plan as P
@@ -47,12 +56,17 @@ class FusedAgg:
     validity planes. Slot `i` is live iff occ[i] > 0.
     """
 
-    def __init__(self, base_batch, needed, body, total, out_types):
+    def __init__(self, base_batch, needed, body, total, out_types,
+                 body_partials=None, finalize=None, partial_kinds=None):
         self.base_batch = base_batch
         self.needed = needed
         self.body = body
         self.total = total
         self.out_types = out_types  # key → (ltype, dict_values|None)
+        # distributed split: per-shard partials + replicated finalize
+        self.body_partials = body_partials
+        self.finalize = finalize
+        self.partial_kinds = partial_kinds  # flat combine kinds (sum/min/max)
 
 
 def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
@@ -174,27 +188,41 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
         stride *= d
     strides.reverse()
 
-    def body(env):
+    # static combine kinds per aggregate (distributed Combine phase)
+    partial_kinds = []
+    for agg in node.aggs:
+        if agg.func in ("count_star", "count"):
+            partial_kinds.append(["sum"])
+        elif agg.func in ("sum", "avg", "mean"):
+            partial_kinds.append(["sum", "sum"])
+        else:  # min / max
+            partial_kinds.append([agg.func, "sum"])
+    arg_types = [(agg.args[0].ltype if agg.args else BIGINT)
+                 for agg in node.aggs]
+
+    def body_partials(env, shard_plen=None):
+        """Per-shard work: filters → dense ids → occ + combinable partials."""
         from duckdb_tpu.execution.tracing import TraceEnv
 
+        p = shard_plen if shard_plen is not None else plen
         live = env.live
-        env2 = TraceEnv({k: env[k] for k in needed}, plen, live,
+        env2 = TraceEnv({k: env[k] for k in needed}, p, live,
                         overlay=dict(proj_list))
         for f in filters:
             c = f.eval(env2)
-            keep = jnp.broadcast_to(c.data.astype(jnp.bool_), (plen,))
+            keep = jnp.broadcast_to(c.data.astype(jnp.bool_), (p,))
             if c.validity is not None:
                 keep = jnp.logical_and(keep,
-                                       jnp.broadcast_to(c.validity, (plen,)))
+                                       jnp.broadcast_to(c.validity, (p,)))
             live = jnp.logical_and(live, keep)
             env2.live = live
 
-        dense = jnp.zeros((plen,), jnp.int64)
+        dense = jnp.zeros((p,), jnp.int64)
         for (gkey, ref), lo, dom in zip(group_resolved, mins, domains):
             c = env2[ref.key]
-            kd = jnp.broadcast_to(c.data, (plen,)).astype(jnp.int64)
+            kd = jnp.broadcast_to(c.data, (p,)).astype(jnp.int64)
             if c.validity is not None:
-                off = jnp.where(jnp.broadcast_to(c.validity, (plen,)),
+                off = jnp.where(jnp.broadcast_to(c.validity, (p,)),
                                 jnp.clip(kd - lo + 1, 0, dom - 1), 0)
             else:
                 off = jnp.clip(kd - lo + 1, 0, dom - 1)
@@ -204,6 +232,14 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
 
         occ = jax.ops.segment_sum(live.astype(jnp.int32), dense,
                                   num_segments=nseg)[:-1]
+        flat = []
+        for agg in node.aggs:
+            parts = _slot_agg_partials(agg, env2, dense, nseg, live, p)
+            flat.extend(a for a, _ in parts)
+        return occ, flat
+
+    def finalize(occ, flat):
+        """Replicated epilogue: decode group keys, finalize aggregates."""
         cols: Dict[str, Column] = {}
         slots = jnp.arange(total, dtype=jnp.int64)
         for (gkey, ref), lo, dom, st in zip(group_resolved, mins, domains,
@@ -215,12 +251,21 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
             cols[gkey] = Column(data=vals, ltype=src_col.ltype,
                                 validity=validity,
                                 dict_values=src_col.dict_values)
-        for agg in node.aggs:
-            data, valid = _slot_agg(agg, env2, dense, nseg, live, plen)
+        i = 0
+        for agg, kinds, at in zip(node.aggs, partial_kinds, arg_types):
+            parts = flat[i:i + len(kinds)]
+            i += len(kinds)
+            data, valid = _slot_agg_finalize(agg, parts, at)
             cols[agg.key] = Column(data=data, ltype=agg.ltype, validity=valid)
         return cols, occ
 
-    return FusedAgg(base_batch, needed, body, total, out_types)
+    def body(env):
+        occ, flat = body_partials(env)
+        return finalize(occ, flat)
+
+    return FusedAgg(base_batch, needed, body, total, out_types,
+                    body_partials=body_partials, finalize=finalize,
+                    partial_kinds=partial_kinds)
 
 
 def try_fused_aggregate(executor, node: P.Aggregate):
@@ -235,12 +280,16 @@ def try_fused_aggregate(executor, node: P.Aggregate):
     keyrefs = [B.BoundColumnRef(k, fa.base_batch.src[k].ltype)
                for k in fa.needed]
 
-    def jit_body(env):
-        cols, occ = fa.body(env)
-        flat = [(cols[k].data, cols[k].validity) for k in sorted(cols)]
-        return occ, flat
+    n_shards = _num_shards(executor, fa)
+    if n_shards > 1:
+        occ, flat = _run_sharded(executor, node, fa, n_shards)
+    else:
+        def jit_body(env):
+            cols, occ = fa.body(env)
+            flat = [(cols[k].data, cols[k].validity) for k in sorted(cols)]
+            return occ, flat
 
-    occ, flat = run_jitted(node, "agg", fa.base_batch, keyrefs, jit_body)
+        occ, flat = run_jitted(node, "agg", fa.base_batch, keyrefs, jit_body)
     names = sorted(fa.out_types)
     n_groups = int(jnp.sum(occ > 0))
     out_plen = max(128, pad_bucket(max(1, n_groups)))
@@ -257,55 +306,172 @@ def try_fused_aggregate(executor, node: P.Aggregate):
     return Batch(src=DictCols(cols), plen=out_plen, live=out_live)
 
 
-def _slot_agg(agg, env, dense, nseg, live, plen):
-    """Per-slot aggregate values (+ validity or None), inside the trace."""
+def _num_shards(executor, fa) -> int:
+    import jax
+
+    mgr = getattr(executor.catalog, "settings_manager", None)
+    n = int(mgr.get("num_shards", 1)) if mgr else 1
+    if n <= 1:
+        return 1
+    if len(jax.devices()) < n or fa.base_batch.plen % n != 0:
+        return 1
+    return n
+
+
+def _run_sharded(executor, node, fa: FusedAgg, n: int):
+    """Distributed fused aggregate: shard_map over an n-device mesh.
+
+    Row-sharded scan columns; each chip runs the identical partial program
+    on its shard; psum/pmin/pmax collectives merge the dense slot partials
+    (the reference's Sink→Combine contract as ICI collectives); the
+    replicated finalize runs once. This is the morsel-driven parallelism
+    table from SURVEY §2.3 realized: morsel cursor → static row sharding,
+    thread-local HT → per-chip dense partials, Combine → psum.
+    """
+    import jax
+    from functools import partial
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as PS
+
+    from duckdb_tpu.blocks import Column
+    from duckdb_tpu.execution.tracing import TraceEnv
+
+    batch = fa.base_batch
+    plen = batch.plen
+    cols = {k: batch.src[k] for k in fa.needed}
+    cache = node.__dict__.setdefault("_shard_cache", {})
+    sig = (n, plen, tuple(fa.needed))
+    if sig not in cache:
+        mesh = Mesh(np.array(jax.devices()[:n]), ("dp",))
+        templates = dict(cols)
+        keys = list(fa.needed)
+        kinds_flat = [k for ks in fa.partial_kinds for k in ks]
+
+        def shard_fn(live, *arrays):
+            tcols = {}
+            for i, k in enumerate(keys):
+                t = templates[k]
+                validity = arrays[2 * i + 1]
+                tcols[k] = Column(
+                    data=arrays[2 * i], ltype=t.ltype,
+                    validity=None if validity.shape[0] == 0 else validity,
+                    dict_values=t.dict_values)
+            shard_plen = plen // n
+            env = TraceEnv(tcols, shard_plen, live)
+            occ, flat = fa.body_partials(env, shard_plen=shard_plen)
+            occ = jax.lax.psum(occ, "dp")
+            out = []
+            for arr, kind in zip(flat, kinds_flat):
+                if kind == "sum":
+                    out.append(jax.lax.psum(arr, "dp"))
+                elif kind == "min":
+                    out.append(jax.lax.pmin(arr, "dp"))
+                else:
+                    out.append(jax.lax.pmax(arr, "dp"))
+            return occ, out
+
+        # validity placeholders (shape (0,)) must stay replicated
+        def spec_for(i, arr_shape):
+            return PS("dp") if arr_shape[0] == plen else PS()
+
+        arrays0 = []
+        for k in keys:
+            c = cols[k]
+            arrays0.append(c.data)
+            arrays0.append(c.validity if c.validity is not None
+                           else _empty_bool())
+        specs = tuple([PS("dp")] + [spec_for(i, a.shape)
+                                    for i, a in enumerate(arrays0)])
+        mapped = shard_map(shard_fn, mesh=mesh, in_specs=specs,
+                           out_specs=(PS(), PS()), check_rep=False)
+
+        def program(live, *arrays):
+            occ, flat = mapped(live, *arrays)
+            cols2, occ2 = fa.finalize(occ, flat)
+            flat2 = [(cols2[k].data, cols2[k].validity)
+                     for k in sorted(cols2)]
+            return occ2, flat2
+
+        cache[sig] = jax.jit(program)
+    fn = cache[sig]
+    arrays = []
+    for k in fa.needed:
+        c = cols[k]
+        arrays.append(c.data)
+        arrays.append(c.validity if c.validity is not None
+                      else _empty_bool())
+    return fn(batch.live, *arrays)
+
+
+def _slot_agg_partials(agg, env, dense, nseg, live, plen):
+    """Per-slot COMBINABLE partial state: list of (array, combine_kind).
+
+    combine_kind ∈ {sum,min,max}: how partials merge across shards — the
+    Combine phase of the reference's sink contract (physical_operator.hpp:
+    199-231) expressed as psum/pmin/pmax collectives.
+    """
+    def seg(x):
+        return jax.ops.segment_sum(x, dense, num_segments=nseg)[:-1]
+
     if agg.func == "count_star":
-        d = jax.ops.segment_sum(live.astype(jnp.int64), dense,
-                                num_segments=nseg)[:-1]
-        return (d, None)
+        return [(seg(live.astype(jnp.int64)), "sum")]
     c = agg.args[0].eval(env)
     data = jnp.broadcast_to(c.data, (plen,))
     mask = live
     if c.validity is not None:
         mask = jnp.logical_and(mask, jnp.broadcast_to(c.validity, (plen,)))
+    cnt = seg(mask.astype(jnp.int64))
     if agg.func == "count":
-        d = jax.ops.segment_sum(mask.astype(jnp.int64), dense,
-                                num_segments=nseg)[:-1]
-        return (d, None)
-    cnt = jax.ops.segment_sum(mask.astype(jnp.int64), dense,
-                              num_segments=nseg)[:-1]
-    nonempty = cnt > 0
-    if agg.func == "sum":
+        return [(cnt, "sum")]
+    if agg.func in ("sum", "avg", "mean"):
         if c.ltype.is_float:
             x = jnp.where(mask, data.astype(jnp.float64), 0.0)
         else:
             x = jnp.where(mask, data.astype(jnp.int64), 0)
-        d = jax.ops.segment_sum(x, dense, num_segments=nseg)[:-1]
-        return (d, nonempty)
-    if agg.func in ("avg", "mean"):
-        if c.ltype.id is TypeId.DECIMAL:
-            x = jnp.where(mask, data.astype(jnp.int64), 0)
-            s = jax.ops.segment_sum(x, dense, num_segments=nseg)[:-1]
-            divident = cnt.astype(jnp.float64) * jnp.float64(10.0 ** c.ltype.scale)
-            return (s.astype(jnp.float64) / divident, nonempty)
-        if c.ltype.is_float:
-            x = jnp.where(mask, data.astype(jnp.float64), 0.0)
-            s = jax.ops.segment_sum(x, dense, num_segments=nseg)[:-1]
-            return (s / cnt.astype(jnp.float64), nonempty)
-        x = jnp.where(mask, data.astype(jnp.int64), 0)
-        s = jax.ops.segment_sum(x, dense, num_segments=nseg)[:-1]
-        return (s.astype(jnp.float64) / cnt.astype(jnp.float64), nonempty)
+        return [(seg(x), "sum"), (cnt, "sum")]
     if agg.func in ("min", "max"):
         if c.ltype.is_float:
             sent = jnp.inf if agg.func == "min" else -jnp.inf
             x = jnp.where(mask, data.astype(jnp.float64), sent)
-            op = jax.ops.segment_min if agg.func == "min" else jax.ops.segment_max
-            d = op(x, dense, num_segments=nseg)[:-1].astype(c.data.dtype)
         else:
             sent = (np.iinfo(np.int64).max if agg.func == "min"
                     else np.iinfo(np.int64).min)
             x = jnp.where(mask, data.astype(jnp.int64), sent)
-            op = jax.ops.segment_min if agg.func == "min" else jax.ops.segment_max
-            d = op(x, dense, num_segments=nseg)[:-1].astype(c.data.dtype)
-        return (d, nonempty)
+        op = jax.ops.segment_min if agg.func == "min" else jax.ops.segment_max
+        d = op(x, dense, num_segments=nseg)[:-1]
+        return [(d, agg.func), (cnt, "sum")]
     raise AssertionError(agg.func)
+
+
+def _slot_agg_finalize(agg, parts, arg_type):
+    """Combined partials → (data, validity|None)."""
+    if agg.func in ("count_star", "count"):
+        return (parts[0], None)
+    cnt = parts[1]
+    nonempty = cnt > 0
+    if agg.func == "sum":
+        return (parts[0], nonempty)
+    if agg.func in ("avg", "mean"):
+        s = parts[0]
+        if arg_type.id is TypeId.DECIMAL:
+            divident = cnt.astype(jnp.float64) * jnp.float64(
+                10.0 ** arg_type.scale)
+            return (s.astype(jnp.float64) / divident, nonempty)
+        if arg_type.is_float:
+            return (s / cnt.astype(jnp.float64), nonempty)
+        return (s.astype(jnp.float64) / cnt.astype(jnp.float64), nonempty)
+    if agg.func in ("min", "max"):
+        return (parts[0].astype(arg_type.np_dtype), nonempty)
+    raise AssertionError(agg.func)
+
+
+def _slot_agg(agg, env, dense, nseg, live, plen):
+    """Single-device path: partials + finalize fused in one trace."""
+    parts = _slot_agg_partials(agg, env, dense, nseg, live, plen)
+    return _slot_agg_finalize(agg, [p for p, _ in parts], _arg_type(agg, env))
+
+
+def _arg_type(agg, env):
+    if agg.args:
+        return agg.args[0].eval(env).ltype
+    return BIGINT

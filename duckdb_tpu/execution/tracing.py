@@ -18,6 +18,15 @@ from typing import Callable, Dict, List, Sequence
 import jax
 import jax.numpy as jnp
 
+_EMPTY_BOOL_CACHE = []
+
+
+def _empty_bool():
+    if not _EMPTY_BOOL_CACHE:
+        _EMPTY_BOOL_CACHE.append(jnp.ones((0,), jnp.bool_))
+    return _EMPTY_BOOL_CACHE[0]
+
+
 from duckdb_tpu.blocks import Column
 from duckdb_tpu.planner import bound as B
 
@@ -129,5 +138,5 @@ def run_jitted(node, tag: str, batch, exprs: Sequence[B.BoundExpr],
         c = cols[k]
         arrays.append(c.data)
         arrays.append(c.validity if c.validity is not None
-                      else jnp.ones((0,), jnp.bool_))
+                      else _empty_bool())
     return fn(batch.live, *arrays)
