@@ -322,25 +322,26 @@ class Executor:
                 n_out = jnp.minimum(n_out, limit_node.n)
             n_out = jnp.maximum(n_out, 0)
             rows = perm[jnp.clip(jnp.arange(cap) + off, 0, plen2 - 1)]
-            # pack every output column into ONE int64 matrix (+ one bool
-            # validity matrix): a single host transfer regardless of column
-            # count — tunnel-latency resilience
-            packed = []
-            valids = []
+            # pack output columns into one int64 + one float64 matrix (+ one
+            # validity matrix): a fixed handful of host transfers regardless
+            # of column count — tunnel-latency resilience. (No bitcasts: the
+            # TPU x64-emulation pass cannot rewrite f64<->s64 bitcasts.)
+            ints, floats, valids = [], [], []
             for k in out_keys:
                 c = out_cols[k]
                 data = jnp.broadcast_to(c.data, (plen2,))[rows]
                 if jnp.issubdtype(data.dtype, jnp.floating):
-                    d64 = jax.lax.bitcast_convert_type(
-                        data.astype(jnp.float64), jnp.int64)
+                    floats.append(data.astype(jnp.float64))
                 else:
-                    d64 = data.astype(jnp.int64)
-                packed.append(d64)
+                    ints.append(data.astype(jnp.int64))
                 valids.append(jnp.broadcast_to(c.validity, (plen2,))[rows]
                               if c.validity is not None
                               else jnp.ones((cap,), jnp.bool_))
-            return (jnp.asarray(n_out, jnp.int64),
-                    jnp.stack(packed), jnp.stack(valids))
+            imat = jnp.stack(ints) if ints else jnp.zeros((0, cap), jnp.int64)
+            fmat = (jnp.stack(floats) if floats
+                    else jnp.zeros((0, cap), jnp.float64))
+            return (jnp.asarray(n_out, jnp.int64), imat, fmat,
+                    jnp.stack(valids))
 
         def body(env):
             if fa is not None:
@@ -350,18 +351,19 @@ class Executor:
             return tail(env)
 
         try:
-            n_out, packed, valids = run_jitted(
+            n_out, imat, fmat, valids = run_jitted(
                 proj, "tail", batch, in_exprs, body,
                 overlay=None if fa is not None else overlay)
         except (KeyError, B.BindError):
             return None
-        host_n, host_packed, host_valids = jax.device_get(
-            (n_out, packed, valids))
+        host_n, host_ints, host_floats, host_valids = jax.device_get(
+            (n_out, imat, fmat, valids))
         n = int(host_n)
         columns = []
         if fa is not None:
             dict_lookup = {k: dv for k, (t, dv) in fa.out_types.items()}
         meta_env = batch.env()
+        ii = fi = 0
         for i, (name, key, t) in enumerate(output):
             dvals = None
             if t.id is TypeId.VARCHAR:
@@ -375,11 +377,12 @@ class Executor:
                 else:
                     dvals = (overlay[key].eval(meta_env).dict_values
                              if key in overlay else None)
-            raw = host_packed[i][:n]
             if t.is_float:
-                d = raw.view(np.float64)
+                d = host_floats[fi][:n]
+                fi += 1
             else:
-                d = raw.astype(t.np_dtype)
+                d = host_ints[ii][:n].astype(t.np_dtype)
+                ii += 1
             v = host_valids[i][:n]
             columns.append((d, None if v.all() else v, dvals))
         return Result(names=[n_ for n_, _, _ in output],

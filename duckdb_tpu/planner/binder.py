@@ -16,6 +16,7 @@ from typing import Callable, Dict, List, Optional, Tuple
 from duckdb_tpu.sql import nodes as N
 from duckdb_tpu.planner import bound as B
 from duckdb_tpu.planner import functions as F
+from duckdb_tpu.planner import functions_ext as _Fext  # noqa: F401 (registry side effects)
 from duckdb_tpu.types import (
     BIGINT,
     BOOLEAN,

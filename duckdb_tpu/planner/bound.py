@@ -223,6 +223,21 @@ class BoundComparison(BoundExpr):
         return _cmp(self.op, la[lc.data], lb[rc.data])
 
 
+def varchar_where(take, a: Column, b: Column, plen):
+    """Elementwise select over two VARCHAR columns with dictionary union."""
+    da = jnp.broadcast_to(a.data, (plen,))
+    db = jnp.broadcast_to(b.data, (plen,))
+    if a.dict_values is b.dict_values:
+        return jnp.where(take, da, db), a.dict_values
+    merged = np.union1d(a.dict_values, b.dict_values).astype(object)
+    ra = jnp.asarray(np.searchsorted(merged, a.dict_values).astype(np.int32))
+    rb = jnp.asarray(np.searchsorted(merged, b.dict_values).astype(np.int32))
+    data = jnp.where(take,
+                     ra[jnp.clip(da, 0, len(a.dict_values) - 1)],
+                     rb[jnp.clip(db, 0, len(b.dict_values) - 1)])
+    return data, merged
+
+
 def _decimal_compare(op: str, lc: Column, rc: Column):
     """Exact mixed-scale decimal comparison without rescale overflow.
 
@@ -463,8 +478,11 @@ class BoundCase(BoundExpr):
                 data=jnp.zeros((env.plen,), dtype=self.ltype.np_dtype),
                 ltype=self.ltype,
                 validity=jnp.zeros((env.plen,), jnp.bool_),
+                dict_values=(np.array([""], dtype=object)
+                             if self.ltype.id is TypeId.VARCHAR else None),
             )
         acc_data = jnp.broadcast_to(acc.data, (env.plen,))
+        acc_dict = acc.dict_values
         acc_valid = (
             jnp.broadcast_to(acc.validity, (env.plen,))
             if acc.validity is not None
@@ -476,15 +494,21 @@ class BoundCase(BoundExpr):
             if cc.validity is not None:
                 take = jnp.logical_and(take, cc.validity)
             rc = _coerce_to(res.eval(env), self.ltype, env)
-            rd = jnp.broadcast_to(rc.data, (env.plen,))
             rv = (
                 jnp.broadcast_to(rc.validity, (env.plen,))
                 if rc.validity is not None
                 else jnp.ones((env.plen,), jnp.bool_)
             )
-            acc_data = jnp.where(take, rd, acc_data)
+            if self.ltype.id is TypeId.VARCHAR:
+                acc_col = Column(data=acc_data, ltype=self.ltype,
+                                 dict_values=acc_dict)
+                acc_data, acc_dict = varchar_where(take, rc, acc_col, env.plen)
+            else:
+                rd = jnp.broadcast_to(rc.data, (env.plen,))
+                acc_data = jnp.where(take, rd, acc_data)
             acc_valid = jnp.where(take, rv, acc_valid)
-        return Column(data=acc_data, ltype=self.ltype, validity=acc_valid)
+        return Column(data=acc_data, ltype=self.ltype, validity=acc_valid,
+                      dict_values=acc_dict)
 
 
 def _coerce_to(c: Column, t: LogicalType, env: EvalEnv) -> Column:

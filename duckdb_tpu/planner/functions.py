@@ -117,7 +117,7 @@ def _bind_extract(arg_exprs):
 
 
 for _p in ("year", "month", "day", "quarter", "decade", "century", "dayofweek",
-           "dayofyear"):
+           "dayofyear", "doy", "dow"):
     def _mk(p):
         def b(arg_exprs):
             return BIGINT, _extract_impl(p), arg_exprs
@@ -236,7 +236,9 @@ def _bind_round(arg_exprs):
     def impl(env, cols, node):
         c = cols[0]
         scale = 10.0**nd
-        d = jnp.round(_to_double(c) * scale) / scale
+        x = _to_double(c) * scale
+        # duckdb rounds half away from zero (not banker's rounding)
+        d = jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5) / scale
         return Column(data=d, ltype=DOUBLE, validity=c.validity)
 
     return DOUBLE, impl, arg_exprs[:1]

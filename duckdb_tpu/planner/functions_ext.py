@@ -1,0 +1,556 @@
+"""Extended scalar function library.
+
+Parity model: the reference's core_functions extension (383 functions,
+/root/reference/extension/core_functions/function_list.cpp) on top of the
+201 in-tree registrations. Math is fused VPU elementwise ops; strings run
+once per distinct dictionary value; date functions use the on-device civil
+calendar math.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from duckdb_tpu.blocks import Column
+from duckdb_tpu.planner.bound import (
+    BindError, _and_validity, _coerce_to, _to_double, civil_from_days,
+)
+from duckdb_tpu.planner.functions import (
+    REGISTRY, register, dict_transform, dict_predicate, _days_before_month,
+)
+from duckdb_tpu.types import (
+    BIGINT, BOOLEAN, DATE, DOUBLE, INTEGER, TIMESTAMP, VARCHAR,
+    LogicalType, TypeId, decimal, max_logical_type,
+)
+
+
+# -- math --------------------------------------------------------------------
+def _unary_math(name, fn):
+    def bind(arg_exprs):
+        def impl(env, cols, node):
+            return Column(data=fn(_to_double(cols[0])), ltype=DOUBLE,
+                          validity=cols[0].validity)
+        return DOUBLE, impl, arg_exprs
+    REGISTRY[name] = bind
+
+
+for _n, _f in [
+    ("ln", jnp.log), ("log2", jnp.log2), ("log10", jnp.log10),
+    ("log", jnp.log10),  # duckdb: log(x) is log10
+    ("exp", jnp.exp), ("sin", jnp.sin), ("cos", jnp.cos), ("tan", jnp.tan),
+    ("asin", jnp.arcsin), ("acos", jnp.arccos), ("atan", jnp.arctan),
+    ("sinh", jnp.sinh), ("cosh", jnp.cosh), ("tanh", jnp.tanh),
+    ("degrees", jnp.degrees), ("radians", jnp.radians),
+    ("cbrt", jnp.cbrt),
+]:
+    _unary_math(_n, _f)
+
+
+@register("pow")
+@register("power")
+def _bind_pow(arg_exprs):
+    def impl(env, cols, node):
+        d = jnp.power(_to_double(cols[0]), _to_double(cols[1]))
+        return Column(data=d, ltype=DOUBLE,
+                      validity=_and_validity(cols[0].validity,
+                                             cols[1].validity))
+    return DOUBLE, impl, arg_exprs
+
+
+@register("atan2")
+def _bind_atan2(arg_exprs):
+    def impl(env, cols, node):
+        d = jnp.arctan2(_to_double(cols[0]), _to_double(cols[1]))
+        return Column(data=d, ltype=DOUBLE,
+                      validity=_and_validity(cols[0].validity,
+                                             cols[1].validity))
+    return DOUBLE, impl, arg_exprs
+
+
+@register("pi")
+def _bind_pi(arg_exprs):
+    def impl(env, cols, node):
+        return Column(data=jnp.full((env.plen,), jnp.pi), ltype=DOUBLE)
+    return DOUBLE, impl, arg_exprs
+
+
+@register("sign")
+def _bind_sign(arg_exprs):
+    t = arg_exprs[0].ltype
+
+    def impl(env, cols, node):
+        c = cols[0]
+        if t.is_float:
+            d = jnp.sign(c.data)
+        else:
+            d = jnp.sign(c.data.astype(jnp.int64))
+        return Column(data=d.astype(jnp.int32), ltype=INTEGER,
+                      validity=c.validity)
+    return INTEGER, impl, arg_exprs
+
+
+@register("greatest")
+def _bind_greatest(arg_exprs):
+    return _least_greatest(arg_exprs, jnp.maximum)
+
+
+@register("least")
+def _bind_least(arg_exprs):
+    return _least_greatest(arg_exprs, jnp.minimum)
+
+
+def _least_greatest(arg_exprs, op):
+    t = arg_exprs[0].ltype
+    for a in arg_exprs[1:]:
+        t = max_logical_type(t, a.ltype)
+
+    def impl(env, cols, node):
+        # duckdb skips NULL arguments; NULL only when every arg is NULL
+        acc = None
+        any_valid = None
+        for c in cols:
+            cc = _coerce_to(c, t, env)
+            d = jnp.broadcast_to(cc.data, (env.plen,))
+            v = (jnp.broadcast_to(cc.validity, (env.plen,))
+                 if cc.validity is not None
+                 else jnp.ones((env.plen,), jnp.bool_))
+            if acc is None:
+                acc = d
+                any_valid = v
+            else:
+                both = jnp.logical_and(any_valid, v)
+                acc = jnp.where(both, op(acc, d),
+                                jnp.where(v, d, acc))
+                any_valid = jnp.logical_or(any_valid, v)
+        return Column(data=acc, ltype=t, validity=any_valid)
+    return t, impl, arg_exprs
+
+
+@register("gamma")
+def _bind_gamma(arg_exprs):
+    def impl(env, cols, node):
+        d = jnp.exp(jax.lax.lgamma(_to_double(cols[0])))
+        return Column(data=d, ltype=DOUBLE, validity=cols[0].validity)
+    return DOUBLE, impl, arg_exprs
+
+
+@register("lgamma")
+def _bind_lgamma(arg_exprs):
+    def impl(env, cols, node):
+        return Column(data=jax.lax.lgamma(_to_double(cols[0])), ltype=DOUBLE,
+                      validity=cols[0].validity)
+    return DOUBLE, impl, arg_exprs
+
+
+@register("even")
+def _bind_even(arg_exprs):
+    def impl(env, cols, node):
+        x = _to_double(cols[0])
+        d = jnp.where(x >= 0, jnp.ceil(x / 2) * 2, jnp.floor(x / 2) * 2)
+        return Column(data=d, ltype=DOUBLE, validity=cols[0].validity)
+    return DOUBLE, impl, arg_exprs
+
+
+@register("factorial")
+def _bind_factorial(arg_exprs):
+    def impl(env, cols, node):
+        lut = jnp.asarray([math.factorial(i) for i in range(21)],
+                          dtype=jnp.int64)
+        x = jnp.clip(cols[0].data.astype(jnp.int32), 0, 20)
+        return Column(data=lut[x], ltype=BIGINT, validity=cols[0].validity)
+    return BIGINT, impl, arg_exprs
+
+
+# -- conditionals ------------------------------------------------------------
+@register("nullif")
+def _bind_nullif(arg_exprs):
+    t = arg_exprs[0].ltype
+
+    def impl(env, cols, node):
+        from duckdb_tpu.planner.bound import BoundComparison
+
+        a, b = cols
+        x, y = a, _coerce_to(b, t, env) if b.ltype != t else b
+        eq = jnp.broadcast_to(x.data, (env.plen,)) == jnp.broadcast_to(
+            y.data, (env.plen,))
+        base = (jnp.broadcast_to(a.validity, (env.plen,))
+                if a.validity is not None else jnp.ones((env.plen,), bool))
+        return Column(data=jnp.broadcast_to(a.data, (env.plen,)), ltype=t,
+                      validity=jnp.logical_and(base, jnp.logical_not(eq)),
+                      dict_values=a.dict_values)
+    return t, impl, arg_exprs
+
+
+@register("ifnull")
+def _bind_ifnull(arg_exprs):
+    return REGISTRY["coalesce"](arg_exprs)
+
+
+@register("if")
+@register("iif")
+def _bind_if(arg_exprs):
+    t = arg_exprs[1].ltype
+    if arg_exprs[2].ltype.id is not TypeId.SQLNULL:
+        t = max_logical_type(t, arg_exprs[2].ltype)
+
+    def impl(env, cols, node):
+        cond, a, b = cols
+        take = jnp.broadcast_to(cond.data.astype(jnp.bool_), (env.plen,))
+        if cond.validity is not None:
+            take = jnp.logical_and(take, jnp.broadcast_to(cond.validity,
+                                                          (env.plen,)))
+        ca = _coerce_to(a, t, env)
+        cb = _coerce_to(b, t, env)
+        dvals = None
+        if t.id is TypeId.VARCHAR:
+            from duckdb_tpu.planner.bound import varchar_where
+
+            d, dvals = varchar_where(take, ca, cb, env.plen)
+        else:
+            d = jnp.where(take, jnp.broadcast_to(ca.data, (env.plen,)),
+                          jnp.broadcast_to(cb.data, (env.plen,)))
+        va = (jnp.broadcast_to(ca.validity, (env.plen,))
+              if ca.validity is not None else jnp.ones((env.plen,), bool))
+        vb = (jnp.broadcast_to(cb.validity, (env.plen,))
+              if cb.validity is not None else jnp.ones((env.plen,), bool))
+        return Column(data=d, ltype=t, validity=jnp.where(take, va, vb),
+                      dict_values=dvals)
+    return t, impl, arg_exprs
+
+
+# -- strings (per-distinct-value host work → device LUT) ---------------------
+def _str_transform(name, fn_builder, nconst=0):
+    def bind(arg_exprs):
+        consts = [a.const_value() for a in arg_exprs[1:1 + nconst]]
+        fn = fn_builder(*consts)
+
+        def impl(env, cols, node):
+            return dict_transform(cols[0], fn)
+        return VARCHAR, impl, arg_exprs[:1]
+    REGISTRY[name] = bind
+
+
+_str_transform("reverse", lambda: lambda s: s[::-1])
+_str_transform("left", lambda n: lambda s: s[:int(n)] if n >= 0 else s[:len(s) + int(n)], 1)
+_str_transform("right", lambda n: lambda s: s[-int(n):] if n > 0 else s[len(s) and -int(-n) or len(s):], 1)
+_str_transform("lpad", lambda n, p=" ": lambda s: s.rjust(int(n), p)[:int(n)], 2)
+_str_transform("rpad", lambda n, p=" ": lambda s: s.ljust(int(n), p)[:int(n)], 2)
+_str_transform("repeat", lambda n: lambda s: s * int(n), 1)
+_str_transform("replace", lambda a, b: lambda s: s.replace(a, b), 2)
+_str_transform("split_part",
+               lambda sep, i: lambda s: (s.split(sep)[int(i) - 1]
+                                         if 0 < int(i) <= len(s.split(sep))
+                                         else ""), 2)
+_str_transform("initcap", lambda: lambda s: s[:1].upper() + s[1:].lower())
+_str_transform("md5", lambda: lambda s: __import__("hashlib").md5(
+    s.encode()).hexdigest())
+
+
+@register("concat_ws")
+def _bind_concat_ws(arg_exprs):
+    sep = arg_exprs[0].const_value()
+
+    def impl(env, cols, node):
+        # all-constant fast path; general case needs row-wise concat
+        if all(c.dict_values is not None and len(c.dict_values) == 1
+               for c in cols):
+            s = sep.join(c.dict_values[0] for c in cols)
+            vals = np.array([s], dtype=object)
+            return Column(data=jnp.zeros((env.plen,), jnp.int32),
+                          ltype=VARCHAR, dict_values=vals)
+        raise BindError("concat_ws over non-constant columns unsupported")
+    return VARCHAR, impl, arg_exprs[1:]
+
+
+@register("strpos")
+@register("position")
+@register("instr")
+def _bind_strpos(arg_exprs):
+    needle = arg_exprs[1].const_value()
+
+    def impl(env, cols, node):
+        c = cols[0]
+        lut = np.fromiter(((s.find(needle) + 1) for s in c.dict_values),
+                          dtype=np.int64, count=len(c.dict_values))
+        d = jnp.asarray(lut)[jnp.clip(c.data, 0, len(lut) - 1)]
+        return Column(data=d, ltype=BIGINT, validity=c.validity)
+    return BIGINT, impl, arg_exprs[:1]
+
+
+@register("ascii")
+def _bind_ascii(arg_exprs):
+    def impl(env, cols, node):
+        c = cols[0]
+        lut = np.fromiter((ord(s[0]) if s else 0 for s in c.dict_values),
+                          dtype=np.int64, count=len(c.dict_values))
+        d = jnp.asarray(lut)[jnp.clip(c.data, 0, len(lut) - 1)]
+        return Column(data=d, ltype=BIGINT, validity=c.validity)
+    return BIGINT, impl, arg_exprs
+
+
+@register("chr")
+def _bind_chr(arg_exprs):
+    code = arg_exprs[0].const_value()
+
+    def impl(env, cols, node):
+        vals = np.array([chr(int(code))], dtype=object)
+        return Column(data=jnp.zeros((env.plen,), jnp.int32), ltype=VARCHAR,
+                      dict_values=vals)
+    return VARCHAR, impl, []
+
+
+@register("regexp_matches")
+def _bind_regexp_matches(arg_exprs):
+    import re
+
+    pat = re.compile(str(arg_exprs[1].const_value()))
+
+    def impl(env, cols, node):
+        return dict_predicate(cols[0], lambda s: pat.search(s) is not None)
+    return BOOLEAN, impl, arg_exprs[:1]
+
+
+@register("regexp_replace")
+def _bind_regexp_replace(arg_exprs):
+    import re
+
+    pat = re.compile(str(arg_exprs[1].const_value()))
+    repl = str(arg_exprs[2].const_value())
+
+    def impl(env, cols, node):
+        return dict_transform(cols[0], lambda s: pat.sub(repl, s, count=1))
+    return VARCHAR, impl, arg_exprs[:1]
+
+
+@register("regexp_extract")
+def _bind_regexp_extract(arg_exprs):
+    import re
+
+    pat = re.compile(str(arg_exprs[1].const_value()))
+    grp = int(arg_exprs[2].const_value()) if len(arg_exprs) > 2 else 0
+
+    def impl(env, cols, node):
+        def f(s):
+            m = pat.search(s)
+            return m.group(grp) if m else ""
+        return dict_transform(cols[0], f)
+    return VARCHAR, impl, arg_exprs[:1]
+
+
+@register("ends_with")
+@register("suffix")
+def _bind_ends_with(arg_exprs):
+    suf = arg_exprs[1].const_value()
+
+    def impl(env, cols, node):
+        return dict_predicate(cols[0], lambda s: s.endswith(suf))
+    return BOOLEAN, impl, arg_exprs[:1]
+
+
+# -- dates -------------------------------------------------------------------
+@register("date_trunc")
+@register("datetrunc")
+def _bind_date_trunc(arg_exprs):
+    part = str(arg_exprs[0].const_value()).lower()
+    src_t = arg_exprs[1].ltype
+
+    def impl(env, cols, node):
+        c = cols[0]
+        if c.ltype.id is TypeId.TIMESTAMP:
+            days = c.data // jnp.int64(86400_000_000)
+        else:
+            days = c.data.astype(jnp.int64)
+        y, m, d = civil_from_days(days)
+        if part == "year":
+            out_days = days - (d - 1) - _days_before_month(y, m)
+        elif part == "quarter":
+            qm = ((m - 1) // 3) * 3 + 1
+            out_days = days - (d - 1) - (_days_before_month(y, m)
+                                         - _days_before_month(y, qm))
+        elif part == "month":
+            out_days = days - (d - 1)
+        elif part == "week":
+            dow = jnp.mod(days + 3, 7)  # Monday = 0
+            out_days = days - dow
+        elif part == "day":
+            out_days = days
+        else:
+            raise BindError(f"date_trunc part {part}")
+        # reference returns TIMESTAMP from date_trunc
+        return Column(data=out_days.astype(jnp.int64) * jnp.int64(86400_000_000),
+                      ltype=TIMESTAMP, validity=c.validity)
+    return TIMESTAMP, impl, arg_exprs[1:]
+
+
+@register("last_day")
+def _bind_last_day(arg_exprs):
+    def impl(env, cols, node):
+        c = cols[0]
+        days = c.data.astype(jnp.int64)
+        y, m, d = civil_from_days(days)
+        ny = jnp.where(m == 12, y + 1, y)
+        nm = jnp.where(m == 12, 1, m + 1)
+        first_next = _civil_to_days(ny, nm, 1)
+        return Column(data=(first_next - 1).astype(jnp.int32), ltype=DATE,
+                      validity=c.validity)
+    return DATE, impl, arg_exprs
+
+
+def _civil_to_days(y, m, d):
+    y = jnp.where(m <= 2, y - 1, y)
+    era = jnp.where(y >= 0, y, y - 399) // 400
+    yoe = y - era * 400
+    mp = jnp.where(m > 2, m - 3, m + 9)
+    doy = (153 * mp + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+@register("make_date")
+def _bind_make_date(arg_exprs):
+    def impl(env, cols, node):
+        y = cols[0].data.astype(jnp.int64)
+        m = cols[1].data.astype(jnp.int64)
+        d = cols[2].data.astype(jnp.int64)
+        v = None
+        for c in cols:
+            v = _and_validity(v, c.validity)
+        return Column(data=_civil_to_days(y, m, d).astype(jnp.int32),
+                      ltype=DATE, validity=v)
+    return DATE, impl, arg_exprs
+
+
+@register("date_diff")
+@register("datediff")
+def _bind_date_diff(arg_exprs):
+    part = str(arg_exprs[0].const_value()).lower()
+
+    def impl(env, cols, node):
+        a, b = cols
+        da = a.data.astype(jnp.int64)
+        db = b.data.astype(jnp.int64)
+        if part in ("day", "days"):
+            d = db - da
+        elif part in ("year", "years"):
+            ya, _, _ = civil_from_days(da)
+            yb, _, _ = civil_from_days(db)
+            d = yb - ya
+        elif part in ("month", "months"):
+            ya, ma, _ = civil_from_days(da)
+            yb, mb, _ = civil_from_days(db)
+            d = (yb - ya) * 12 + (mb - ma)
+        elif part in ("week", "weeks"):
+            d = db // 7 - da // 7
+        else:
+            raise BindError(f"date_diff part {part}")
+        return Column(data=d, ltype=BIGINT,
+                      validity=_and_validity(a.validity, b.validity))
+    return BIGINT, impl, arg_exprs[1:]
+
+
+@register("dayname")
+def _bind_dayname(arg_exprs):
+    names = np.array(["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+                      "Friday", "Saturday"], dtype=object)
+
+    def impl(env, cols, node):
+        c = cols[0]
+        dow = jnp.mod(c.data.astype(jnp.int64) + 4, 7)
+        order = np.argsort(names.astype(str))
+        sorted_names = names[order]
+        remap = jnp.asarray(np.argsort(order).astype(np.int32))
+        return Column(data=remap[dow], ltype=VARCHAR, validity=c.validity,
+                      dict_values=sorted_names)
+    return VARCHAR, impl, arg_exprs
+
+
+@register("monthname")
+def _bind_monthname(arg_exprs):
+    names = np.array(["January", "February", "March", "April", "May", "June",
+                      "July", "August", "September", "October", "November",
+                      "December"], dtype=object)
+
+    def impl(env, cols, node):
+        c = cols[0]
+        _, m, _ = civil_from_days(c.data.astype(jnp.int64))
+        order = np.argsort(names.astype(str))
+        remap = jnp.asarray(np.argsort(order).astype(np.int32))
+        return Column(data=remap[m - 1], ltype=VARCHAR, validity=c.validity,
+                      dict_values=names[order])
+    return VARCHAR, impl, arg_exprs
+
+
+@register("current_date")
+@register("today")
+def _bind_current_date(arg_exprs):
+    import datetime
+
+    days = (datetime.date.today() - datetime.date(1970, 1, 1)).days
+
+    def impl(env, cols, node):
+        return Column(data=jnp.full((env.plen,), days, jnp.int32), ltype=DATE)
+    return DATE, impl, []
+
+
+@register("epoch")
+def _bind_epoch(arg_exprs):
+    def impl(env, cols, node):
+        c = cols[0]
+        if c.ltype.id is TypeId.DATE:
+            d = c.data.astype(jnp.int64) * 86400
+        else:
+            d = c.data // jnp.int64(1_000_000)
+        return Column(data=d, ltype=BIGINT, validity=c.validity)
+    return BIGINT, impl, arg_exprs
+
+
+# -- misc --------------------------------------------------------------------
+@register("typeof")
+def _bind_typeof(arg_exprs):
+    tname = str(arg_exprs[0].ltype)
+
+    def impl(env, cols, node):
+        vals = np.array([tname], dtype=object)
+        return Column(data=jnp.zeros((env.plen,), jnp.int32), ltype=VARCHAR,
+                      dict_values=vals)
+    return VARCHAR, impl, []
+
+
+@register("hash")
+def _bind_hash(arg_exprs):
+    def impl(env, cols, node):
+        from duckdb_tpu.ops.hash import hash64
+
+        c = cols[0]
+        h = hash64(jnp.broadcast_to(c.data, (env.plen,)).astype(jnp.int64))
+        return Column(data=h.astype(jnp.int64), ltype=BIGINT,
+                      validity=c.validity)
+    return BIGINT, impl, arg_exprs
+
+
+@register("isfinite")
+def _bind_isfinite(arg_exprs):
+    def impl(env, cols, node):
+        return Column(data=jnp.isfinite(_to_double(cols[0])), ltype=BOOLEAN,
+                      validity=cols[0].validity)
+    return BOOLEAN, impl, arg_exprs
+
+
+@register("isnan")
+def _bind_isnan(arg_exprs):
+    def impl(env, cols, node):
+        return Column(data=jnp.isnan(_to_double(cols[0])), ltype=BOOLEAN,
+                      validity=cols[0].validity)
+    return BOOLEAN, impl, arg_exprs
+
+
+@register("isinf")
+def _bind_isinf(arg_exprs):
+    def impl(env, cols, node):
+        return Column(data=jnp.isinf(_to_double(cols[0])), ltype=BOOLEAN,
+                      validity=cols[0].validity)
+    return BOOLEAN, impl, arg_exprs

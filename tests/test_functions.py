@@ -1,0 +1,100 @@
+"""Scalar function library — differential against the reference binary."""
+
+import math
+import os
+import subprocess
+
+import pytest
+
+REF_BIN = "/root/build-duckdb/duckdb"
+
+SETUP = ("CREATE TABLE t (s VARCHAR, x DOUBLE, i INTEGER, d DATE); "
+         "INSERT INTO t VALUES "
+         "('Hello World', 2.5, 10, DATE '2024-03-15'),"
+         "('foo,bar,baz', -1.25, 7, DATE '2023-12-31'),"
+         "('', 0.0, NULL, DATE '2024-01-01');")
+
+QUERIES = [
+    "SELECT ln(x+2), exp(x/10), sqrt(abs(x)) FROM t ORDER BY i NULLS LAST",
+    "SELECT sign(x), sign(i) FROM t ORDER BY i NULLS LAST",
+    "SELECT greatest(x, 1.0), least(i, 8) FROM t ORDER BY i NULLS LAST",
+    "SELECT pow(2, i) FROM t ORDER BY i NULLS LAST",
+    "SELECT reverse(s), upper(s), lower(s), length(s) FROM t ORDER BY i NULLS LAST",
+    "SELECT left(s, 3), right(s, 3), repeat(s, 2) FROM t ORDER BY i NULLS LAST",
+    "SELECT replace(s, 'o', '0') FROM t ORDER BY i NULLS LAST",
+    "SELECT split_part(s, ',', 2) FROM t ORDER BY i NULLS LAST",
+    "SELECT lpad(s, 15, '*'), rpad(s, 15, '.') FROM t ORDER BY i NULLS LAST",
+    "SELECT strpos(s, 'o'), ascii(s) FROM t ORDER BY i NULLS LAST",
+    "SELECT contains(s, 'World'), starts_with(s, 'foo') FROM t ORDER BY i NULLS LAST",
+    "SELECT regexp_matches(s, '[A-Z]'), regexp_replace(s, '[aeiou]', '_') FROM t ORDER BY i NULLS LAST",
+    "SELECT date_trunc('month', d), date_trunc('year', d) FROM t ORDER BY i NULLS LAST",
+    "SELECT last_day(d), monthname(d), dayname(d) FROM t ORDER BY i NULLS LAST",
+    "SELECT date_diff('day', DATE '2024-01-01', d) FROM t ORDER BY i NULLS LAST",
+    "SELECT year(d), month(d), day(d), quarter(d) FROM t ORDER BY i NULLS LAST",
+    "SELECT extract(doy FROM d), extract(dow FROM d) FROM t ORDER BY i NULLS LAST",
+    "SELECT coalesce(i, -1), nullif(i, 7), ifnull(i, 99) FROM t ORDER BY i NULLS LAST",
+    "SELECT if(x > 0, 'pos', 'nonpos') FROM t ORDER BY i NULLS LAST",
+    "SELECT floor(x), ceil(x), round(x, 1) FROM t ORDER BY i NULLS LAST",
+    "SELECT isnan(x/0 * 0), isfinite(x), isinf(1/(x+0.5)) FROM t ORDER BY i NULLS LAST",
+    "SELECT make_date(2024, i, 1) FROM t WHERE i IS NOT NULL ORDER BY i",
+    "SELECT epoch(d) FROM t ORDER BY i NULLS LAST",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    import duckdb_tpu
+
+    c = duckdb_tpu.connect()
+    for stmt in SETUP.split(";"):
+        if stmt.strip():
+            c.sql(stmt)
+    return c
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        cells = []
+        for v in r:
+            if v is None:
+                cells.append("NULL")
+            elif isinstance(v, bool):
+                cells.append("true" if v else "false")
+            elif isinstance(v, float):
+                cells.append(f"{v:.10g}")
+            else:
+                cells.append(str(v))
+        out.append("|".join(cells))
+    return out
+
+
+def _norm_ref(lines):
+    out = []
+    for line in lines:
+        cells = []
+        for c in line.split("|"):
+            try:
+                f = float(c)
+                if ("." in c or "e" in c or "inf" in c or "nan" in c):
+                    cells.append(f"{f:.10g}")
+                else:
+                    cells.append(c)
+            except ValueError:
+                cells.append(c)
+        out.append("|".join(cells))
+    return out
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BIN),
+                    reason="reference duckdb binary not built")
+@pytest.mark.parametrize("q", QUERIES)
+def test_function_differential(con, q):
+    got = _norm(con.sql(q).rows())
+    ref_raw = subprocess.run(
+        [REF_BIN, "-list", "-noheader", "-c", SETUP + q],
+        capture_output=True, text=True,
+    )
+    assert ref_raw.returncode == 0, ref_raw.stderr
+    ref = _norm_ref(ref_raw.stdout.splitlines())
+    assert got == ref, f"\ngot: {got}\nref: {ref}"
