@@ -5,11 +5,23 @@ reference engine (duckdb/duckdb): SQL frontend, relational planner,
 columnar device execution with collective-based parallelism.
 """
 
+import os as _os
+
 import jax as _jax
 
 # SQL semantics require true 64-bit integers (BIGINT, scaled DECIMAL) and
 # float64 (DOUBLE); JAX defaults to 32-bit unless x64 is enabled.
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: repeated query shapes skip XLA compilation
+# across processes (first compile on a tunneled TPU can take minutes).
+try:
+    _cache_dir = _os.path.expanduser("~/.cache/duckdb_tpu_xla")
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # noqa: BLE001 — cache is best-effort
+    pass
 
 from duckdb_tpu.api.connection import Connection, connect  # noqa: F401,E402
 

@@ -50,7 +50,38 @@ def sort_permutation(
 ) -> jnp.ndarray:
     """Stable sort: dead rows last, then by normalized keys. Returns row perm."""
     n = live.shape[0]
+    if n <= SMALL_SORT_LIMIT:
+        return small_sort_permutation(norm_keys, live)
     iota = jnp.arange(n, dtype=jnp.int32)
     operands = [jnp.logical_not(live)] + list(norm_keys) + [iota]
     out = jax.lax.sort(operands, num_keys=len(operands) - 1, is_stable=True)
     return out[-1]
+
+
+# Below this row count a pairwise-rank O(n²) permutation beats lax.sort on
+# TPU: the stable multi-operand sort HLO lowers poorly (~30 ms floor even
+# for a dozen rows), while an n×n comparison matrix is a couple of fused
+# VPU passes.
+SMALL_SORT_LIMIT = 2048
+
+
+def small_sort_permutation(
+    norm_keys: Sequence[jnp.ndarray], live: jnp.ndarray
+) -> jnp.ndarray:
+    """Sort-free stable permutation via pairwise lexicographic ranks."""
+    n = live.shape[0]
+    lt = jnp.zeros((n, n), jnp.bool_)
+    eq = jnp.ones((n, n), jnp.bool_)
+    keys = [jnp.logical_not(live).astype(jnp.int32)] + [
+        k for k in norm_keys
+    ]
+    for k in keys:
+        a = k[:, None]
+        b = k[None, :]
+        lt = jnp.logical_or(lt, jnp.logical_and(eq, a < b))
+        eq = jnp.logical_and(eq, a == b)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    lt = jnp.logical_or(lt, jnp.logical_and(eq, iota[:, None] < iota[None, :]))
+    rank = jnp.sum(lt.astype(jnp.int32), axis=0)  # rows sorting before each row
+    perm = jnp.sum(iota[:, None] * (rank[:, None] == iota[None, :]), axis=0)
+    return perm.astype(jnp.int32)
