@@ -495,6 +495,39 @@ class Connection:
                                            n_new))
         entry.nrows += n_new
 
+    # -- relation / prepared API ----------------------------------------------
+    def table(self, name: str):
+        from duckdb_tpu.api.relation import Relation
+
+        self.catalog.get_table(name)  # existence check
+        return Relation(self, f"SELECT * FROM {name}", alias=name)
+
+    def view(self, name: str):
+        from duckdb_tpu.api.relation import Relation
+
+        return Relation(self, f"SELECT * FROM {name}", alias=name)
+
+    def from_query(self, sql: str):
+        from duckdb_tpu.api.relation import Relation
+
+        return Relation(self, sql)
+
+    def read_csv(self, path: str):
+        from duckdb_tpu.api.relation import Relation
+
+        return Relation(self, f"SELECT * FROM read_csv('{path}')", alias="csv")
+
+    def read_parquet(self, path: str):
+        from duckdb_tpu.api.relation import Relation
+
+        return Relation(self, f"SELECT * FROM read_parquet('{path}')",
+                        alias="parquet")
+
+    def prepare(self, sql: str):
+        from duckdb_tpu.api.relation import PreparedStatement
+
+        return PreparedStatement(self, sql)
+
     # -- convenience ----------------------------------------------------------
     def load_tpch(self, data_dir: str):
         from duckdb_tpu.catalog.tpch import register_tpch
