@@ -356,10 +356,17 @@ class Parser:
 
     def parse_join_operand(self) -> N.TableRef:
         if self.accept_op("("):
-            # subquery or parenthesized join
-            if self.kw() in ("select", "with", "values"):
-                sub = self.parse_select_statement()
-                self.expect_op(")")
+            # subquery (possibly a parenthesized set-op tree) or nested join
+            if self.kw() in ("select", "with", "values") or self.peek().value == "(":
+                save = self.i
+                try:
+                    sub = self.parse_select_statement()
+                    self.expect_op(")")
+                except ParserError:
+                    self.i = save
+                    inner = self.parse_table_ref()
+                    self.expect_op(")")
+                    return inner
                 alias, col_aliases = self.parse_alias()
                 return N.SubqueryRef(sub, alias, col_aliases)
             inner = self.parse_table_ref()
