@@ -566,7 +566,7 @@ class Executor:
                 GatherCols(build_b.src, brow_c, null_rows=~matched),
             ])
             return Batch(src=src, plen=probe_b.plen, live=probe_b.live)
-        return None
+        return None  # full outer → sorted path
 
     def _sorted_join(self, node, probe_b, build_b, pk, bk, probe_live,
                      build_live):
@@ -607,14 +607,22 @@ class Executor:
         if node.jtype == "inner":
             return Batch(src=pair_src, plen=cap, live=pair_live)
 
-        if node.jtype in ("left", "single"):
+        if node.jtype in ("left", "single", "full"):
             any_match = jax.ops.segment_max(
                 pair_live.astype(jnp.int32), pr, num_segments=probe_b.plen
             ) > 0
             unmatched = jnp.logical_and(probe_b.live, ~any_match)
             n_pairs = int(jnp.sum(pair_live))
             n_unmatched = int(jnp.sum(unmatched))
-            out_cap = max(128, pad_bucket(n_pairs + n_unmatched))
+            n_bun = 0
+            if node.jtype == "full":
+                # build rows never matched by any surviving pair
+                bmatch = jnp.zeros((build_b.plen,), jnp.bool_).at[
+                    jnp.where(pair_live, br, build_b.plen - 1)
+                ].max(pair_live, mode="drop")
+                b_unmatched = jnp.logical_and(build_live, ~bmatch)
+                n_bun = int(jnp.sum(b_unmatched))
+            out_cap = max(128, pad_bucket(n_pairs + n_unmatched + n_bun))
             pair_idx, _ = compact_indices(pair_live, out_cap)
             un_idx, _ = compact_indices(unmatched, out_cap)
             pos = jnp.arange(out_cap)
@@ -623,9 +631,19 @@ class Executor:
             out_probe = jnp.where(from_pairs, pr[pair_idx], un_idx[un_pos])
             out_build = jnp.where(from_pairs, br[pair_idx], -1)
             null_build = jnp.logical_not(from_pairs)
-            live = pos < (n_pairs + n_unmatched)
+            null_probe = jnp.zeros((out_cap,), jnp.bool_)
+            if node.jtype == "full":
+                bun_idx, _ = compact_indices(b_unmatched, out_cap)
+                from_bun = pos >= (n_pairs + n_unmatched)
+                bun_pos = jnp.clip(pos - n_pairs - n_unmatched, 0, out_cap - 1)
+                out_build = jnp.where(from_bun, bun_idx[bun_pos], out_build)
+                null_build = jnp.logical_and(null_build, ~from_bun)
+                out_probe = jnp.where(from_bun, 0, out_probe)
+                null_probe = from_bun
+            live = pos < (n_pairs + n_unmatched + n_bun)
             src = ChainCols([
-                GatherCols(probe_b.src, out_probe),
+                GatherCols(probe_b.src, out_probe,
+                           null_rows=null_probe if node.jtype == "full" else None),
                 GatherCols(build_b.src, out_build, null_rows=null_build),
             ])
             return Batch(src=src, plen=out_cap, live=live)

@@ -262,9 +262,13 @@ class Planner:
                 self.collect_atoms(ref.right, ctes, scope, atoms, pred_asts)
                 if ref.condition is not None:
                     pred_asts.extend(split_conjuncts(ref.condition))
-                if ref.using:
-                    for col in ref.using:
-                        raise BindError("USING join not yet supported")
+                for col in ref.using:
+                    la = _ref_alias(ref.left)
+                    ra = _ref_alias(ref.right)
+                    if la is None or ra is None:
+                        raise BindError("USING requires named join operands")
+                    pred_asts.append(N.BinaryOp(
+                        "=", N.ColumnRef((la, col)), N.ColumnRef((ra, col))))
                 return
             if jt in ("left", "right", "semi", "anti", "full"):
                 # plan both sides as independent pools, then a join node
@@ -987,6 +991,13 @@ class Planner:
                 be = post_binder.bind(e)
             items.append((be, it.descending, it.nulls_first))
         return P.Order(plan, items)
+
+
+def _ref_alias(ref) -> Optional[str]:
+    if isinstance(ref, N.BaseTableRef):
+        return (ref.alias or ref.name).lower()
+    alias = getattr(ref, "alias", None)
+    return alias.lower() if alias else None
 
 
 class _ConstantRow(P.PlanNode):
