@@ -495,6 +495,11 @@ class Connection:
                                            n_new))
         entry.nrows += n_new
 
+    def appender(self, table: str):
+        from duckdb_tpu.api.appender import Appender
+
+        return Appender(self, self.catalog.get_table(table))
+
     # -- relation / prepared API ----------------------------------------------
     def table(self, name: str):
         from duckdb_tpu.api.relation import Relation
