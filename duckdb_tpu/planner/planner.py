@@ -208,6 +208,16 @@ class Planner:
         if name in ctes:
             cte = ctes[name]
             sub_ctes = {k: v for k, v in ctes.items() if k != name}
+            if cte.recursive and isinstance(cte.query.node, N.SetOpNode):
+                tname = self._materialize_recursive_cte(name, cte, sub_ctes)
+                entry = self.catalog.get_table(tname)
+                cols = []
+                scope_adds = []
+                for cd in entry.columns:
+                    key = self.fresh(f"{alias}.{cd.name}")
+                    cols.append((cd.name, key, cd.ltype))
+                    scope_adds.append((alias, cd.name, key, cd.ltype))
+                return P.Scan(tname, alias, cols), scope_adds, entry.nrows
             plan, output = self.plan_select(cte.query, None, sub_ctes)
             cols = list(cte.column_aliases) if cte.column_aliases else None
             return self._subquery_atom(plan, output, alias, cols)
@@ -225,6 +235,136 @@ class Planner:
             plan, output = self.plan_select(self.catalog.views[name], None, ctes)
             return self._subquery_atom(plan, output, alias, None)
         raise BindError(f"Table with name {ref.name} does not exist!")
+
+    def _materialize_recursive_cte(self, name, cte, sub_ctes) -> str:
+        """Iterate WITH RECURSIVE to a fixpoint (reference:
+        src/execution/operator/set/physical_recursive_cte.cpp), materializing
+        each round into a working catalog table the recursive term scans."""
+        import numpy as np
+        from duckdb_tpu.catalog.catalog import ColumnDef, TableEntry
+        from duckdb_tpu.execution.executor import Executor
+
+        node = cte.query.node
+        union_all = node.all
+        tname = f"__rec_{name}_{next(self._key_counter)}"
+
+        def run_term(term_node, ctes_for_term):
+            sub_p = Planner(self.catalog)
+            stmt = N.SelectStatement(term_node)
+            plan, output = sub_p.plan_select(stmt, None, ctes_for_term)
+            return Executor(self.catalog).run(plan, output), output
+
+        res, output = run_term(node.left, sub_ctes)
+        col_names = (list(cte.column_aliases) if cte.column_aliases
+                     else [n for n, _, _ in output])
+        entry = TableEntry(tname, [ColumnDef(cn, t) for cn, (_, _, t)
+                                   in zip(col_names, output)])
+        entry.nrows = 0
+        self.catalog.create_table(entry, or_replace=True)
+
+        seen = set()
+
+        def to_columns(rows):
+            """Python rows → columnar host data for this CTE's schema."""
+            import datetime
+            import decimal as pydec
+
+            epoch = datetime.date(1970, 1, 1)
+            cols = {}
+            for ci, cd in enumerate(entry.columns):
+                t = cd.ltype
+                vals = [r[ci] for r in rows]
+                valid = np.array([v is not None for v in vals], dtype=bool)
+                if t.id is TypeId.VARCHAR:
+                    strs = np.array([("" if v is None else str(v))
+                                     for v in vals], dtype=object)
+                    uniq, codes = np.unique(strs.astype(str),
+                                            return_inverse=True)
+                    cols[cd.name] = (codes.astype(np.int32),
+                                     None if valid.all() else valid,
+                                     uniq.astype(object))
+                elif t.id is TypeId.DECIMAL:
+                    phys = np.array([0 if v is None else
+                                     int(pydec.Decimal(str(v)).scaleb(t.scale))
+                                     for v in vals], dtype=np.int64)
+                    cols[cd.name] = (phys, None if valid.all() else valid, None)
+                elif t.id.name == "DATE":
+                    phys = np.array([0 if v is None else (v - epoch).days
+                                     for v in vals], dtype=t.np_dtype)
+                    cols[cd.name] = (phys, None if valid.all() else valid, None)
+                else:
+                    phys = np.array([0 if v is None else v for v in vals],
+                                    dtype=t.np_dtype)
+                    cols[cd.name] = (phys, None if valid.all() else valid, None)
+            return cols
+
+        def append_rows(rows):
+            if not rows:
+                return
+            cols = to_columns(rows)
+            for cd in entry.columns:
+                vals, valid, dvals = cols[cd.name]
+                if entry.nrows == 0:
+                    entry.set_host_column(cd.name, vals, validity=valid,
+                                          dict_values=dvals)
+                else:
+                    ov, ovd, od = entry.host_column(cd.name)
+                    if cd.ltype.id is TypeId.VARCHAR:
+                        old_strs = (od[ov] if od is not None
+                                    else np.empty(0, object))
+                        new_strs = (dvals[vals] if dvals is not None
+                                    else np.empty(0, object))
+                        allv = np.concatenate([old_strs, new_strs]).astype(str)
+                        uniq, codes = np.unique(allv, return_inverse=True)
+                        entry.set_host_column(cd.name, codes.astype(np.int32),
+                                              dict_values=uniq.astype(object))
+                    else:
+                        entry.set_host_column(
+                            cd.name,
+                            np.concatenate([ov, vals.astype(ov.dtype)]))
+            entry.nrows += len(rows)
+
+        def fresh_delta(rows):
+            cols = to_columns(rows) if rows else None
+            delta_entry = TableEntry(delta_table, list(entry.columns))
+            delta_entry.nrows = len(rows)
+            for cd in delta_entry.columns:
+                if rows:
+                    vals, valid, dvals = cols[cd.name]
+                else:
+                    vals, valid, dvals = (np.empty(0, cd.ltype.np_dtype),
+                                          None, None)
+                delta_entry.set_host_column(cd.name, vals, validity=valid,
+                                            dict_values=dvals)
+            self.catalog.create_table(delta_entry, or_replace=True)
+
+        delta_table = f"__recdelta_{name}_{next(self._key_counter)}"
+        rows = res.rows()
+        if not union_all:
+            rows = [r for r in rows if not (r in seen or seen.add(r))]
+        append_rows(rows)
+        delta = rows
+        iters = 0
+        while delta and iters < 10_000:
+            iters += 1
+            # the recursive term sees only the LAST round's delta (the
+            # reference's working-table semantics,
+            # physical_recursive_cte.cpp)
+            fresh_delta(delta)
+            rec_ctes = dict(sub_ctes)
+            rec_ctes[name] = N.CTE(
+                name, N.SelectStatement(N.SelectNode(
+                    select_list=[(N.Star(), None)],
+                    from_table=N.BaseTableRef(delta_table))),
+                cte.column_aliases)
+            res, _ = run_term(node.right, rec_ctes)
+            rows = res.rows()
+            if not union_all:
+                rows = [r for r in rows if not (r in seen or seen.add(r))]
+            append_rows(rows)
+            delta = rows
+        self.catalog.drop_table(delta_table, if_exists=True)
+        return tname
 
     def _subquery_atom(self, plan, output, alias, col_aliases):
         scope_adds = []
