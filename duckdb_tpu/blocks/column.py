@@ -42,12 +42,20 @@ def pad_bucket(n: int) -> int:
 
 @dataclass
 class Column:
-    """One column: padded device (or host) array + optional validity plane."""
+    """One column: padded device (or host) array + optional validity plane.
+
+    data_hi: optional high-64-bit plane for values wider than int64
+    (HUGEINT / DECIMAL(>18) sums): value = data_hi·2⁶⁴ + uint64(data).
+    The reference stores these as int128 (hugeint); TPU has no native
+    64-bit, so wide values ride as two int64 planes and recombine
+    exactly at result materialization.
+    """
 
     data: jax.Array  # shape (P,) padded physical values
     ltype: LogicalType
     validity: Optional[jax.Array] = None  # bool (P,); None = all valid
     dict_values: Optional[np.ndarray] = None  # VARCHAR: sorted unique strings
+    data_hi: Optional[jax.Array] = None  # int64 (P,) high plane (wide values)
 
     @property
     def padded_len(self) -> int:

@@ -65,8 +65,12 @@ def execute_aggregate(executor, child, node: P.Aggregate):
         key_valid.append(_full_valid(c, plen))
 
     # evaluate aggregate inputs
+    from duckdb_tpu.execution.fused_agg import sum_needs_wide
+
     agg_inputs: List[Optional[Tuple[Column, jnp.ndarray]]] = []
     for agg in node.aggs:
+        if not hasattr(agg, "_wide"):
+            agg._wide = sum_needs_wide(agg, child.src, plen)
         if agg.args:
             c = agg.args[0].eval(env)
             agg_inputs.append((c, _full_valid(c, plen)))
@@ -131,7 +135,8 @@ def _pad_col(c: Column, n: int, out_plen: int) -> Column:
         return jnp.concatenate([a, pad])
 
     return Column(data=fix(c.data), ltype=c.ltype, validity=fix(c.validity),
-                  dict_values=c.dict_values)
+                  dict_values=c.dict_values,
+                  data_hi=fix(c.data_hi) if c.data_hi is not None else None)
 
 
 def _group(key_cols, key_data, key_valid, live, plen, node):
@@ -285,6 +290,18 @@ def _compute_agg(agg: BoundAggregate, inp, gids, nseg, live, plen, key_data,
             d = jax.ops.segment_sum(x, gids, num_segments=nseg)[:-1]
             return Column(data=d, ltype=DOUBLE, validity=nonempty)
         x = jnp.where(mask, data.astype(jnp.int64), 0)
+        if (c.ltype.id is TypeId.DECIMAL and agg.ltype.width > 18
+                and getattr(agg, "_wide", True)):
+            # exact >int64 accumulation via hi/lo 32-bit halves (see
+            # fused_agg.py); value = hi64·2^64 + uint64(low64)
+            mask32 = jnp.int64((1 << 32) - 1)
+            lo = jax.ops.segment_sum(x & mask32, gids, num_segments=nseg)[:-1]
+            hi32 = jax.ops.segment_sum(x >> 32, gids, num_segments=nseg)[:-1]
+            mid = hi32 + (lo >> 32)
+            low64 = ((mid & mask32) << 32) | (lo & mask32)
+            hi64 = mid >> 32
+            return Column(data=low64, ltype=agg.ltype, validity=nonempty,
+                          data_hi=hi64)
         d = jax.ops.segment_sum(x, gids, num_segments=nseg)[:-1]
         return Column(data=d, ltype=agg.ltype, validity=nonempty)
 

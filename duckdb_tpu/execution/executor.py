@@ -146,8 +146,9 @@ class GatherCols(ColSource):
         if self.null_rows is not None:
             base = jnp.ones(self.rows.shape, jnp.bool_) if validity is None else validity
             validity = jnp.logical_and(base, jnp.logical_not(self.null_rows))
+        data_hi = col.data_hi[idx] if col.data_hi is not None else None
         out = Column(data=data, ltype=col.ltype, validity=validity,
-                     dict_values=col.dict_values)
+                     dict_values=col.dict_values, data_hi=data_hi)
         self._cache[key] = out
         return out
 
@@ -204,6 +205,8 @@ class Result:
                     out.append(str(dvals[v]))
                 elif t.id is TypeId.DECIMAL:
                     out.append(pydec.Decimal(int(v)).scaleb(-t.scale))
+                elif t.id is TypeId.HUGEINT:
+                    out.append(int(v))
                 elif t.id is TypeId.DATE:
                     out.append(datetime.date(1970, 1, 1)
                                + datetime.timedelta(days=int(v)))
@@ -234,10 +237,18 @@ class Executor:
         idx, _ = compact_indices(batch.live, max(1, pad_bucket(n)))
         cols = [batch.src[key] for _, key, _ in output]
         device = [(c.data[idx][:n],
+                   c.data_hi[idx][:n] if c.data_hi is not None else None,
                    _full_valid(c, batch.plen)[idx][:n] if c.validity is not None
                    else None) for c in cols]
         host = jax.device_get(device)
-        columns = [(d, v, c.dict_values) for (d, v), c in zip(host, cols)]
+        columns = []
+        for (d, dh, v), c in zip(host, cols):
+            if dh is not None:
+                # exact 128-bit recombination on host: hi·2^64 + uint64(lo)
+                d = [int(h) * (1 << 64) + (int(l) & ((1 << 64) - 1))
+                     for h, l in zip(dh, d)]
+                d = np.array(d, dtype=object)
+            columns.append((d, v, c.dict_values))
         return Result(names=[n_ for n_, _, _ in output],
                       types=[t for _, _, t in output], columns=columns, nrows=n)
 
@@ -267,6 +278,9 @@ class Executor:
                 fa = build_fused_agg(self, child)
             except (KeyError, B.BindError):
                 fa = None
+            if fa is not None and any(getattr(a, "_wide", False)
+                                      for a in child.aggs):
+                fa = None  # wide sums need the hi-plane-aware eager tail
             if fa is not None and fa.total > (1 << 20):
                 fa = None  # sorting the full dense domain would dominate
             if fa is not None:
@@ -280,6 +294,16 @@ class Executor:
         else:
             batch = self.execute(child)
             inner_plen = batch.plen
+            # wide (>int64) columns carry a hi plane the packed tail would
+            # drop — run the eager path instead
+            for _, e in proj.items:
+                for nn in B.walk(e):
+                    if isinstance(nn, (B.BoundColumnRef, B.BoundAggregateRef)):
+                        try:
+                            if batch.src[nn.key].data_hi is not None:
+                                return None
+                        except KeyError:
+                            pass
 
         overlay = dict(proj.items)
         out_keys = [key for _, key, _ in output]
@@ -424,7 +448,8 @@ class Executor:
         for key, expr in node.items:
             c = expr.eval(env)
             cols[key] = Column(data=_bdata(c, b.plen), ltype=c.ltype,
-                               validity=c.validity, dict_values=c.dict_values)
+                               validity=c.validity, dict_values=c.dict_values,
+                               data_hi=c.data_hi)
         # keep the child source reachable for ORDER BY exprs over input cols
         return Batch(src=ChainCols([DictCols(cols), b.src]), plen=b.plen, live=b.live)
 
@@ -692,7 +717,14 @@ class Executor:
                 nulls_first = False  # duckdb default NULLS LAST
             validity = c.validity
             data = _bdata(c, b.plen)
-            if c.ltype.id is TypeId.VARCHAR:
+            if c.data_hi is not None:
+                # wide value: lexicographic (hi, unsigned-low) key pair
+                norm.append(S.orderable_int64(
+                    jnp.broadcast_to(c.data_hi, (b.plen,)), validity, desc,
+                    nulls_first))
+                low_u = data.astype(jnp.int64) ^ jnp.int64(_I64_MIN)
+                k = S.orderable_int64(low_u, validity, desc, nulls_first)
+            elif c.ltype.id is TypeId.VARCHAR:
                 data = data.astype(jnp.int64)  # sorted dict → code order = string order
                 k = S.orderable_int64(data, validity, desc, nulls_first)
             else:

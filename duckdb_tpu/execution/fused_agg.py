@@ -48,6 +48,67 @@ PERFECT_LIMIT = 1 << 23
 _FUSABLE_AGGS = {"sum", "count", "count_star", "avg", "mean", "min", "max"}
 
 
+def max_abs_bound(expr, src) -> Optional[int]:
+    """Upper bound on |scaled value| of an int-typed expression, from
+    zone-map stats (None = unbounded). Drives the exact->wide sum switch."""
+    if isinstance(expr, B.BoundLiteral):
+        v = expr.value
+        return abs(int(v)) if isinstance(v, (int, np.integer)) else None
+    if isinstance(expr, (B.BoundColumnRef, B.BoundAggregateRef)):
+        try:
+            rng = src.stats_range(expr.key)
+        except (KeyError, AttributeError):
+            return None
+        if rng is None:
+            return None
+        return max(abs(rng[0]), abs(rng[1]))
+    if isinstance(expr, B.BoundArithmetic):
+        lb = max_abs_bound(expr.left, src)
+        rb = max_abs_bound(expr.right, src)
+        if lb is None or rb is None:
+            return None
+        lt, rt = expr.left.ltype, expr.right.ltype
+        t = expr.ltype
+        if t.id is TypeId.DECIMAL:
+            sl = lt.scale if lt.id is TypeId.DECIMAL else 0
+            sr = rt.scale if rt.id is TypeId.DECIMAL else 0
+            if expr.op in ("+", "-"):
+                s = t.scale
+                return lb * 10 ** (s - sl) + rb * 10 ** (s - sr)
+            if expr.op == "*":
+                return lb * rb
+            return None
+        if expr.op in ("+", "-"):
+            return lb + rb
+        if expr.op == "*":
+            return lb * rb
+        return None
+    if isinstance(expr, B.BoundCast):
+        cb = max_abs_bound(expr.child, src)
+        if cb is None:
+            return None
+        st, t = expr.child.ltype, expr.ltype
+        if t.id is TypeId.DECIMAL:
+            ss = st.scale if st.id is TypeId.DECIMAL else 0
+            return cb * 10 ** max(0, t.scale - ss)
+        return cb
+    if isinstance(expr, B.BoundNegate):
+        return max_abs_bound(expr.child, src)
+    return None
+
+
+def sum_needs_wide(agg, src, nrows: int) -> bool:
+    """True if SUM may exceed int64 → use the hi/lo exact accumulation."""
+    if not (agg.func == "sum" and agg.args
+            and agg.args[0].ltype.id is TypeId.DECIMAL
+            and agg.ltype.width > 18):
+        return False
+    b = max_abs_bound(agg.args[0], src)
+    if b is None:
+        return True
+    return b * max(1, nrows) >= (1 << 62)
+
+
 class FusedAgg:
     """Prepared fused-aggregate: base batch + a traced body.
 
@@ -193,7 +254,11 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
     for agg in node.aggs:
         if agg.func in ("count_star", "count"):
             partial_kinds.append(["sum"])
+        elif sum_needs_wide(agg, base_batch.src, entry.nrows):
+            agg._wide = True
+            partial_kinds.append(["sum", "sum", "sum"])  # hi, lo, count
         elif agg.func in ("sum", "avg", "mean"):
+            agg._wide = False
             partial_kinds.append(["sum", "sum"])
         else:  # min / max
             partial_kinds.append([agg.func, "sum"])
@@ -256,7 +321,12 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
             parts = flat[i:i + len(kinds)]
             i += len(kinds)
             data, valid = _slot_agg_finalize(agg, parts, at)
-            cols[agg.key] = Column(data=data, ltype=agg.ltype, validity=valid)
+            if isinstance(data, tuple):  # wide sum: (low64, hi64)
+                cols[agg.key] = Column(data=data[0], ltype=agg.ltype,
+                                       validity=valid, data_hi=data[1])
+            else:
+                cols[agg.key] = Column(data=data, ltype=agg.ltype,
+                                       validity=valid)
         return cols, occ
 
     def body(env):
@@ -286,7 +356,8 @@ def try_fused_aggregate(executor, node: P.Aggregate):
     else:
         def jit_body(env):
             cols, occ = fa.body(env)
-            flat = [(cols[k].data, cols[k].validity) for k in sorted(cols)]
+            flat = [(cols[k].data, cols[k].data_hi, cols[k].validity)
+                    for k in sorted(cols)]
             return occ, flat
 
         occ, flat = run_jitted(node, "agg", fa.base_batch, keyrefs, jit_body)
@@ -296,13 +367,15 @@ def try_fused_aggregate(executor, node: P.Aggregate):
     slot_idx, _ = compact_indices(occ > 0, out_plen)
     out_live = jnp.arange(out_plen) < n_groups
     cols = {}
-    for k, (data, valid) in zip(names, flat):
+    for k, (data, data_hi, valid) in zip(names, flat):
         t, dvals = fa.out_types[k]
         d = data[slot_idx]
+        dh = data_hi[slot_idx] if data_hi is not None else None
         v = valid[slot_idx] if valid is not None else None
         if v is not None:
             v = jnp.where(out_live, v, False)
-        cols[k] = Column(data=d, ltype=t, validity=v, dict_values=dvals)
+        cols[k] = Column(data=d, ltype=t, validity=v, dict_values=dvals,
+                         data_hi=dh)
     return Batch(src=DictCols(cols), plen=out_plen, live=out_live)
 
 
@@ -388,7 +461,7 @@ def _run_sharded(executor, node, fa: FusedAgg, n: int):
         def program(live, *arrays):
             occ, flat = mapped(live, *arrays)
             cols2, occ2 = fa.finalize(occ, flat)
-            flat2 = [(cols2[k].data, cols2[k].validity)
+            flat2 = [(cols2[k].data, cols2[k].data_hi, cols2[k].validity)
                      for k in sorted(cols2)]
             return occ2, flat2
 
@@ -426,8 +499,17 @@ def _slot_agg_partials(agg, env, dense, nseg, live, plen):
     if agg.func in ("sum", "avg", "mean"):
         if c.ltype.is_float:
             x = jnp.where(mask, data.astype(jnp.float64), 0.0)
-        else:
-            x = jnp.where(mask, data.astype(jnp.int64), 0)
+            return [(seg(x), "sum"), (cnt, "sum")]
+        x = jnp.where(mask, data.astype(jnp.int64), 0)
+        if (agg.func == "sum" and c.ltype.id is TypeId.DECIMAL
+                and agg.ltype.width > 18 and getattr(agg, "_wide", False)):
+            # exact >int64 sums: accumulate hi/lo 32-bit halves separately
+            # (each bounded by 2^62 for any row count ≤ 2^30); recombined
+            # into an exact 128-bit value at finalize
+            mask32 = jnp.int64((1 << 32) - 1)
+            lo = seg(x & mask32)
+            hi = seg(x >> 32)  # arithmetic shift: v = hi·2^32 + lo, lo ≥ 0
+            return [(hi, "sum"), (lo, "sum"), (cnt, "sum")]
         return [(seg(x), "sum"), (cnt, "sum")]
     if agg.func in ("min", "max"):
         if c.ltype.is_float:
@@ -447,6 +529,15 @@ def _slot_agg_finalize(agg, parts, arg_type):
     """Combined partials → (data, validity|None)."""
     if agg.func in ("count_star", "count"):
         return (parts[0], None)
+    if agg.func == "sum" and len(parts) == 3:
+        hi32, lo, cnt = parts
+        nonempty = cnt > 0
+        # value = hi32·2^32 + lo exactly; split into (hi64, low64) planes
+        mask32 = jnp.int64((1 << 32) - 1)
+        mid = hi32 + (lo >> 32)
+        low64 = ((mid & mask32) << 32) | (lo & mask32)
+        hi64 = mid >> 32
+        return ((low64, hi64), nonempty)
     cnt = parts[1]
     nonempty = cnt > 0
     if agg.func == "sum":
