@@ -577,8 +577,11 @@ class Executor:
             return Batch(src=probe_b.src, plen=probe_b.plen,
                          live=jnp.logical_and(probe_b.live, matched))
         if node.jtype == "anti":
-            return Batch(src=probe_b.src, plen=probe_b.plen,
-                         live=jnp.logical_and(probe_b.live, ~matched))
+            live = jnp.logical_and(probe_b.live, ~matched)
+            if node.null_aware:
+                live = self._null_aware_anti(live, probe_b, build_b,
+                                             probe_live, build_live)
+            return Batch(src=probe_b.src, plen=probe_b.plen, live=live)
         if node.jtype == "inner":
             src = ChainCols([
                 probe_b.src,
@@ -593,6 +596,15 @@ class Executor:
             return Batch(src=src, plen=probe_b.plen, live=probe_b.live)
         return None  # full outer → sorted path
 
+    def _null_aware_anti(self, live, probe_b, build_b, probe_live, build_live):
+        """NOT IN semantics: a NULL probe key is never TRUE; any NULL build
+        key makes x NOT IN (...) at best NULL → empty result (the
+        reference's MARK-join NULL handling)."""
+        null_probe = jnp.logical_and(probe_b.live, ~probe_live)
+        live = jnp.logical_and(live, ~null_probe)
+        build_has_null = jnp.any(jnp.logical_and(build_b.live, ~build_live))
+        return jnp.logical_and(live, ~build_has_null)
+
     def _sorted_join(self, node, probe_b, build_b, pk, bk, probe_live,
                      build_live):
         table = J.build_sorted(bk, build_live)
@@ -603,6 +615,9 @@ class Executor:
             live = jnp.logical_and(
                 probe_b.live, matched if node.jtype == "semi" else ~matched
             )
+            if node.jtype == "anti" and node.null_aware:
+                live = self._null_aware_anti(live, probe_b, build_b,
+                                             probe_live, build_live)
             return Batch(src=probe_b.src, plen=probe_b.plen, live=live)
 
         # expand candidate pairs
@@ -627,6 +642,9 @@ class Executor:
             live = jnp.logical_and(
                 probe_b.live, any_match if node.jtype == "semi" else ~any_match
             )
+            if node.jtype == "anti" and node.null_aware:
+                live = self._null_aware_anti(live, probe_b, build_b,
+                                             probe_live, build_live)
             return Batch(src=probe_b.src, plen=probe_b.plen, live=live)
 
         if node.jtype == "inner":

@@ -51,11 +51,14 @@ class Aggregate(PlanNode):
 class Join(PlanNode):
     probe: PlanNode  # "left" side of SQL semantics after planner normalization
     build: PlanNode
-    jtype: str  # inner / left / semi / anti / single
+    jtype: str  # inner / left / full / semi / anti / single
     probe_keys: List[BoundExpr]
     build_keys: List[BoundExpr]
     # residual ON predicate over combined (probe ∪ build) columns
     extra: Optional[BoundExpr] = None
+    # NOT IN semantics: NULL probe keys never pass; any NULL build key
+    # empties the anti result (reference: MARK join, physical_hash_join)
+    null_aware: bool = False
 
 
 @dataclass

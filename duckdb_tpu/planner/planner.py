@@ -133,6 +133,7 @@ class SemiSpec:
     probe_keys: List[B.BoundExpr]  # over outer columns
     build_keys: List[B.BoundExpr]  # over subquery columns
     extra: Optional[B.BoundExpr]  # residual over combined columns
+    null_aware: bool = False  # NOT IN semantics
 
 
 class Planner:
@@ -779,7 +780,7 @@ class Planner:
             plan = _ConstantRow()
         for s in semis:
             plan = P.Join(plan, s.build_plan, s.jtype, s.probe_keys,
-                          s.build_keys, s.extra)
+                          s.build_keys, s.extra, null_aware=s.null_aware)
 
         # -- aggregation ------------------------------------------------------
         has_agg = bool(sel.group_by) or sel.group_by_all
@@ -1031,6 +1032,7 @@ class Planner:
             semis.append(SemiSpec(
                 "anti" if negated else "semi", build, [outer_b],
                 [B.BoundColumnRef(okey, ot)], None,
+                null_aware=negated,
             ))
             return
         (sub_atoms, local_bound, corr_eqs, corr_extra, sub_scope,
@@ -1038,7 +1040,7 @@ class Planner:
         build = self.plan_pool(sub_atoms, local_bound)
         for ss in sub_semis:
             build = P.Join(build, ss.build_plan, ss.jtype, ss.probe_keys,
-                           ss.build_keys, ss.extra)
+                           ss.build_keys, ss.extra, null_aware=ss.null_aware)
         probe_keys = [o for o, i in corr_eqs]
         build_keys = [i for o, i in corr_eqs]
         if in_expr is not None:
@@ -1055,7 +1057,8 @@ class Planner:
             # uncorrelated EXISTS → constant gate; rare. Use cross-style check.
             raise BindError("uncorrelated EXISTS unsupported (use scalar count)")
         semis.append(SemiSpec("anti" if negated else "semi", build,
-                              probe_keys, build_keys, extra))
+                              probe_keys, build_keys, extra,
+                              null_aware=negated and in_expr is not None))
 
     def _try_correlated_scalar(self, op, other_ast, sub, flip, scope, ctes,
                                local_keys, bound_preds, atoms) -> bool:
@@ -1075,7 +1078,8 @@ class Planner:
         subplan = self.plan_pool(sub_atoms, local_bound)
         for ss in sub_semis:
             subplan = P.Join(subplan, ss.build_plan, ss.jtype, ss.probe_keys,
-                             ss.build_keys, ss.extra)
+                             ss.build_keys, ss.extra,
+                             null_aware=ss.null_aware)
         sub_binder = self._pred_binder(sub_scope, ctes)
         # group by the inner correlation expressions
         groups = []
