@@ -120,6 +120,15 @@ class Catalog:
             from duckdb_tpu.storage import parquet as pq
 
             entry = pq.parquet_table_entry(name, path)
+        elif path.endswith((".json", ".jsonl", ".ndjson")):
+            from duckdb_tpu.storage import json_io
+
+            schema, cols, nrows = json_io.read_json_file(path)
+            entry = TableEntry(name, [ColumnDef(n, t) for n, t in schema])
+            entry.nrows = nrows
+            for cname, (vals, valid, dvals) in cols.items():
+                entry.set_host_column(cname, vals, validity=valid,
+                                      dict_values=dvals)
         else:
             from duckdb_tpu.storage import csv as csvmod
 

@@ -17,6 +17,7 @@ from duckdb_tpu.sql import nodes as N
 from duckdb_tpu.planner import bound as B
 from duckdb_tpu.planner import functions as F
 from duckdb_tpu.planner import functions_ext as _Fext  # noqa: F401 (registry side effects)
+from duckdb_tpu.storage import json_io as _Fjson  # noqa: F401 (registry side effects)
 from duckdb_tpu.types import (
     BIGINT,
     BOOLEAN,

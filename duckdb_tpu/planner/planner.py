@@ -466,7 +466,8 @@ class Planner:
         binder = ExprBinder(Scope())
         args = [binder.bind(a).const_value() for a in ref.args]
         alias = (ref.alias or name).lower()
-        if name in ("read_csv", "read_csv_auto", "read_parquet", "__file_scan"):
+        if name in ("read_csv", "read_csv_auto", "read_parquet",
+                    "read_json", "read_json_auto", "read_ndjson", "__file_scan"):
             tname = self.catalog.ensure_file_table(str(args[0]))
         elif name in ("range", "generate_series"):
             if len(args) == 1:
