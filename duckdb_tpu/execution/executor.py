@@ -556,10 +556,8 @@ class Executor:
             return None  # duplicate build keys → sorted path
         slots = jnp.full((size + 1,), -1, jnp.int32).at[slot].set(
             jnp.where(build_live, rows, -1), mode="drop")
-        in_range = jnp.logical_and(pk >= 0, pk < size)
-        idx = jnp.clip(pk, 0, size - 1).astype(jnp.int32)
-        brow = jnp.where(in_range, slots[idx], -1)
-        matched = jnp.logical_and(probe_live, brow >= 0)
+        brow, matched = self._probe_dense(node, slots, size, pk, probe_live,
+                                          probe_b.plen)
         brow_c = jnp.clip(brow, 0, build_b.plen - 1)
 
         if node.extra is not None:
@@ -604,6 +602,45 @@ class Executor:
         live = jnp.logical_and(live, ~null_probe)
         build_has_null = jnp.any(jnp.logical_and(build_b.live, ~build_live))
         return jnp.logical_and(live, ~build_has_null)
+
+    def _probe_dense(self, node, slots, size, pk, probe_live, plen):
+        """Dense-table probe; distributes over the mesh when num_shards > 1.
+
+        The build table is replicated (the reference's broadcast exchange,
+        src/parallel/pipeline_broadcast_exchange.cpp, as a replicated
+        sharding) and probe rows are row-sharded — probe lookups run
+        entirely on-chip with no communication.
+        """
+        import jax as _jax
+
+        mgr = getattr(self.catalog, "settings_manager", None)
+        n = int(mgr.get("num_shards", 1)) if mgr else 1
+        if n > 1 and len(_jax.devices()) >= n and plen % n == 0:
+            from functools import partial
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import Mesh, PartitionSpec as PS
+
+            cache = node.__dict__.setdefault("_probe_cache", {})
+            sig = (n, plen, size)
+            if sig not in cache:
+                mesh = Mesh(np.array(_jax.devices()[:n]), ("dp",))
+
+                @partial(shard_map, mesh=mesh,
+                         in_specs=(PS(), PS("dp"), PS("dp")),
+                         out_specs=(PS("dp"), PS("dp")))
+                def probe(slots, pk, live):
+                    in_range = jnp.logical_and(pk >= 0, pk < size)
+                    idx = jnp.clip(pk, 0, size - 1).astype(jnp.int32)
+                    brow = jnp.where(in_range, slots[idx], -1)
+                    return brow, jnp.logical_and(live, brow >= 0)
+
+                cache[sig] = _jax.jit(probe)
+            return cache[sig](slots, pk, probe_live)
+        in_range = jnp.logical_and(pk >= 0, pk < size)
+        idx = jnp.clip(pk, 0, size - 1).astype(jnp.int32)
+        brow = jnp.where(in_range, slots[idx], -1)
+        matched = jnp.logical_and(probe_live, brow >= 0)
+        return brow, matched
 
     def _sorted_join(self, node, probe_b, build_b, pk, bk, probe_live,
                      build_live):

@@ -150,8 +150,12 @@ class Planner:
                     cte_scope: Optional[dict] = None):
         """→ (plan, output [(name, key, ltype)])."""
         ctes = dict(cte_scope or {})
+        if not hasattr(self, "_cte_use_count"):
+            self._cte_use_count = {}
         for cte in stmt.ctes:
             ctes[cte.name.lower()] = cte
+            self._cte_use_count[cte.name.lower()] = self._count_cte_refs(
+                stmt, cte.name.lower())
         plan, output, scope = self.plan_query_node(
             stmt.node, outer_scope, ctes
         )
@@ -203,12 +207,45 @@ class Planner:
         return plan, lout, lscope
 
     # -- FROM planning -------------------------------------------------------
+    def _count_cte_refs(self, obj, name: str) -> int:
+        """Count table references to `name` in an AST subtree."""
+        n = 0
+        if isinstance(obj, N.BaseTableRef):
+            if obj.name.lower() == name:
+                n += 1
+        if hasattr(obj, "__dataclass_fields__"):
+            for f in obj.__dataclass_fields__:
+                v = getattr(obj, f)
+                if isinstance(v, (list, tuple)):
+                    for x in v:
+                        n += self._count_cte_refs(x, name)
+                        if isinstance(x, tuple):
+                            for y in x:
+                                n += self._count_cte_refs(y, name)
+                elif hasattr(v, "__dataclass_fields__") or isinstance(
+                        v, (N.TableRef,)):
+                    n += self._count_cte_refs(v, name)
+        return n
+
     def _plan_base_table(self, ref: N.BaseTableRef, ctes):
         name = ref.name.lower()
         alias = (ref.alias or ref.name).lower()
         if name in ctes:
             cte = ctes[name]
             sub_ctes = {k: v for k, v in ctes.items() if k != name}
+            # materialize multi-referenced CTEs once (the reference's
+            # materialized-CTE broadcast, src/execution/physical_plan/
+            # plan_cte.cpp) — cached on the CTE node for this plan
+            if not cte.recursive and getattr(cte, "_mat_table", None):
+                return self._scan_of(cte._mat_table, alias)
+            if (not cte.recursive and cte.materialized is not False
+                    and self._cte_use_count.get(name, 0) > 1):
+                plan, output = self.plan_select(cte.query, None, sub_ctes)
+                tname = self._materialize_plan(
+                    f"__cte_{name}", plan, output,
+                    list(cte.column_aliases) or None)
+                cte._mat_table = tname
+                return self._scan_of(tname, alias)
             if cte.recursive and isinstance(cte.query.node, N.SetOpNode):
                 tname = self._materialize_recursive_cte(name, cte, sub_ctes)
                 entry = self.catalog.get_table(tname)
@@ -365,6 +402,35 @@ class Planner:
             append_rows(rows)
             delta = rows
         self.catalog.drop_table(delta_table, if_exists=True)
+        return tname
+
+    def _scan_of(self, tname: str, alias: str):
+        entry = self.catalog.get_table(tname)
+        cols = []
+        scope_adds = []
+        for cd in entry.columns:
+            key = self.fresh(f"{alias}.{cd.name}")
+            cols.append((cd.name, key, cd.ltype))
+            scope_adds.append((alias, cd.name, key, cd.ltype))
+        return P.Scan(tname, alias, cols), scope_adds, entry.nrows
+
+    def _materialize_plan(self, base_name, plan, output, col_aliases):
+        """Execute a plan now and store the result as a hidden table."""
+        import numpy as np
+        from duckdb_tpu.catalog.catalog import ColumnDef, TableEntry
+        from duckdb_tpu.execution.executor import Executor
+
+        res = Executor(self.catalog).run(plan, output)
+        names = (col_aliases if col_aliases
+                 else [n for n, _, _ in output])
+        tname = f"{base_name}_{next(self._key_counter)}"
+        entry = TableEntry(tname, [ColumnDef(nm, t) for nm, (_, _, t)
+                                   in zip(names, output)])
+        entry.nrows = res.nrows
+        for cd, (vals, valid, dvals) in zip(entry.columns, res.columns):
+            entry.set_host_column(cd.name, np.asarray(vals), validity=valid,
+                                  dict_values=dvals)
+        self.catalog.create_table(entry, or_replace=True)
         return tname
 
     def _subquery_atom(self, plan, output, alias, col_aliases):
