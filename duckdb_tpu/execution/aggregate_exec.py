@@ -68,14 +68,20 @@ def execute_aggregate(executor, child, node: P.Aggregate):
     from duckdb_tpu.execution.fused_agg import sum_needs_wide
 
     agg_inputs: List[Optional[Tuple[Column, jnp.ndarray]]] = []
+    agg_extra_inputs: List[list] = []
     for agg in node.aggs:
         if not hasattr(agg, "_wide"):
             agg._wide = sum_needs_wide(agg, child.src, plen)
         if agg.args:
             c = agg.args[0].eval(env)
             agg_inputs.append((c, _full_valid(c, plen)))
+            agg_extra_inputs.append([a.eval(env) for a in agg.args[1:]])
         else:
             agg_inputs.append(None)
+            agg_extra_inputs.append([])
+    agg_order_inputs: List[list] = [
+        [(e.eval(env), desc, nf) for e, desc, nf in
+         getattr(agg, "order_by", [])] for agg in node.aggs]
 
     # pre-group compaction: joins leave sparse masks over big blocks; the
     # sort-based grouping cost is O(P log P), so shrink P first (the analog
@@ -96,6 +102,10 @@ def execute_aggregate(executor, child, node: P.Aggregate):
             key_valid = [kv[idx] for kv in key_valid]
             agg_inputs = [None if inp is None else (_slice_col(inp[0]), inp[1][idx])
                           for inp in agg_inputs]
+            agg_extra_inputs = [[_slice_col(c) for c in extra]
+                                for extra in agg_extra_inputs]
+            agg_order_inputs = [[(_slice_col(c), d, nf) for c, d, nf in oc]
+                                for oc in agg_order_inputs]
             live = jnp.arange(cap) < n_live
             plen = cap
 
@@ -114,8 +124,10 @@ def execute_aggregate(executor, child, node: P.Aggregate):
     cols = {}
     for (gkey, _), rep in zip(node.groups, rep_cols):
         cols[gkey] = _pad_col(rep, n_groups, out_plen)
-    for agg, inp in zip(node.aggs, agg_inputs):
-        res = _compute_agg(agg, inp, gids, nseg, live, plen, key_data, n_groups)
+    for agg, inp, extra, ocols in zip(node.aggs, agg_inputs,
+                                      agg_extra_inputs, agg_order_inputs):
+        res = _compute_agg(agg, inp, gids, nseg, live, plen, key_data,
+                           n_groups, extra, ocols)
         cols[agg.key] = _pad_col(res, n_groups, out_plen)
 
     out_live = jnp.arange(out_plen) < n_groups
@@ -265,7 +277,7 @@ def _decode_rep(c: Column, vals: jnp.ndarray, validity: jnp.ndarray) -> Column:
 
 # ---------------------------------------------------------------------------
 def _compute_agg(agg: BoundAggregate, inp, gids, nseg, live, plen, key_data,
-                 n_groups) -> Column:
+                 n_groups, extra=(), order_cols=()) -> Column:
     f = agg.func
     if f == "count_star":
         d = jax.ops.segment_sum(live.astype(jnp.int64), gids, num_segments=nseg)
@@ -342,6 +354,208 @@ def _compute_agg(agg: BoundAggregate, inp, gids, nseg, live, plen, key_data,
         d = op(x.astype(jnp.int32), gids, num_segments=nseg)[:-1] > 0
         return Column(data=d, ltype=agg.ltype, validity=nonempty)
 
+    if f in ("first", "last", "any_value", "arg_min", "arg_max"):
+        iota = jnp.arange(plen, dtype=jnp.int64)
+        if f in ("first", "any_value", "last") and order_cols:
+            from duckdb_tpu.ops.sort import orderable_int64
+
+            oc, desc, nf = order_cols[0]
+            od = jnp.broadcast_to(oc.data, (plen,))
+            if oc.ltype.id is TypeId.VARCHAR:
+                od = od.astype(jnp.int64)
+            key = orderable_int64(od, oc.validity,
+                                  bool(desc) != (f == "last"),
+                                  bool(nf) if nf is not None else False)
+            best = jax.ops.segment_min(
+                jnp.where(mask, key, _I64_MAX), gids, num_segments=nseg)[:-1]
+            at_best = jnp.logical_and(
+                mask, key == best[jnp.clip(gids, 0, n_groups)])
+            pos = jax.ops.segment_min(jnp.where(at_best, iota, plen), gids,
+                                      num_segments=nseg)[:-1]
+        elif f in ("first", "any_value"):
+            pos = jax.ops.segment_min(jnp.where(mask, iota, plen), gids,
+                                      num_segments=nseg)[:-1]
+        elif f == "last":
+            pos = jax.ops.segment_max(jnp.where(mask, iota, -1), gids,
+                                      num_segments=nseg)[:-1]
+        else:
+            by = extra[0]
+            by_data = jnp.broadcast_to(by.data, (plen,))
+            bmask = mask
+            if by.validity is not None:
+                bmask = jnp.logical_and(
+                    bmask, jnp.broadcast_to(by.validity, (plen,)))
+            from duckdb_tpu.ops.sort import orderable_int64
+
+            key = orderable_int64(
+                by_data.astype(jnp.int64)
+                if by.ltype.id is TypeId.VARCHAR else by_data,
+                None, f == "arg_max", False)
+            best = jax.ops.segment_min(
+                jnp.where(bmask, key, _I64_MAX), gids, num_segments=nseg)[:-1]
+            at_best = jnp.logical_and(
+                bmask, key == best[jnp.clip(gids, 0, n_groups)])
+            pos = jax.ops.segment_min(jnp.where(at_best, iota, plen), gids,
+                                      num_segments=nseg)[:-1]
+            nonempty = jax.ops.segment_sum(
+                bmask.astype(jnp.int64), gids, num_segments=nseg)[:-1] > 0
+        rows = jnp.clip(pos, 0, plen - 1).astype(jnp.int32)
+        d = data[rows]
+        v = nonempty
+        if c.validity is not None:
+            v = jnp.logical_and(v, jnp.broadcast_to(c.validity, (plen,))[rows])
+        return Column(data=d, ltype=agg.ltype, validity=v,
+                      dict_values=c.dict_values)
+
+    if f == "product":
+        x = jnp.where(mask, _float_of(c, data), 1.0)
+        d = jax.ops.segment_prod(x, gids, num_segments=nseg)[:-1]
+        return Column(data=d, ltype=DOUBLE, validity=nonempty)
+
+    if f in ("median", "quantile", "quantile_cont", "quantile_disc",
+             "approx_quantile"):
+        q = 0.5
+        if extra:
+            from duckdb_tpu.planner.bound import BindError
+            try:
+                qv = agg.args[1].const_value()
+                q = float(qv) / (10 ** agg.args[1].ltype.scale
+                                 if agg.args[1].ltype.id is TypeId.DECIMAL
+                                 else 1)
+            except (BindError, ValueError):
+                q = 0.5
+        interpolate = f in ("median", "quantile_cont") and not c.ltype.id is TypeId.VARCHAR
+        kd = _key_data(c, plen)
+        operands = [jnp.logical_not(mask), gids.astype(jnp.int32),
+                    jnp.where(mask, kd, 0)]
+        out = jax.lax.sort(operands, num_keys=3, is_stable=False)
+        gid_s, kd_s = out[1], out[2]
+        iota = jnp.arange(plen, dtype=jnp.int64)
+        start = jax.ops.segment_min(jnp.where(out[0], plen, iota), gid_s,
+                                    num_segments=nseg)[:-1]
+        fpos = start.astype(jnp.float64) + (cnt - 1).astype(jnp.float64) * q
+        lo_i = jnp.clip(jnp.floor(fpos).astype(jnp.int64), 0, plen - 1)
+        hi_i = jnp.clip(jnp.ceil(fpos).astype(jnp.int64), 0, plen - 1)
+        frac = fpos - jnp.floor(fpos)
+        lo_v = kd_s[lo_i]
+        hi_v = kd_s[hi_i]
+        if interpolate:
+            scale = (10.0 ** c.ltype.scale
+                     if c.ltype.id is TypeId.DECIMAL else 1.0)
+            if jnp.issubdtype(c.data.dtype, jnp.floating):
+                lo_f = _decode_float_key(lo_v, c.data.dtype)
+                hi_f = _decode_float_key(hi_v, c.data.dtype)
+            else:
+                lo_f = lo_v.astype(jnp.float64) / scale
+                hi_f = hi_v.astype(jnp.float64) / scale
+            d = lo_f + (hi_f - lo_f) * frac
+            return Column(data=d, ltype=DOUBLE, validity=nonempty)
+        pick = jnp.where(frac > 0.5, hi_v, lo_v)
+        if jnp.issubdtype(c.data.dtype, jnp.floating):
+            d = _decode_float_key(pick, c.data.dtype)
+        else:
+            d = pick.astype(c.data.dtype)
+        return Column(data=d, ltype=agg.ltype, validity=nonempty,
+                      dict_values=c.dict_values)
+
+    if f == "mode":
+        kd = _key_data(c, plen)
+        operands = [jnp.logical_not(mask), gids.astype(jnp.int32),
+                    jnp.where(mask, kd, 0)]
+        out = jax.lax.sort(operands, num_keys=3, is_stable=False)
+        dead_s, gid_s, kd_s = out
+        change = jnp.logical_or(gid_s != jnp.roll(gid_s, 1),
+                                kd_s != jnp.roll(kd_s, 1))
+        change = change.at[0].set(True)
+        run_id = jnp.cumsum(change.astype(jnp.int32)) - 1
+        run_len = jax.ops.segment_sum(
+            jnp.where(dead_s, 0, 1), run_id, num_segments=plen)
+        my_len = run_len[run_id]
+        best_len = jax.ops.segment_max(
+            jnp.where(dead_s, 0, my_len), gid_s, num_segments=nseg)[:-1]
+        is_best = jnp.logical_and(~dead_s,
+                                  my_len == best_len[jnp.clip(gid_s, 0,
+                                                              n_groups)])
+        pick = jax.ops.segment_min(
+            jnp.where(is_best, kd_s, _I64_MAX), gid_s, num_segments=nseg)[:-1]
+        if jnp.issubdtype(c.data.dtype, jnp.floating):
+            d = _decode_float_key(pick, c.data.dtype)
+        else:
+            d = pick.astype(c.data.dtype)
+        return Column(data=d, ltype=agg.ltype, validity=nonempty,
+                      dict_values=c.dict_values)
+
+    if f in ("bit_and", "bit_or", "bit_xor"):
+        # associative segmented scan over gid-sorted rows (no segment_xor
+        # primitive exists)
+        iota32 = jnp.arange(plen, dtype=jnp.int32)
+        ident = jnp.int64(-1) if f == "bit_and" else jnp.int64(0)
+        x = jnp.where(mask, data.astype(jnp.int64), ident)
+        out = jax.lax.sort([jnp.logical_not(mask), gids.astype(jnp.int32),
+                            iota32], num_keys=2, is_stable=False)
+        gid_s, perm = out[1], out[2]
+        xs = x[perm]
+        seg_start = gid_s != jnp.roll(gid_s, 1)
+        seg_start = seg_start.at[0].set(True)
+        op = {"bit_and": jnp.bitwise_and, "bit_or": jnp.bitwise_or,
+              "bit_xor": jnp.bitwise_xor}[f]
+
+        def comb(a, b):
+            av, af = a
+            bv, bf = b
+            return (jnp.where(bf, bv, op(av, bv)), jnp.logical_or(af, bf))
+
+        scanned = jax.lax.associative_scan(comb, (xs, seg_start))[0]
+        # gather segment-end values per gid
+        end_pos = jax.ops.segment_max(
+            jnp.arange(plen, dtype=jnp.int64), gid_s, num_segments=nseg)[:-1]
+        d = scanned[jnp.clip(end_pos, 0, plen - 1)].astype(c.data.dtype)
+        return Column(data=d, ltype=agg.ltype, validity=nonempty)
+
+    if f == "string_agg":
+        # host-side finalize: concatenated strings are new dictionary entries
+        sep = ","
+        if extra:
+            try:
+                sep = str(agg.args[1].const_value())
+            except Exception:  # noqa: BLE001
+                sep = ","
+        iota32 = jnp.arange(plen, dtype=jnp.int32)
+        okeys = []
+        if order_cols:
+            from duckdb_tpu.ops.sort import orderable_int64
+
+            for oc, desc, nf in order_cols:
+                od = jnp.broadcast_to(oc.data, (plen,))
+                if oc.ltype.id is TypeId.VARCHAR:
+                    od = od.astype(jnp.int64)
+                okeys.append(orderable_int64(
+                    od, oc.validity, bool(desc),
+                    bool(nf) if nf is not None else False))
+        operands = ([jnp.logical_not(mask), gids.astype(jnp.int32)]
+                    + okeys + [iota32])
+        out = jax.lax.sort(operands, num_keys=len(operands),
+                           is_stable=False)
+        dead_s, gid_s, perm = out[0], out[1], out[-1]
+        codes_s = jnp.broadcast_to(c.data, (plen,))[perm]
+        h_dead = np.asarray(dead_s)
+        h_gid = np.asarray(gid_s)
+        h_codes = np.asarray(codes_s)
+        parts = {}
+        for i in range(plen):
+            if h_dead[i]:
+                break
+            parts.setdefault(int(h_gid[i]), []).append(
+                str(c.dict_values[h_codes[i]]))
+        strs = [sep.join(parts.get(g, [])) for g in range(n_groups)]
+        uniq, codes = (np.unique(np.array(strs, dtype=str),
+                                 return_inverse=True)
+                       if strs else (np.empty(0, object),
+                                     np.empty(0, np.int64)))
+        return Column(data=jnp.asarray(codes.astype(np.int32)),
+                      ltype=agg.ltype, validity=nonempty,
+                      dict_values=uniq.astype(object))
+
     if f in ("stddev", "stddev_samp", "var_samp", "variance", "stddev_pop", "var_pop"):
         x = jnp.where(mask, data.astype(jnp.float64), 0.0)
         if c.ltype.id is TypeId.DECIMAL:
@@ -358,6 +572,18 @@ def _compute_agg(agg: BoundAggregate, inp, gids, nseg, live, plen, key_data,
         return Column(data=d, ltype=DOUBLE, validity=ok)
 
     raise NotImplementedError(f"aggregate {f}")
+
+
+def _float_of(c, data):
+    if c.ltype.id is TypeId.DECIMAL:
+        return data.astype(jnp.float64) / (10.0 ** c.ltype.scale)
+    return data.astype(jnp.float64)
+
+
+def _decode_float_key(enc, dtype):
+    """Invert the orderable float bitcast from _key_data."""
+    orig_bits = jnp.where(enc >= 0, enc, ~(enc ^ jnp.int64(_I64_MIN)))
+    return jax.lax.bitcast_convert_type(orig_bits, jnp.float64).astype(dtype)
 
 
 def _compute_distinct_agg(agg, c, data, mask, gids, nseg, plen, n_groups):

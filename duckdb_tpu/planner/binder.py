@@ -41,6 +41,8 @@ AGGREGATE_NAMES = {
     "stddev", "stddev_samp", "stddev_pop", "var_samp", "var_pop", "variance",
     "string_agg", "bool_and", "bool_or", "product", "bit_and", "bit_or", "bit_xor",
     "count_star", "arg_min", "arg_max", "median", "mode", "approx_count_distinct",
+    "quantile", "quantile_cont", "quantile_disc", "approx_quantile",
+    "group_concat", "listagg",
 }
 
 

@@ -697,6 +697,8 @@ class BoundAggregate:
     distinct: bool
     ltype: LogicalType  # result type
     key: str  # output binding
+    # ORDER BY inside the call (first/last/string_agg):
+    order_by: List = field(default_factory=list)  # (BoundExpr, desc, nf)
 
 
 def walk(expr: BoundExpr):

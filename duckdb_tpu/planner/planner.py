@@ -972,17 +972,24 @@ class Planner:
             func = "count_star"
             args = []
         else:
-            func = {"mean": "avg"}.get(name, name)
+            func = {"mean": "avg", "group_concat": "string_agg",
+                    "listagg": "string_agg",
+                    "quantile": "quantile_disc",
+                    "approx_quantile": "quantile_cont"}.get(name, name)
             args = [binder.bind(a) for a in fc.args]
         t = _agg_result_type(func, args)
+        order_b = [(binder.bind(it.expr), it.descending, it.nulls_first)
+                   for it in fc.order_by]
         # dedup structurally identical aggregates
         for a in aggs:
             if (a.func == func and a.distinct == fc.distinct
+                    and not a.order_by and not order_b
                     and len(a.args) == len(args)
                     and all(_bound_eq(x, y) for x, y in zip(a.args, args))):
                 return B.BoundAggregateRef(a.key, a.ltype)
         key = self.fresh(f"agg.{func}")
-        agg = B.BoundAggregate(func, args, fc.distinct, t, key)
+        agg = B.BoundAggregate(func, args, fc.distinct, t, key,
+                               order_by=order_b)
         aggs.append(agg)
         return B.BoundAggregateRef(key, t)
 
@@ -1270,7 +1277,18 @@ def _agg_result_type(func: str, args) -> LogicalType:
         return BIGINT  # duckdb: HUGEINT; int64 until i64-pair kernels land
     if func in ("avg", "mean"):
         return DOUBLE
-    if func in ("min", "max", "first", "last", "any_value"):
+    if func in ("min", "max", "first", "last", "any_value", "arg_min",
+                "arg_max", "mode", "quantile_disc"):
+        return t
+    if func in ("median", "quantile", "quantile_cont", "approx_quantile"):
+        return t if t.id is TypeId.VARCHAR else DOUBLE
+    if func == "product":
+        return DOUBLE
+    if func == "string_agg":
+        from duckdb_tpu.types import VARCHAR as _VC
+
+        return _VC
+    if func in ("bit_and", "bit_or", "bit_xor"):
         return t
     if func in ("stddev", "stddev_samp", "stddev_pop", "var_samp", "var_pop",
                 "variance"):
