@@ -531,6 +531,10 @@ class Executor:
         build_live = jnp.logical_and(build_b.live, b_valid)
         probe_live = jnp.logical_and(probe_b.live, p_valid)
 
+        if node.jtype in ("semi", "anti") and node.extra is not None:
+            out = self._try_semi_neq(node, probe_b, build_b)
+            if out is not None:
+                return out
         if dense_size <= self.DENSE_JOIN_LIMIT:
             out = self._dense_join(node, probe_b, build_b, pk, bk,
                                    probe_live, build_live, dense_size)
@@ -593,6 +597,52 @@ class Executor:
             ])
             return Batch(src=src, plen=probe_b.plen, live=probe_b.live)
         return None  # full outer → sorted path
+
+    def _try_semi_neq(self, node, probe_b, build_b):
+        """Semi/anti join with a `probe.c <> build.c` residual WITHOUT pair
+        expansion: EXISTS(key match ∧ build.c ≠ probe.c ∧ build.c NOT NULL)
+        ⟺ count(key) > count(key, c). Covers the reference's Q21 shape
+        (EXISTS/NOT EXISTS with one inequality) in two count probes.
+        """
+        e = node.extra
+        if not (isinstance(e, B.BoundComparison) and e.op in ("<>", "!=")):
+            return None
+
+        def on(batch, expr):
+            try:
+                for nn in B.walk(expr):
+                    if isinstance(nn, (B.BoundColumnRef, B.BoundAggregateRef)):
+                        batch.src[nn.key]
+                return True
+            except KeyError:
+                return False
+
+        if on(probe_b, e.left) and on(build_b, e.right):
+            e_probe, e_build = e.left, e.right
+        elif on(probe_b, e.right) and on(build_b, e.left):
+            e_probe, e_build = e.right, e.left
+        else:
+            return None
+
+        pk1, p1v, bk1, b1v, _ = self._pack_keys(
+            probe_b, build_b, node.probe_keys, node.build_keys)
+        pk2, p2v, bk2, b2v, _ = self._pack_keys(
+            probe_b, build_b, node.probe_keys + [e_probe],
+            node.build_keys + [e_build])
+        # counts over key alone, build restricted to rows where the residual
+        # column is NOT NULL (a NULL build value can never satisfy ≠)
+        ec = e_build.eval(build_b.env())
+        b_extra_valid = _full_valid(ec, build_b.plen)
+        t1 = J.build_sorted(bk1, jnp.logical_and(
+            jnp.logical_and(build_b.live, b1v), b_extra_valid))
+        c1, _, _ = J.probe_counts(t1, pk1, jnp.logical_and(probe_b.live, p1v))
+        t2 = J.build_sorted(bk2, jnp.logical_and(build_b.live, b2v))
+        c2, _, _ = J.probe_counts(t2, pk2, jnp.logical_and(probe_b.live, p2v))
+        # probe rows with NULL residual value: ≠ is NULL → never matched
+        matched = jnp.logical_and(c1 > c2, p2v)
+        live = jnp.logical_and(
+            probe_b.live, matched if node.jtype == "semi" else ~matched)
+        return Batch(src=probe_b.src, plen=probe_b.plen, live=live)
 
     def _null_aware_anti(self, live, probe_b, build_b, probe_live, build_live):
         """NOT IN semantics: a NULL probe key is never TRUE; any NULL build
