@@ -29,10 +29,14 @@ class Connection:
     def __init__(self, database: str = ":memory:"):
         from duckdb_tpu.main.settings import SettingsManager
 
+        from duckdb_tpu.main.logging import LogManager
+
         self.database = database
         self.catalog = Catalog()
         self.settings = SettingsManager()
         self.catalog.settings_manager = self.settings
+        self.log = LogManager()
+        self.catalog.log_manager = self.log
         # plan cache: SQL text → (plan, output), invalidated on DDL/DML
         self._plan_cache = {}
         self._catalog_version = 0
@@ -94,6 +98,8 @@ class Connection:
 
     def _execute_statement(self, s):
         if isinstance(s, N.SelectStatement):
+            import time as _time
+
             key = getattr(s, "_sql_text", None)
             cached = self._plan_cache.get(key) if key else None
             if cached is not None:
@@ -103,7 +109,13 @@ class Connection:
                 plan, output = planner.plan_select(s)
                 if key:
                     self._plan_cache[key] = (plan, output)
-            return Executor(self.catalog).run(plan, output)
+            t0 = _time.perf_counter()
+            res = Executor(self.catalog).run(plan, output)
+            self.log.info("QueryLog",
+                          f"query returned {res.nrows} rows in "
+                          f"{(_time.perf_counter()-t0)*1000:.1f} ms"
+                          + (" (cached plan)" if cached else ""))
+            return res
         if isinstance(s, N.CreateTable):
             return self._create_table(s)
         if isinstance(s, N.CreateView):
@@ -215,6 +227,8 @@ class Connection:
         elif a == "checkpoint":
             if self.database not in (":memory:", ""):
                 checkpoint(self, self.database)
+                self.log.info("Checkpoint",
+                              f"checkpoint written to {self.database}")
         return None
 
     # -- DDL / DML ------------------------------------------------------------

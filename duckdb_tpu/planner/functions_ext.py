@@ -554,3 +554,268 @@ def _bind_isinf(arg_exprs):
         return Column(data=jnp.isinf(_to_double(cols[0])), ltype=BOOLEAN,
                       validity=cols[0].validity)
     return BOOLEAN, impl, arg_exprs
+
+
+# -- round 3: more math / string / date coverage -----------------------------
+@register("trunc")
+def _bind_trunc(arg_exprs):
+    def impl(env, cols, node):
+        return Column(data=jnp.trunc(_to_double(cols[0])), ltype=DOUBLE,
+                      validity=cols[0].validity)
+    return DOUBLE, impl, arg_exprs
+
+
+@register("gcd")
+def _bind_gcd(arg_exprs):
+    def impl(env, cols, node):
+        a = jnp.abs(jnp.broadcast_to(cols[0].data, (env.plen,)).astype(jnp.int64))
+        b = jnp.abs(jnp.broadcast_to(cols[1].data, (env.plen,)).astype(jnp.int64))
+
+        def body(_, ab):
+            x, y = ab
+            nz = y != 0
+            return (jnp.where(nz, y, x), jnp.where(nz, jnp.mod(x, y), 0))
+
+        x, y = jax.lax.fori_loop(0, 63, body, (a, b))
+        return Column(data=x, ltype=BIGINT,
+                      validity=_and_validity(cols[0].validity,
+                                             cols[1].validity))
+    return BIGINT, impl, arg_exprs
+
+
+@register("lcm")
+def _bind_lcm(arg_exprs):
+    def impl(env, cols, node):
+        a = jnp.abs(jnp.broadcast_to(cols[0].data, (env.plen,)).astype(jnp.int64))
+        b = jnp.abs(jnp.broadcast_to(cols[1].data, (env.plen,)).astype(jnp.int64))
+
+        def body(_, ab):
+            x, y = ab
+            nz = y != 0
+            return (jnp.where(nz, y, x), jnp.where(nz, jnp.mod(x, y), 0))
+
+        g, _ = jax.lax.fori_loop(0, 63, body, (a, b))
+        d = jnp.where(g > 0, a // jnp.maximum(g, 1) * b, 0)
+        return Column(data=d, ltype=BIGINT,
+                      validity=_and_validity(cols[0].validity,
+                                             cols[1].validity))
+    return BIGINT, impl, arg_exprs
+
+
+@register("bit_count")
+def _bind_bit_count(arg_exprs):
+    def impl(env, cols, node):
+        x = jnp.broadcast_to(cols[0].data, (env.plen,)).astype(jnp.uint64)
+        cnt = jnp.zeros((env.plen,), jnp.int64)
+        for shift in range(0, 64, 8):
+            byte = (x >> jnp.uint64(shift)) & jnp.uint64(0xFF)
+            lut = jnp.asarray([bin(i).count("1") for i in range(256)],
+                              dtype=jnp.int64)
+            cnt = cnt + lut[byte.astype(jnp.int32)]
+        return Column(data=cnt, ltype=BIGINT, validity=cols[0].validity)
+    return BIGINT, impl, arg_exprs
+
+
+@register("mod")
+def _bind_mod(arg_exprs):
+    t = arg_exprs[0].ltype
+
+    def impl(env, cols, node):
+        x = jnp.broadcast_to(cols[0].data, (env.plen,)).astype(jnp.int64)
+        y = jnp.broadcast_to(cols[1].data, (env.plen,)).astype(jnp.int64)
+        # duckdb mod follows the dividend's sign (fmod), not floor
+        d = x - jnp.trunc(x.astype(jnp.float64) / y.astype(jnp.float64)
+                          ).astype(jnp.int64) * y
+        return Column(data=d, ltype=BIGINT,
+                      validity=_and_validity(cols[0].validity,
+                                             cols[1].validity))
+    return BIGINT, impl, arg_exprs
+
+
+def _host_int_fn(name, fn):
+    """String → int function over the dictionary."""
+    def bind(arg_exprs):
+        def impl(env, cols, node):
+            c = cols[0]
+            lut = np.fromiter((fn(s) for s in c.dict_values), dtype=np.int64,
+                              count=len(c.dict_values))
+            d = jnp.asarray(lut)[jnp.clip(c.data, 0, len(lut) - 1)]
+            return Column(data=d, ltype=BIGINT, validity=c.validity)
+        return BIGINT, impl, arg_exprs
+    REGISTRY[name] = bind
+
+
+_host_int_fn("unicode", lambda s: ord(s[0]) if s else -1)
+_host_int_fn("ord", lambda s: ord(s[0]) if s else -1)
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a):
+        cur = [i + 1]
+        for j, cb in enumerate(b):
+            cur.append(min(prev[j + 1] + 1, cur[j] + 1,
+                           prev[j] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@register("levenshtein")
+@register("editdist3")
+def _bind_levenshtein(arg_exprs):
+    other = arg_exprs[1].const_value()
+
+    def impl(env, cols, node):
+        c = cols[0]
+        lut = np.fromiter((_lev(s, other) for s in c.dict_values),
+                          dtype=np.int64, count=len(c.dict_values))
+        d = jnp.asarray(lut)[jnp.clip(c.data, 0, len(lut) - 1)]
+        return Column(data=d, ltype=BIGINT, validity=c.validity)
+    return BIGINT, impl, arg_exprs[:1]
+
+
+@register("hamming")
+@register("mismatches")
+def _bind_hamming(arg_exprs):
+    other = arg_exprs[1].const_value()
+
+    def impl(env, cols, node):
+        c = cols[0]
+
+        def f(s):
+            if len(s) != len(other):
+                return -1
+            return sum(x != y for x, y in zip(s, other))
+        lut = np.fromiter((f(s) for s in c.dict_values), dtype=np.int64,
+                          count=len(c.dict_values))
+        d = jnp.asarray(lut)[jnp.clip(c.data, 0, len(lut) - 1)]
+        return Column(data=d, ltype=BIGINT, validity=c.validity)
+    return BIGINT, impl, arg_exprs[:1]
+
+
+_str_transform("translate",
+               lambda frm, to: lambda s: s.translate(str.maketrans(frm, to)),
+               2)
+_str_transform("to_hex", lambda: lambda s: s)  # placeholder for VARCHAR arg
+
+
+@register("hex")
+def _bind_hex(arg_exprs):
+    t = arg_exprs[0].ltype
+    if t.id is TypeId.VARCHAR:
+        def impl(env, cols, node):
+            return dict_transform(cols[0], lambda s: s.encode().hex().upper())
+        return VARCHAR, impl, arg_exprs
+
+    def impl(env, cols, node):
+        c = cols[0]
+        # host LUT impossible for ints; compute per row on host is wrong —
+        # format via device nibbles would need string building; use python
+        # only for plausible small dictionaries: fall back to error
+        raise BindError("hex over non-varchar not yet supported")
+    return VARCHAR, impl, arg_exprs
+
+
+@register("format_bytes")
+def _bind_format_bytes(arg_exprs):
+    def impl(env, cols, node):
+        raise BindError("format_bytes requires row-wise string building")
+    return VARCHAR, impl, arg_exprs
+
+
+@register("week")
+@register("weekofyear")
+def _bind_week(arg_exprs):
+    def impl(env, cols, node):
+        c = cols[0]
+        days = c.data.astype(jnp.int64)
+        # ISO week number
+        dow = jnp.mod(days + 3, 7)  # Monday=0
+        thursday = days - dow + 3
+        y, m, d = civil_from_days(thursday)
+        from duckdb_tpu.planner.functions_ext import _civil_to_days
+
+        jan1 = _civil_to_days(y, jnp.ones_like(m), jnp.ones_like(d))
+        week = (thursday - jan1) // 7 + 1
+        return Column(data=week, ltype=BIGINT, validity=c.validity)
+    return BIGINT, impl, arg_exprs
+
+
+@register("isodow")
+def _bind_isodow(arg_exprs):
+    def impl(env, cols, node):
+        c = cols[0]
+        d = jnp.mod(c.data.astype(jnp.int64) + 3, 7) + 1  # Monday=1
+        return Column(data=d, ltype=BIGINT, validity=c.validity)
+    return BIGINT, impl, arg_exprs
+
+
+@register("age")
+def _bind_age(arg_exprs):
+    def impl(env, cols, node):
+        import datetime
+
+        a = cols[0].data.astype(jnp.int64)
+        if len(cols) > 1:
+            b = cols[1].data.astype(jnp.int64)
+        else:
+            today = (datetime.date.today() - datetime.date(1970, 1, 1)).days
+            b = jnp.full((env.plen,), today, jnp.int64)
+        v = cols[0].validity
+        if len(cols) > 1:
+            v = _and_validity(v, cols[1].validity)
+        return Column(data=a - b, ltype=BIGINT, validity=v)
+    return BIGINT, impl, arg_exprs
+
+
+@register("time_bucket")
+def _bind_time_bucket(arg_exprs):
+    from duckdb_tpu.planner.binder import bind_interval
+
+    months, days_i, micros = arg_exprs[0].const_value()
+
+    def impl(env, cols, node):
+        c = cols[0]
+        d = c.data.astype(jnp.int64)
+        if days_i:
+            out = (d // days_i) * days_i
+            return Column(data=out.astype(c.data.dtype), ltype=c.ltype,
+                          validity=c.validity)
+        raise BindError("time_bucket by months not yet supported")
+    return arg_exprs[1].ltype, impl, arg_exprs[1:]
+
+
+@register("random")
+def _bind_random(arg_exprs):
+    def impl(env, cols, node):
+        import random as _random
+
+        key = jax.random.PRNGKey(_random.getrandbits(31))
+        return Column(data=jax.random.uniform(key, (env.plen,),
+                                              dtype=jnp.float64),
+                      ltype=DOUBLE)
+    return DOUBLE, impl, []
+
+
+@register("uuid")
+@register("gen_random_uuid")
+def _bind_uuid(arg_exprs):
+    def impl(env, cols, node):
+        import uuid as _uuid
+
+        vals = np.array([str(_uuid.uuid4())], dtype=object)
+        return Column(data=jnp.zeros((env.plen,), jnp.int32), ltype=VARCHAR,
+                      dict_values=vals)
+    return VARCHAR, impl, []
+
+
+@register("nextafter")
+def _bind_nextafter(arg_exprs):
+    def impl(env, cols, node):
+        d = jnp.nextafter(_to_double(cols[0]), _to_double(cols[1]))
+        return Column(data=d, ltype=DOUBLE,
+                      validity=_and_validity(cols[0].validity,
+                                             cols[1].validity))
+    return DOUBLE, impl, arg_exprs

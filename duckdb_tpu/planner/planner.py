@@ -551,7 +551,7 @@ class Planner:
             self.catalog.create_table(entry, or_replace=True)
         elif name in ("duckdb_tables", "duckdb_columns", "duckdb_views",
                       "duckdb_settings", "pragma_table_info", "duckdb_types",
-                      "duckdb_functions"):
+                      "duckdb_functions", "duckdb_logs"):
             tname = self._system_table_function(name, args)
         else:
             raise BindError(
@@ -635,6 +635,11 @@ class Planner:
             rows = sorted({(str(t), n) for n, t in _TYPE_NAMES.items()})
             return make("__sys_types", [("logical_type", VC),
                                         ("sql_name", VC)], rows)
+        if name == "duckdb_logs":
+            mgr = getattr(self.catalog, "log_manager", None)
+            rows = mgr.rows() if mgr else []
+            return make("__sys_logs", [("timestamp", VC), ("log_level", VC),
+                                       ("type", VC), ("message", VC)], rows)
         if name == "duckdb_functions":
             from duckdb_tpu.planner.functions import REGISTRY
             from duckdb_tpu.planner.binder import AGGREGATE_NAMES
