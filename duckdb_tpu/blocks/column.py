@@ -73,10 +73,11 @@ class Column:
         dict_values: Optional[np.ndarray] = None,
         pad_to: Optional[int] = None,
         device=None,
+        dtype_override=None,
     ) -> "Column":
         n = len(values)
         p = pad_to if pad_to is not None else pad_bucket(n)
-        buf = np.zeros(p, dtype=ltype.np_dtype)
+        buf = np.zeros(p, dtype=dtype_override or ltype.np_dtype)
         buf[:n] = values
         data = jnp.asarray(buf)
         vmask = None

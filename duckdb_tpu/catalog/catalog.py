@@ -69,9 +69,21 @@ class TableEntry:
             values, validity, dict_values = self.host_column(name)
             ltype = self.col_types[name]
             pad = pad_bucket(self.nrows)
-            self._device[name] = Column.from_numpy(
-                values, ltype, validity=validity, dict_values=dict_values, pad_to=pad
+            # width narrowing: store int64-typed columns as int32 planes when
+            # the zone-map range fits — halves HBM residency and, on
+            # virtualized devices that re-stream inputs per call, halves the
+            # per-query transfer (compute still widens to int64 in-trace)
+            if (np.dtype(ltype.np_dtype) == np.int64 and len(values)):
+                st = self.stats_for(name)
+                if (st.min_val is not None and st.max_val is not None
+                        and -2**31 < int(st.min_val)
+                        and int(st.max_val) < 2**31 - 1):
+                    values = values.astype(np.int32)
+            col = Column.from_numpy(
+                values, ltype, validity=validity, dict_values=dict_values,
+                pad_to=pad, dtype_override=values.dtype,
             )
+            self._device[name] = col
         return self._device[name]
 
     def _compute_stats(self, name):
