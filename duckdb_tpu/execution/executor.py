@@ -361,11 +361,12 @@ class Executor:
                 valids.append(jnp.broadcast_to(c.validity, (plen2,))[rows]
                               if c.validity is not None
                               else jnp.ones((cap,), jnp.bool_))
-            imat = jnp.stack(ints) if ints else jnp.zeros((0, cap), jnp.int64)
+            # n_out rides as an extra imat row: one fewer host-staged buffer
+            ints.append(jnp.full((cap,), n_out, jnp.int64))
+            imat = jnp.stack(ints)
             fmat = (jnp.stack(floats) if floats
                     else jnp.zeros((0, cap), jnp.float64))
-            return (jnp.asarray(n_out, jnp.int64), imat, fmat,
-                    jnp.stack(valids))
+            return (imat, fmat, jnp.stack(valids))
 
         def body(env):
             if fa is not None:
@@ -375,14 +376,15 @@ class Executor:
             return tail(env)
 
         try:
-            n_out, imat, fmat, valids = run_jitted(
+            imat, fmat, valids = run_jitted(
                 proj, "tail", batch, in_exprs, body,
                 overlay=None if fa is not None else overlay)
         except (KeyError, B.BindError):
             return None
-        host_n, host_ints, host_floats, host_valids = jax.device_get(
-            (n_out, imat, fmat, valids))
-        n = int(host_n)
+        host_ints, host_floats, host_valids = jax.device_get(
+            (imat, fmat, valids))
+        n = int(host_ints[-1][0])
+        host_ints = host_ints[:-1]
         columns = []
         if fa is not None:
             dict_lookup = {k: dv for k, (t, dv) in fa.out_types.items()}
