@@ -295,12 +295,48 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
         dense = jnp.where(live, dense, total).astype(jnp.int32)
         nseg = total + 1
 
-        occ = jax.ops.segment_sum(live.astype(jnp.int32), dense,
-                                  num_segments=nseg)[:-1]
-        flat = []
+        # Batch every sum-kind partial (plus occupancy) into ONE 2D
+        # segment_sum: on runtimes with high per-stage latency each scatter
+        # op is a serialized stage, so K scatters collapse to one (N, K)
+        # scatter (min/max partials keep their own ops).
+        requests = []  # (slot_index_in_flat, vector, kind)
+        flat_template = []
         for agg in node.aggs:
-            parts = _slot_agg_partials(agg, env2, dense, nseg, live, p)
-            flat.extend(a for a, _ in parts)
+            parts = _slot_agg_partial_vectors(agg, env2, live, p)
+            for vec, kind in parts:
+                requests.append((len(flat_template), vec, kind))
+                flat_template.append(None)
+        int_sum_idx = [i for i, v, k in requests
+                       if k == "sum" and not jnp.issubdtype(v.dtype,
+                                                            jnp.floating)]
+        f64_sum_idx = [i for i, v, k in requests
+                       if k == "sum" and jnp.issubdtype(v.dtype,
+                                                        jnp.floating)]
+        req = {i: (v, k) for i, v, k in requests}
+        flat = list(flat_template)
+        if int_sum_idx:
+            mat = jnp.stack([req[i][0].astype(jnp.int64)
+                             for i in int_sum_idx]
+                            + [live.astype(jnp.int64)], axis=1)
+            sums = jax.ops.segment_sum(mat, dense, num_segments=nseg)[:-1]
+            for j, i in enumerate(int_sum_idx):
+                flat[i] = sums[:, j]
+            occ = sums[:, -1].astype(jnp.int32)
+        else:
+            occ = jax.ops.segment_sum(live.astype(jnp.int32), dense,
+                                      num_segments=nseg)[:-1]
+        if f64_sum_idx:
+            fmat = jnp.stack([req[i][0] for i in f64_sum_idx], axis=1)
+            fsums = jax.ops.segment_sum(fmat, dense, num_segments=nseg)[:-1]
+            for j, i in enumerate(f64_sum_idx):
+                flat[i] = fsums[:, j]
+        for i, (v, k) in req.items():
+            if k == "min":
+                flat[i] = jax.ops.segment_min(v, dense,
+                                              num_segments=nseg)[:-1]
+            elif k == "max":
+                flat[i] = jax.ops.segment_max(v, dense,
+                                              num_segments=nseg)[:-1]
         return occ, flat
 
     def finalize(occ, flat):
@@ -474,6 +510,41 @@ def _run_sharded(executor, node, fa: FusedAgg, n: int):
         arrays.append(c.validity if c.validity is not None
                       else _empty_bool())
     return fn(batch.live, *arrays)
+
+
+def _slot_agg_partial_vectors(agg, env, live, plen):
+    """Pre-scatter per-row vectors + combine kinds (scatters batched by the
+    caller into one 2D segment_sum)."""
+    if agg.func == "count_star":
+        return [(live.astype(jnp.int64), "sum")]
+    c = agg.args[0].eval(env)
+    data = jnp.broadcast_to(c.data, (plen,))
+    mask = live
+    if c.validity is not None:
+        mask = jnp.logical_and(mask, jnp.broadcast_to(c.validity, (plen,)))
+    cnt_vec = mask.astype(jnp.int64)
+    if agg.func == "count":
+        return [(cnt_vec, "sum")]
+    if agg.func in ("sum", "avg", "mean"):
+        if c.ltype.is_float:
+            return [(jnp.where(mask, data.astype(jnp.float64), 0.0), "sum"),
+                    (cnt_vec, "sum")]
+        x = jnp.where(mask, data.astype(jnp.int64), 0)
+        if (agg.func == "sum" and c.ltype.id is TypeId.DECIMAL
+                and agg.ltype.width > 18 and getattr(agg, "_wide", False)):
+            mask32 = jnp.int64((1 << 32) - 1)
+            return [(x >> 32, "sum"), (x & mask32, "sum"), (cnt_vec, "sum")]
+        return [(x, "sum"), (cnt_vec, "sum")]
+    if agg.func in ("min", "max"):
+        if c.ltype.is_float:
+            sent = jnp.inf if agg.func == "min" else -jnp.inf
+            x = jnp.where(mask, data.astype(jnp.float64), sent)
+        else:
+            sent = (np.iinfo(np.int64).max if agg.func == "min"
+                    else np.iinfo(np.int64).min)
+            x = jnp.where(mask, data.astype(jnp.int64), sent)
+        return [(x, agg.func), (cnt_vec, "sum")]
+    raise AssertionError(agg.func)
 
 
 def _slot_agg_partials(agg, env, dense, nseg, live, plen):
