@@ -533,6 +533,9 @@ class Executor:
         build_live = jnp.logical_and(build_b.live, b_valid)
         probe_live = jnp.logical_and(probe_b.live, p_valid)
 
+        if node.jtype in ("asof", "asof_left"):
+            return self._asof_join(node, probe_b, build_b, pk, bk,
+                                   probe_live, build_live)
         if node.jtype in ("semi", "anti") and node.extra is not None:
             out = self._try_semi_neq(node, probe_b, build_b)
             if out is not None:
@@ -599,6 +602,78 @@ class Executor:
             ])
             return Batch(src=src, plen=probe_b.plen, live=probe_b.live)
         return None  # full outer → sorted path
+
+    def _asof_join(self, node, probe_b, build_b, pk, bk, probe_live,
+                   build_live):
+        """ASOF join: per probe row, the nearest build row satisfying the
+        inequality within the equi-key group (reference:
+        src/execution/operator/join/physical_asof_join.cpp). Build rows
+        sort by (packed eq key, asof value); the match is one
+        searchsorted — the ideal TPU shape for this operator.
+        """
+        e = node.extra
+        if not (isinstance(e, B.BoundComparison)
+                and e.op in (">=", ">", "<=", "<")):
+            raise NotImplementedError("ASOF requires one inequality condition")
+
+        def on(batch, expr):
+            try:
+                for nn in B.walk(expr):
+                    if isinstance(nn, (B.BoundColumnRef, B.BoundAggregateRef)):
+                        batch.src[nn.key]
+                return True
+            except KeyError:
+                return False
+
+        op = e.op
+        if on(probe_b, e.left) and on(build_b, e.right):
+            e_probe, e_build = e.left, e.right
+        elif on(probe_b, e.right) and on(build_b, e.left):
+            e_probe, e_build = e.right, e.left
+            op = {">=": "<=", ">": "<", "<=": ">=", "<": ">"}[op]
+        else:
+            raise NotImplementedError("ASOF condition must span both sides")
+
+        pc = e_probe.eval(probe_b.env())
+        bc = e_build.eval(build_b.env())
+        pav = _bdata(pc, probe_b.plen).astype(jnp.int64)
+        bav = _bdata(bc, build_b.plen).astype(jnp.int64)
+        probe_live = jnp.logical_and(probe_live, _full_valid(pc, probe_b.plen))
+        build_live = jnp.logical_and(build_live, _full_valid(bc, build_b.plen))
+        if op in ("<=", "<"):  # probe wants the smallest build value ≥ it
+            pav, bav = -pav, -bav
+            op = {"<=": ">=", "<": ">"}[op]
+        # range-pack (eq key, asof value) into one sortable int64
+        lo = int(jnp.min(jnp.where(build_live, bav, _I64_MAX)))
+        hi = int(jnp.max(jnp.where(build_live, bav, _I64_MIN)))
+        if not bool(jnp.any(build_live)):
+            lo, hi = 0, 0
+        rng = hi - lo + 1
+        base = jnp.int64(rng + 2)
+        pa_off = jnp.clip(pav - lo, -1, rng) + 1
+        ba_off = jnp.clip(bav - lo, -1, rng) + 1
+        combined_b = bk * base + ba_off
+        adj = 0 if op in (">=",) else -1  # strict: match values < probe's
+        combined_p = pk * base + pa_off + adj
+        kb = jnp.where(build_live, combined_b, _I64_MAX)
+        iota = jnp.arange(build_b.plen, dtype=jnp.int32)
+        sorted_k, perm = jax.lax.sort([kb, iota], num_keys=1, is_stable=True)
+        pos = jnp.searchsorted(sorted_k, jnp.where(
+            probe_live, combined_p, _I64_MIN), side="right") - 1
+        posc = jnp.clip(pos, 0, build_b.plen - 1)
+        cand_k = sorted_k[posc]
+        same_group = (cand_k // base) == pk  # candidate in the same eq group
+        matched = jnp.logical_and(jnp.logical_and(probe_live, pos >= 0),
+                                  same_group)
+        brow = jnp.where(matched, perm[posc], -1)
+        brow_c = jnp.clip(brow, 0, build_b.plen - 1)
+        src = ChainCols([
+            probe_b.src,
+            GatherCols(build_b.src, brow_c, null_rows=~matched),
+        ])
+        if node.jtype == "asof":
+            return Batch(src=src, plen=probe_b.plen, live=matched)
+        return Batch(src=src, plen=probe_b.plen, live=probe_b.live)
 
     def _try_semi_neq(self, node, probe_b, build_b):
         """Semi/anti join with a `probe.c <> build.c` residual WITHOUT pair

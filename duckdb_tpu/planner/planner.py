@@ -477,7 +477,8 @@ class Planner:
                     pred_asts.append(N.BinaryOp(
                         "=", N.ColumnRef((la, col)), N.ColumnRef((ra, col))))
                 return
-            if jt in ("left", "right", "semi", "anti", "full"):
+            if jt in ("left", "right", "semi", "anti", "full", "asof",
+                      "asof_left"):
                 # plan both sides as independent pools, then a join node
                 left_atoms: List[Atom] = []
                 right_atoms: List[Atom] = []
@@ -502,7 +503,12 @@ class Planner:
                 across = [c for c in cond
                           if not (self._keys_of(c) <= lkeyset)
                           and not (self._keys_of(c) <= rkeyset)]
-                pk, bk, extra = self._split_join_conds(across, lkeyset, rkeyset)
+                pk, bk, extra = self._split_join_conds(
+                    across, lkeyset, rkeyset,
+                    allow_no_eq=jt in ("asof", "asof_left"))
+                if jt in ("asof", "asof_left") and extra is None:
+                    raise BindError(
+                        "ASOF JOIN requires an inequality condition")
                 if jt == "right":
                     jt2, probe, build = "left", rplan, lplan
                     pk, bk = bk, pk
@@ -669,7 +675,7 @@ class Planner:
     def _atoms_of(self, e: B.BoundExpr, key2atom) -> Set[int]:
         return {key2atom[k] for k in self._keys_of(e) if k in key2atom}
 
-    def _split_join_conds(self, conds, lkeys, rkeys):
+    def _split_join_conds(self, conds, lkeys, rkeys, allow_no_eq=False):
         """Partition cross-side conditions into equi keys + residual."""
         pk, bk, residual = [], [], []
         for c in conds:
@@ -685,7 +691,9 @@ class Planner:
                     continue
             residual.append(c)
         extra = B.BoundConjunction("and", residual) if residual else None
-        if not pk and extra is not None:
+        if len(residual) == 1:
+            extra = residual[0]
+        if not pk and extra is not None and not allow_no_eq:
             raise BindError("non-equi outer join without equi keys unsupported")
         return pk, bk, extra
 

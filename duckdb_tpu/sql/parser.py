@@ -327,7 +327,15 @@ class Parser:
                 natural = True
             jt = None
             k = self.kw()
-            if k in _JOIN_TYPES:
+            if k == "asof":
+                self.next()
+                if self.accept_kw("left"):
+                    self.accept_kw("outer")
+                    jt = "asof_left"
+                else:
+                    jt = "asof"
+                self.expect_kw("join")
+            elif k in _JOIN_TYPES:
                 self.next()
                 if k in ("left", "right", "full"):
                     self.accept_kw("outer")
@@ -412,7 +420,7 @@ class Parser:
         elif (
             self.peek().type == TokType.IDENT
             and self.kw() not in _STOP_KEYWORDS
-            and self.kw() not in ("join",)
+            and self.kw() not in ("join", "asof")
         ):
             alias = self.next().value
         col_aliases: Tuple[str, ...] = ()
