@@ -47,7 +47,8 @@ class Connection:
             open_database(self, database)
 
     _MUTATING = (N.CreateTable, N.CreateView, N.DropStatement,
-                 N.InsertStatement, N.DeleteStatement, N.UpdateStatement)
+                 N.InsertStatement, N.DeleteStatement, N.UpdateStatement,
+                 N.MergeStatement)
 
     # -- main entry -----------------------------------------------------------
     def sql(self, query: str) -> Optional[Result]:
@@ -141,6 +142,8 @@ class Connection:
             return self._delete(s)
         if isinstance(s, N.UpdateStatement):
             return self._update(s)
+        if isinstance(s, N.MergeStatement):
+            return self._merge(s)
         if isinstance(s, N.CopyStatement):
             return self._copy(s)
         if isinstance(s, N.SetStatement):
@@ -431,6 +434,192 @@ class Connection:
                 validity=None if valid_out.all() else valid_out,
                 dict_values=dvals_out)
         return None
+
+    # -- MERGE -----------------------------------------------------------------
+    def _merge(self, s: N.MergeStatement):
+        """MERGE INTO: match target rows against the source on equi keys,
+        apply WHEN (NOT) MATCHED actions (reference: physical_merge_into)."""
+        import jax.numpy as jnp
+        import jax
+
+        from duckdb_tpu.execution.executor import (ChainCols, EvalEnv,
+                                                   Executor, GatherCols,
+                                                   _full_valid)
+        from duckdb_tpu.planner.binder import Scope as _Scope
+        from duckdb_tpu.planner.bound import (BoundComparison, _coerce_to)
+        from duckdb_tpu.planner.planner import split_conjuncts
+
+        entry = self.catalog.get_table(s.target)
+        planner = Planner(self.catalog)
+        # target scan
+        tref = N.BaseTableRef(s.target, alias=s.target_alias)
+        tplan, t_adds, _ = planner._plan_base_table(tref, {})
+        scope = _Scope()
+        for a, c, key, t in t_adds:
+            scope.add(a, c, key, t)
+        t_keys = {key for _, _, key, _ in t_adds}
+        # source atom
+        atoms, preds = [], []
+        planner.collect_atoms(s.source, {}, scope, atoms, preds)
+        splan = planner.plan_pool(atoms, [])
+        binder = planner._pred_binder(scope, {})
+        conds = [binder.bind(c) for c in split_conjuncts(s.condition)]
+        pk, bk = [], []
+        for c in conds:
+            if isinstance(c, BoundComparison) and c.op in ("=", "=="):
+                kl = planner._keys_of(c.left)
+                kr = planner._keys_of(c.right)
+                if kl <= t_keys:
+                    pk.append(c.left)
+                    bk.append(c.right)
+                    continue
+                if kr <= t_keys:
+                    pk.append(c.right)
+                    bk.append(c.left)
+                    continue
+            raise ConnectionException("MERGE ON must be equality conditions")
+        ex = Executor(self.catalog)
+        tb = ex.execute(tplan)
+        sb = ex.execute(splan)
+        pkv, pv, bkv, bv, size = ex._pack_keys(tb, sb, pk, bk)
+        build_live = jnp.logical_and(sb.live, bv)
+        from duckdb_tpu.ops import join as J
+
+        table = J.build_sorted(bkv, build_live)
+        counts, lo, hi = J.probe_counts(
+            table, pkv, jnp.logical_and(tb.live, pv))
+        matched = counts > 0
+        srow = table.perm[jnp.clip(lo, 0, sb.plen - 1)]
+        srow_c = jnp.clip(srow, 0, sb.plen - 1)
+        combined = ChainCols([tb.src,
+                              GatherCols(sb.src, srow_c, null_rows=~matched)])
+        env = EvalEnv(cols=combined, plen=tb.plen, live=tb.live)
+
+        n = entry.nrows
+        h_matched = np.asarray(matched)[:n]
+        delete_mask = np.zeros(n, dtype=bool)
+        # WHEN MATCHED actions (first applicable wins per row)
+        consumed = np.zeros(n, dtype=bool)
+        for act in s.matched:
+            m = h_matched.copy()
+            if act.condition is not None:
+                cc = binder.bind(act.condition).eval(env)
+                cm = np.asarray(jnp.logical_and(
+                    jnp.broadcast_to(cc.data.astype(jnp.bool_), (tb.plen,)),
+                    _full_valid(cc, tb.plen)))[:n]
+                m &= cm
+            m &= ~consumed
+            consumed |= m
+            if act.kind == "delete":
+                delete_mask |= m
+            elif act.kind == "update":
+                for cname, expr in act.assignments:
+                    cd = next(c for c in entry.columns
+                              if c.name.lower() == cname.lower())
+                    bexpr = binder.bind(expr)
+                    cval = _coerce_to(bexpr.eval(env), cd.ltype, env)
+                    self._apply_masked_update(entry, cd, cval, m, tb.plen)
+        # deletes
+        if delete_mask.any():
+            keep = ~delete_mask
+            for cd in entry.columns:
+                vals, valid, dvals = entry.host_column(cd.name)
+                entry.set_host_column(
+                    cd.name, vals[keep],
+                    validity=None if valid is None else valid[keep],
+                    dict_values=dvals)
+            entry.nrows = int(keep.sum())
+        # WHEN NOT MATCHED: source rows with no target match
+        if s.not_matched:
+            s_table = J.build_sorted(pkv, jnp.logical_and(tb.live, pv))
+            s_counts, _, _ = J.probe_counts(s_table, bkv, build_live)
+            s_unmatched = np.asarray(
+                jnp.logical_and(build_live, s_counts == 0))
+            senv = EvalEnv(cols=sb.src, plen=sb.plen, live=sb.live)
+            for act in s.not_matched:
+                if act.kind != "insert":
+                    continue
+                um = s_unmatched.copy()
+                if act.condition is not None:
+                    cc = binder.bind(act.condition).eval(senv)
+                    um &= np.asarray(jnp.logical_and(
+                        jnp.broadcast_to(cc.data.astype(jnp.bool_),
+                                         (sb.plen,)),
+                        _full_valid(cc, sb.plen)))
+                idxs = np.nonzero(um)[0]
+                if len(idxs) == 0:
+                    continue
+                if act.insert_star:
+                    # positional: source columns map onto target columns
+                    src_cols = [b for _, _, b in
+                                scope.all_columns()
+                                if b.key not in t_keys]
+                    exprs = [N.ColumnRef((a, c)) for a, c, b in
+                             scope.all_columns() if b.key not in t_keys]
+                    names = [c.name for c in entry.columns]
+                else:
+                    names = list(act.insert_columns) or                         [c.name for c in entry.columns]
+                    exprs = act.insert_values
+                rows = []
+                evaluated = []
+                for e2 in exprs:
+                    c2 = binder.bind(e2).eval(senv)
+                    evaluated.append(c2)
+                for i in idxs:
+                    row = []
+                    for c2 in evaluated:
+                        d = np.asarray(jnp.broadcast_to(
+                            c2.data, (sb.plen,)))[i]
+                        if c2.validity is not None and not bool(
+                                np.asarray(jnp.broadcast_to(
+                                    c2.validity, (sb.plen,)))[i]):
+                            row.append(None)
+                        elif c2.ltype.id is TypeId.VARCHAR:
+                            row.append(str(c2.dict_values[int(d)]))
+                        elif c2.ltype.id is TypeId.DECIMAL:
+                            import decimal as pydec
+
+                            row.append(pydec.Decimal(int(d)).scaleb(
+                                -c2.ltype.scale))
+                        elif c2.ltype.id.name == "DATE":
+                            import datetime
+
+                            row.append(datetime.date(1970, 1, 1)
+                                       + datetime.timedelta(days=int(d)))
+                        else:
+                            row.append(d.item())
+                    rows.append(tuple(row))
+                self._append_rows(entry, rows, tuple(names))
+        self._plan_cache.clear()
+        return None
+
+    def _apply_masked_update(self, entry, cd, cval, mask, plen):
+        import jax.numpy as jnp
+
+        n = entry.nrows
+        new_vals = np.asarray(jnp.broadcast_to(cval.data, (plen,)))[:n]
+        new_valid = (np.asarray(jnp.broadcast_to(cval.validity, (plen,)))[:n]
+                     if cval.validity is not None else np.ones(n, bool))
+        old_vals, old_valid, old_dict = entry.host_column(cd.name)
+        if cd.ltype.id is TypeId.VARCHAR:
+            old_strs = (old_dict[old_vals] if old_dict is not None
+                        else np.array([""] * n, dtype=object))
+            new_strs = (cval.dict_values[np.clip(new_vals, 0,
+                                                 len(cval.dict_values) - 1)]
+                        if cval.dict_values is not None else old_strs)
+            merged = np.where(mask, new_strs, old_strs).astype(str)
+            uniq, codes = np.unique(merged, return_inverse=True)
+            out_vals = codes.astype(np.int32)
+            out_dict = uniq.astype(object)
+        else:
+            out_vals = np.where(mask, new_vals.astype(old_vals.dtype),
+                                old_vals)
+            out_dict = old_dict
+        ov = old_valid if old_valid is not None else np.ones(n, bool)
+        out_valid = np.where(mask, new_valid, ov)
+        entry.set_host_column(cd.name, out_vals,
+                              validity=None if out_valid.all() else out_valid,
+                              dict_values=out_dict)
 
     # -- COPY ------------------------------------------------------------------
     def _copy(self, s: N.CopyStatement):

@@ -318,6 +318,26 @@ class UpdateStatement:
 
 
 @dataclass
+class MergeAction:
+    kind: str  # update / delete / insert / do_nothing
+    condition: Optional[Expr] = None
+    assignments: List[Tuple[str, Expr]] = field(default_factory=list)
+    insert_columns: Tuple[str, ...] = ()
+    insert_values: List[Expr] = field(default_factory=list)
+    insert_star: bool = False
+
+
+@dataclass
+class MergeStatement:
+    target: str
+    target_alias: Optional[str]
+    source: TableRef
+    condition: Expr = None
+    matched: List[MergeAction] = field(default_factory=list)
+    not_matched: List[MergeAction] = field(default_factory=list)
+
+
+@dataclass
 class CopyStatement:
     table: Optional[str]  # COPY table TO/FROM; or None for COPY (select) TO
     select: Optional[SelectStatement]

@@ -119,6 +119,8 @@ class Parser:
             return self.parse_update()
         if k == "copy":
             return self.parse_copy()
+        if k == "merge":
+            return self.parse_merge()
         if k == "explain":
             self.next()
             analyze = self.accept_kw("analyze")
@@ -925,6 +927,69 @@ class Parser:
         if self.accept_kw("where"):
             where = self.parse_expr()
         return N.UpdateStatement(table, alias, assigns, where)
+
+    def parse_merge(self):
+        self.expect_kw("merge")
+        self.expect_kw("into")
+        target = self.expect_ident()
+        t_alias, _ = self.parse_alias()
+        self.expect_kw("using")
+        source = self.parse_join_operand()
+        self.expect_kw("on")
+        cond = self.parse_expr()
+        matched, not_matched = [], []
+        while self.kw() == "when":
+            self.next()
+            is_matched = not self.accept_kw("not")
+            self.expect_kw("matched")
+            act_cond = None
+            if self.accept_kw("and"):
+                act_cond = self.parse_expr()
+            self.expect_kw("then")
+            if self.accept_kw("update"):
+                self.expect_kw("set")
+                assigns = []
+                while True:
+                    cname = self.expect_ident()
+                    self.expect_op("=")
+                    assigns.append((cname, self.parse_expr()))
+                    if not self.accept_op(","):
+                        break
+                act = N.MergeAction("update", act_cond, assignments=assigns)
+            elif self.accept_kw("delete"):
+                act = N.MergeAction("delete", act_cond)
+            elif self.accept_kw("insert"):
+                cols: Tuple[str, ...] = ()
+                star = False
+                vals = []
+                if self.accept_op("*") or (self.peek().value == "*"):
+                    self.accept_op("*")
+                    star = True
+                else:
+                    if self.peek().value == "(":
+                        self.next()
+                        cl = [self.expect_ident()]
+                        while self.accept_op(","):
+                            cl.append(self.expect_ident())
+                        self.expect_op(")")
+                        cols = tuple(cl)
+                    if self.accept_kw("values"):
+                        self.expect_op("(")
+                        vals = [self.parse_expr()]
+                        while self.accept_op(","):
+                            vals.append(self.parse_expr())
+                        self.expect_op(")")
+                    else:
+                        star = True
+                act = N.MergeAction("insert", act_cond, insert_columns=cols,
+                                    insert_values=vals, insert_star=star)
+            else:
+                self.expect_kw("do")
+                self.expect_kw("nothing")
+                act = N.MergeAction("do_nothing", act_cond)
+            (matched if is_matched else not_matched).append(act)
+        return N.MergeStatement(target, t_alias, source, cond, matched,
+                                not_matched)
 
     def parse_copy(self):
         self.expect_kw("copy")
