@@ -731,6 +731,52 @@ class Connection:
         return Relation(self, f"SELECT * FROM read_parquet('{path}')",
                         alias="parquet")
 
+    def from_df(self, df, table_name: str):
+        """Register a pandas DataFrame as a table (duckdb API parity)."""
+        import pandas as pd
+
+        from duckdb_tpu.types import (BIGINT, BOOLEAN, DOUBLE, VARCHAR)
+
+        cols = []
+        data = {}
+        for cname in df.columns:
+            series = df[cname]
+            if series.dtype.kind in ("i", "u"):
+                t = BIGINT
+                vals = series.fillna(0).to_numpy(dtype=np.int64)
+            elif series.dtype.kind == "f":
+                t = DOUBLE
+                vals = series.fillna(0.0).to_numpy(dtype=np.float64)
+            elif series.dtype.kind == "b":
+                t = BOOLEAN
+                vals = series.fillna(False).to_numpy(dtype=bool)
+            else:
+                t = VARCHAR
+                strs = series.astype(object).where(series.notna(), "")
+                from duckdb_tpu.storage.binary_dir import dict_encode
+
+                codes, uniq = dict_encode(
+                    np.array([str(v) for v in strs], dtype=object))
+                valid = series.notna().to_numpy()
+                cols.append(ColumnDef(cname, t))
+                data[cname] = (codes, None if valid.all() else valid, uniq)
+                continue
+            valid = series.notna().to_numpy()
+            cols.append(ColumnDef(cname, t))
+            data[cname] = (vals, None if valid.all() else valid, None)
+        entry = TableEntry(table_name, cols)
+        entry.nrows = len(df)
+        for cname, (vals, valid, dvals) in data.items():
+            entry.set_host_column(cname, vals, validity=valid,
+                                  dict_values=dvals)
+        self.catalog.create_table(entry, or_replace=True)
+        self._plan_cache.clear()
+        return self.table(table_name)
+
+    def from_arrow(self, tbl, table_name: str):
+        """Register a pyarrow Table as a table."""
+        return self.from_df(tbl.to_pandas(), table_name)
+
     def prepare(self, sql: str):
         from duckdb_tpu.api.relation import PreparedStatement
 

@@ -188,6 +188,34 @@ class Result:
     # per column: (values, validity|None, dict_values|None) — already compacted
     nrows: int
 
+    def df(self):
+        """pandas DataFrame (duckdb python API parity: res.df())."""
+        import pandas as pd
+
+        return pd.DataFrame(self.rows(), columns=self.names)
+
+    def fetchall(self):
+        return self.rows()
+
+    def fetchone(self):
+        r = self.rows()
+        return r[0] if r else None
+
+    def arrow(self):
+        """pyarrow Table (duckdb python API parity: res.arrow())."""
+        import pyarrow as pa
+
+        rows = self.rows()
+        arrays = [pa.array([r[i] for r in rows])
+                  for i in range(len(self.names))]
+        return pa.table(dict(zip(self.names, arrays)))
+
+    def fetchnumpy(self):
+        """{name: np.ndarray} (duckdb python API parity)."""
+        rows = self.rows()
+        return {name: np.array([r[i] for r in rows])
+                for i, name in enumerate(self.names)}
+
     def rows(self) -> List[tuple]:
         """Python-value rows (DECIMAL → decimal.Decimal, DATE → datetime.date)."""
         import datetime

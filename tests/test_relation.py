@@ -59,3 +59,15 @@ def test_setops(con):
     assert a.intersect(b).count() == 2
     assert sorted(a.union(b).fetchall()) == sorted(
         [("alice",), ("carol",), ("alice",), ("carol",)])
+
+
+def test_dataframe_round_trip(con):
+    import pandas as pd
+
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", None]})
+    con.from_df(df, "t2")
+    r = con.sql("SELECT a, b FROM t2 ORDER BY a")
+    assert r.fetchall() == [(1, "x"), (2, "y"), (3, None)]
+    assert r.df().shape == (3, 2)
+    assert r.arrow().num_rows == 3
+    assert list(r.fetchnumpy()["a"]) == [1, 2, 3]
