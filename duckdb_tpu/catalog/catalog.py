@@ -111,6 +111,17 @@ class TableEntry:
             self.host_column(name)  # force load to compute
         return self.stats.get(name, ColumnStats())
 
+    def distinct_count(self, name) -> int:
+        """Exact distinct count, computed lazily and cached (the reference
+        keeps HLL estimates in table stats; exact is affordable host-side
+        and lets PK-ness skip runtime uniqueness checks in joins)."""
+        st = self.stats_for(name)
+        if st.n_unique is None:
+            values, validity, dvals = self.host_column(name)
+            live = values if validity is None else values[validity]
+            st.n_unique = int(len(np.unique(live)))
+        return st.n_unique
+
 
 class Catalog:
     def __init__(self):

@@ -569,15 +569,45 @@ class Executor:
             if out is not None:
                 return out
         if dense_size <= self.DENSE_JOIN_LIMIT:
+            unique = self._build_known_unique(node, build_b)
             out = self._dense_join(node, probe_b, build_b, pk, bk,
-                                   probe_live, build_live, dense_size)
+                                   probe_live, build_live, dense_size,
+                                   known_unique=unique)
             if out is not None:
                 return out
         return self._sorted_join(node, probe_b, build_b, pk, bk,
                                  probe_live, build_live)
 
+    def _build_known_unique(self, node, build_b) -> bool:
+        """True if catalog stats prove the (single) build key is unique —
+        skips the runtime occupancy check (a mid-join host sync)."""
+        from duckdb_tpu.planner.bound import BoundColumnRef
+
+        if len(node.build_keys) != 1:
+            return False
+        e = node.build_keys[0]
+        if not isinstance(e, BoundColumnRef):
+            return False
+        src = build_b.src
+        # walk chain sources to a TableCols owner of this key
+        stack = [src]
+        while stack:
+            s_ = stack.pop()
+            if isinstance(s_, ChainCols):
+                stack.extend(s_.sources)
+            elif isinstance(s_, GatherCols):
+                stack.append(s_.parent)
+            elif isinstance(s_, TableCols) and e.key in s_.keymap:
+                col = s_.keymap[e.key]
+                entry = s_.entry
+                try:
+                    return entry.distinct_count(col) == entry.nrows
+                except Exception:  # noqa: BLE001
+                    return False
+        return False
+
     def _dense_join(self, node, probe_b, build_b, pk, bk, probe_live,
-                    build_live, size):
+                    build_live, size, known_unique=False):
         """Perfect direct-address join (unique build keys): probe = 1 gather.
 
         The duckdb PerfectHashJoinExecutor analog
@@ -588,9 +618,11 @@ class Executor:
         """
         rows = jnp.arange(build_b.plen, dtype=jnp.int32)
         slot = jnp.where(build_live, jnp.clip(bk, 0, size), size).astype(jnp.int32)
-        occ = jnp.zeros((size + 1,), jnp.int32).at[slot].add(1, mode="drop")
-        if int(jnp.max(occ[:size])) > 1:
-            return None  # duplicate build keys → sorted path
+        if not known_unique:
+            occ = jnp.zeros((size + 1,), jnp.int32).at[slot].add(1,
+                                                                 mode="drop")
+            if int(jnp.max(occ[:size])) > 1:
+                return None  # duplicate build keys → sorted path
         slots = jnp.full((size + 1,), -1, jnp.int32).at[slot].set(
             jnp.where(build_live, rows, -1), mode="drop")
         brow, matched = self._probe_dense(node, slots, size, pk, probe_live,
