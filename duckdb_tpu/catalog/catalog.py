@@ -5,7 +5,10 @@ The reference keeps a versioned MVCC CatalogSet
 catalog; versioning arrives with the transaction layer. Column data is
 host-resident numpy (the "disk tier") and promoted lazily to padded device
 arrays (the HBM cache tier) on first query touch — the TPU analog of
-buffer-pool pinning.
+buffer-pool pinning. A process-wide DeviceBufferPool enforces the
+`memory_limit` setting with LRU eviction (the reference's BufferManager,
+src/storage/standard_buffer_manager.cpp): evicted columns drop their HBM
+copy and re-promote from the host tier on next touch.
 """
 
 from __future__ import annotations
@@ -17,6 +20,50 @@ import numpy as np
 
 from duckdb_tpu.blocks import Column, pad_bucket
 from duckdb_tpu.types import LogicalType, TypeId, VARCHAR
+
+
+class DeviceBufferPool:
+    """LRU accounting of device-resident column bytes (BufferManager analog)."""
+
+    def __init__(self, limit_bytes: int = 0):
+        self.limit = limit_bytes  # 0 = unlimited
+        self.used = 0
+        self._clock = 0
+        # (entry, name) → (bytes, last_touch)
+        self._resident: Dict[tuple, list] = {}
+
+    def touch(self, entry, name, nbytes):
+        self._clock += 1
+        key = (id(entry), name)
+        if key in self._resident:
+            self._resident[key][1] = self._clock
+            return
+        self._resident[key] = [nbytes, self._clock, entry, name]
+        self.used += nbytes
+        self._maybe_evict()
+
+    def release(self, entry, name):
+        key = (id(entry), name)
+        rec = self._resident.pop(key, None)
+        if rec:
+            self.used -= rec[0]
+
+    def _maybe_evict(self):
+        if not self.limit:
+            return
+        while self.used > self.limit and len(self._resident) > 1:
+            victim = min(self._resident.values(), key=lambda r: r[1])
+            _, _, entry, name = victim
+            entry._device.pop(name, None)
+            self.release(entry, name)
+
+
+POOL = DeviceBufferPool()
+
+
+def set_memory_limit(limit_bytes: int):
+    POOL.limit = limit_bytes
+    POOL._maybe_evict()
 
 
 @dataclass
@@ -50,7 +97,8 @@ class TableEntry:
     # -- population -----------------------------------------------------------
     def set_host_column(self, name, values, validity=None, dict_values=None):
         self._host[name] = (values, validity, dict_values)
-        self._device.pop(name, None)
+        if self._device.pop(name, None) is not None:
+            POOL.release(self, name)
         self._compute_stats(name)
 
     def set_lazy_column(self, name, loader: Callable[[], Tuple]):
@@ -84,6 +132,12 @@ class TableEntry:
                 pad_to=pad, dtype_override=values.dtype,
             )
             self._device[name] = col
+            nbytes = int(col.data.size) * col.data.dtype.itemsize
+            if col.validity is not None:
+                nbytes += int(col.validity.size)
+            POOL.touch(self, name, nbytes)
+        else:
+            POOL.touch(self, name, 0)
         return self._device[name]
 
     def _compute_stats(self, name):
@@ -176,6 +230,9 @@ class Catalog:
     def drop_table(self, name: str, if_exists: bool = False):
         key = name.lower()
         if key in self.tables:
+            entry = self.tables[key]
+            for col in list(entry._device):
+                POOL.release(entry, col)
             del self.tables[key]
         elif not if_exists:
             raise ValueError(f'table "{name}" does not exist')

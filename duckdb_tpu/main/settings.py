@@ -54,6 +54,25 @@ SETTINGS = [
 BY_NAME: Dict[str, Setting] = {s.name: s for s in SETTINGS}
 
 
+def parse_bytes(v) -> int:
+    """'512MB' / '2GiB' / int → bytes (0 = unlimited)."""
+    if isinstance(v, (int, float)):
+        return int(v)
+    s_ = str(v).strip().upper().replace("IB", "B")
+    mult = 1
+    for suffix, m in (("TB", 1 << 40), ("GB", 1 << 30), ("MB", 1 << 20),
+                      ("KB", 1 << 10), ("B", 1)):
+        if s_.endswith(suffix):
+            s_ = s_[: -len(suffix)]
+            mult = m
+            break
+    try:
+        return int(float(s_) * mult)
+    except ValueError:
+        raise ValueError(f'Failed to parse memory limit "{v}": expected a '
+                         'size like \'1GB\' (0 = unlimited)')
+
+
 class SettingsManager:
     def __init__(self):
         self.values: Dict[str, object] = {s.name: s.default for s in SETTINGS}
@@ -69,6 +88,10 @@ class SettingsManager:
         elif spec.typ == "BIGINT":
             value = int(value)
         self.values[name] = value
+        if name == "memory_limit":
+            from duckdb_tpu.catalog.catalog import set_memory_limit
+
+            set_memory_limit(parse_bytes(value))
 
     def reset(self, name: str):
         name = name.lower()

@@ -74,3 +74,25 @@ def test_range_functions(con):
     assert con.sql("SELECT count(*) FROM generate_series(1,5)").rows() == [(5,)]
     assert con.sql("SELECT min(range), max(range) FROM range(2, 10, 3)").rows() \
         == [(2, 8)]
+
+
+def test_memory_limit_eviction():
+    """memory_limit setting caps device-resident bytes with LRU eviction
+    (reference BufferManager, src/storage/standard_buffer_manager.cpp)."""
+    import duckdb_tpu
+    from duckdb_tpu.catalog.catalog import POOL
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE big AS SELECT range AS a, range * 2 AS b, "
+            "range * 3 AS c FROM range(20000)")
+    con.sql("SET memory_limit = '200KB'")
+    con.sql("SELECT sum(a) FROM big")
+    con.sql("SELECT sum(b) FROM big")
+    con.sql("SELECT sum(c) FROM big")
+    assert POOL.limit == 200 * 1024
+    # eviction keeps at most ~one 20k-row int column + slack resident
+    assert POOL.used <= 2 * POOL.limit
+    # evicted columns transparently re-promote from the host tier
+    assert con.sql("SELECT sum(a) FROM big").rows() == [(199990000,)]
+    con.sql("SET memory_limit = '0B'")  # unlimited again for other tests
+    con.sql("DROP TABLE big")
