@@ -320,7 +320,9 @@ class Connection:
             elif t.id is TypeId.DATE:
                 epoch = datetime.date(1970, 1, 1)
                 phys = np.array(
-                    [0 if v is None else (v - epoch).days for v in vals],
+                    [0 if v is None else
+                     ((datetime.date.fromisoformat(v) if isinstance(v, str)
+                       else v) - epoch).days for v in vals],
                     dtype=t.np_dtype)
             else:
                 phys = np.array([0 if v is None else v for v in vals],

@@ -10,8 +10,13 @@ data-parallel, no per-partition loops — and results scatter back through
 the sort permutation.
 
 Frames: default frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW with peers
-when ORDER BY present, whole partition otherwise) plus ROWS BETWEEN
-offsets for sum/count/avg via prefix-sum differences.
+when ORDER BY present, whole partition otherwise) plus explicit ROWS and
+RANGE BETWEEN frames with offsets. Every frame reduces to per-row
+[lo_pos, hi_pos] index spans in sorted order: ROWS offsets are index
+arithmetic, RANGE offsets are vectorized binary searches on the order key
+(log2(n) gather rounds inside one jit — the TPU analog of the reference's
+per-row PeerBegin/PeerEnd scans). Sums over spans use prefix-sum
+differences; min/max uses a log-level sparse table (two gathers per row).
 """
 
 from __future__ import annotations
@@ -75,8 +80,12 @@ def execute_window(executor, node: P.Window):
         pk_s = sorted_ops[1:1 + len(pkeys)]
         ok_s = sorted_ops[1 + len(pkeys):-1]
 
-        # partition boundaries (first row of each partition), in sorted order
+        # partition boundaries (first row of each partition), in sorted order.
+        # dead padding rows (sorted last) get their own segment so value-based
+        # frame bisection never scans their garbage order keys
         seg_start = jnp.zeros((plen,), jnp.bool_).at[0].set(True)
+        seg_start = jnp.logical_or(seg_start,
+                                   dead_s != jnp.roll(dead_s, 1))
         for k in pk_s:
             seg_start = jnp.logical_or(seg_start, k != jnp.roll(k, 1))
         seg_start = seg_start.at[0].set(True)
@@ -171,11 +180,27 @@ def _compute_window(w: P.BoundWindow, env, plen, perm, seg_start, peer_start,
             out = jnp.where(ok, out, dv)
             outv = jnp.where(ok, outv, True)
         return out, outv
+    framed = w.frame is not None
+    if framed:
+        lo_pos, hi_pos = _frame_bounds(w, env, perm, seg_start, peer_start,
+                                       plen)
+        nonempty = hi_pos >= lo_pos
+
     if f == "first_value":
+        if framed:
+            fv = vals[jnp.clip(lo_pos, 0, plen - 1)]
+            fvv = jnp.logical_and(nonempty,
+                                  valid[jnp.clip(lo_pos, 0, plen - 1)])
+            return fv, fvv
         fv, _ = _propagate_from_start(vals, seg_start)
         fvv, _ = _propagate_from_start(valid, seg_start)
         return fv, fvv
     if f == "last_value":
+        if framed:
+            lv = vals[jnp.clip(hi_pos, 0, plen - 1)]
+            lvv = jnp.logical_and(nonempty,
+                                  valid[jnp.clip(hi_pos, 0, plen - 1)])
+            return lv, lvv
         # default frame ends at current row (peers included when ordered)
         if has_order:
             return _peer_end_gather(vals, peer_start, plen), \
@@ -193,9 +218,9 @@ def _compute_window(w: P.BoundWindow, env, plen, perm, seg_start, peer_start,
         else:
             x = jnp.where(valid, vals.astype(jnp.int64), 0)
         cnt = valid.astype(jnp.int64)
-        if w.frame is not None and w.frame[0] == "rows":
-            s = _rows_frame_sum(x, w.frame, seg_start, plen)
-            n_ = _rows_frame_sum(cnt, w.frame, seg_start, plen)
+        if framed:
+            s = _span_sum(x, lo_pos, hi_pos, seg_start, plen)
+            n_ = _span_sum(cnt, lo_pos, hi_pos, seg_start, plen)
         elif has_order:
             s = _running_sum(x, seg_start, peer_start, plen)
             n_ = _running_sum(cnt, seg_start, peer_start, plen)
@@ -223,16 +248,20 @@ def _compute_window(w: P.BoundWindow, env, plen, perm, seg_start, peer_start,
             sent = _I64_MAX if f == "min" else _I64_MIN
             x = jnp.where(valid, vals.astype(jnp.int64), sent)
         op = jnp.minimum if f == "min" else jnp.maximum
-        if has_order and w.frame is None:
+        if framed:
+            run = _span_minmax(x, lo_pos, hi_pos, op, sent, plen)
+            nvalid = _span_sum(valid.astype(jnp.int64), lo_pos, hi_pos,
+                               seg_start, plen)
+        elif has_order:
             # running min/max: segmented scan
             run = jax.lax.associative_scan(
                 _segmented_combine(op), (x, seg_start))[0]
             run = _peer_end_gather(run, peer_start, plen)
+            nvalid = _running_sum(valid.astype(jnp.int64), seg_start,
+                                  peer_start, plen)
         else:
             run = _seg_total_minmax(x, seg_start, plen, op)
-        nvalid = _running_sum(valid.astype(jnp.int64), seg_start, peer_start,
-                              plen) if has_order and w.frame is None else \
-            _seg_total(valid.astype(jnp.int64), seg_start, plen)
+            nvalid = _seg_total(valid.astype(jnp.int64), seg_start, plen)
         return run.astype(vals.dtype), nvalid > 0
     raise NotImplementedError(f"window function {f}")
 
@@ -279,29 +308,127 @@ def _peer_end_gather(ps, peer_start, plen):
     return ps[jnp.clip(end_idx, 0, plen - 1)]
 
 
-def _rows_frame_sum(x, frame, seg_start, plen):
-    """ROWS BETWEEN a AND b via prefix-sum differences, clamped to segment."""
-    mode, lo, hi = frame
+def _seg_bounds(seg_start, plen):
+    """→ (idx, first index of each row's segment, last index)."""
     idx = jnp.arange(plen, dtype=jnp.int64)
     _, start_idx = _propagate_from_start(idx, seg_start)
-    # segment end
     nxt = jnp.roll(seg_start, -1).at[-1].set(True)
     rev_vals = jnp.where(nxt, idx, jnp.int64(_I64_MAX))[::-1]
     end_idx = jax.lax.associative_scan(jnp.minimum, rev_vals)[::-1]
+    return idx, start_idx, end_idx
 
-    def bound_pos(spec, default):
-        kind, e = spec
-        if kind == "unbounded_preceding":
-            return start_idx
-        if kind == "unbounded_following":
-            return end_idx
-        if kind == "current":
-            return idx
-        n = int(_const_frame(e))
-        return idx - n if kind == "preceding" else idx + n
 
-    lo_pos = jnp.clip(bound_pos(lo, start_idx), start_idx, end_idx + 1)
-    hi_pos = jnp.clip(bound_pos(hi, end_idx), start_idx - 1, end_idx)
+def _bisect(keys, targets, lo0, hi0, right, plen):
+    """Vectorized per-row binary search: first index in [lo0, hi0] where
+    keys[j] >= target (or > target when right=True). keys ascend within each
+    row's [lo0, hi0] span. log2(n) rounds of one gather each."""
+    iters = max(1, int(np.ceil(np.log2(max(2, plen)))) + 1)
+
+    def body(_, lh):
+        lo, hi = lh
+        mid = (lo + hi) // 2
+        kv = keys[jnp.clip(mid, 0, plen - 1)]
+        go = jnp.logical_and(lo < hi,
+                             (kv <= targets) if right else (kv < targets))
+        return (jnp.where(go, mid + 1, lo),
+                jnp.where(go, hi, jnp.where(lo < hi, mid, hi)))
+
+    lo, _ = jax.lax.fori_loop(0, iters, body, (lo0, hi0))
+    return lo
+
+
+def _frame_bounds(w, env, perm, seg_start, peer_start, plen):
+    """Explicit ROWS/RANGE frame → per-row inclusive [lo_pos, hi_pos] index
+    spans in sorted order (reference: src/function/window/window_boundaries
+    _state.cpp bound computation)."""
+    from duckdb_tpu.execution.executor import _bdata, _full_valid
+
+    mode, lo, hi = w.frame
+    idx, start_idx, end_idx = _seg_bounds(seg_start, plen)
+
+    if mode == "rows":
+        def pos(spec):
+            kind, e = spec
+            if kind == "unbounded_preceding":
+                return start_idx
+            if kind == "unbounded_following":
+                return end_idx
+            if kind == "current":
+                return idx
+            n = int(_const_frame(e))
+            return idx - n if kind == "preceding" else idx + n
+
+        lo_pos, hi_pos = pos(lo), pos(hi)
+    else:  # range with offsets: value-space bounds on the single order key
+        if len(w.order_by) != 1:
+            raise ValueError(
+                "RANGE frames with offsets require exactly one ORDER BY "
+                "expression")
+        e, desc, _nf = w.order_by[0]
+        c = e.eval(env)
+        kv = _bdata(c, plen)[perm]
+        kvalid = (_full_valid(c, plen)[perm] if c.validity is not None
+                  else jnp.ones((plen,), jnp.bool_))
+        if c.ltype.is_float:
+            k = kv.astype(jnp.float64)
+        else:
+            k = kv.astype(jnp.int64)
+        if desc:  # negate so keys ascend; offsets are direction-symmetric
+            k = -k
+        # NULL keys hold garbage raw values; pin them to a sentinel matching
+        # their physical sort placement so the array stays ascending
+        nulls_first = bool(_nf) if _nf is not None else False
+        if c.ltype.is_float:
+            sent_null = -jnp.inf if nulls_first else jnp.inf
+        else:
+            sent_null = _I64_MIN if nulls_first else _I64_MAX
+        k = jnp.where(kvalid, k, sent_null)
+        scale = 10 ** c.ltype.scale if c.ltype.id is TypeId.DECIMAL else 1
+
+        def off(e_):
+            from decimal import Decimal
+
+            be = _bound_frame_expr(e_)
+            v = be.const_value()
+            lt = getattr(be, "ltype", None)
+            if lt is not None and getattr(lt, "id", None) is TypeId.DECIMAL:
+                v = Decimal(v).scaleb(-lt.scale)  # const_value is scaled int
+            if c.ltype.is_float:
+                return float(v)
+            return int(Decimal(str(v)) * scale)
+
+        # peer-run bounds: the CURRENT ROW frame edge in RANGE mode, and the
+        # frame for NULL order keys (all NULLs are mutual peers)
+        _, peer_s = _propagate_from_start(idx, peer_start)
+        nxtp = jnp.roll(peer_start, -1).at[-1].set(True)
+        revp = jnp.where(nxtp, idx, jnp.int64(_I64_MAX))[::-1]
+        peer_e = jax.lax.associative_scan(jnp.minimum, revp)[::-1]
+
+        def pos(spec, is_lo):
+            kind, e_ = spec
+            if kind == "unbounded_preceding":
+                return start_idx
+            if kind == "unbounded_following":
+                return end_idx
+            if kind == "current":
+                return peer_s if is_lo else peer_e
+            n = off(e_)
+            tgt = k - n if kind == "preceding" else k + n
+            if is_lo:
+                p = _bisect(k, tgt, start_idx, end_idx + 1, False, plen)
+            else:
+                p = _bisect(k, tgt, start_idx, end_idx + 1, True, plen) - 1
+            return jnp.where(kvalid, p, peer_s if is_lo else peer_e)
+
+        lo_pos, hi_pos = pos(lo, True), pos(hi, False)
+
+    return (jnp.clip(lo_pos, start_idx, end_idx + 1),
+            jnp.clip(hi_pos, start_idx - 1, end_idx))
+
+
+def _span_sum(x, lo_pos, hi_pos, seg_start, plen):
+    """Sum of x over each row's [lo_pos, hi_pos] via prefix differences."""
+    idx, start_idx, _ = _seg_bounds(seg_start, plen)
     ps = jax.lax.associative_scan(_segmented_combine(jnp.add), (x, seg_start))[0]
     seg_base, _ = _propagate_from_start(ps - x, seg_start)
     pref = ps - seg_base  # prefix within segment, inclusive
@@ -310,9 +437,37 @@ def _rows_frame_sum(x, frame, seg_start, plen):
     return hi_v - lo_v
 
 
-def _const_frame(e):
+def _span_minmax(x, lo_pos, hi_pos, op, ident, plen):
+    """min/max of x over [lo_pos, hi_pos] via a sparse table: log2(n) build
+    levels, then two gathers per row (no segment tree needed — spans are
+    already clamped to their partition)."""
+    levels = [x]
+    h = 1
+    while h < plen:
+        prev = levels[-1]
+        shifted = jnp.concatenate(
+            [prev[h:], jnp.full((h,), ident, prev.dtype)])
+        levels.append(op(prev, shifted))
+        h *= 2
+    tbl = jnp.stack(levels)  # (K, plen)
+    ln = (hi_pos - lo_pos + 1).astype(jnp.float64)
+    kk = jnp.where(ln >= 1,
+                   jnp.floor(jnp.log2(jnp.maximum(ln, 1.0))), 0.0
+                   ).astype(jnp.int64)
+    kk = jnp.clip(kk, 0, len(levels) - 1)
+    a = tbl[kk, jnp.clip(lo_pos, 0, plen - 1)]
+    b2 = hi_pos - (jnp.int64(1) << kk) + 1
+    b_ = tbl[kk, jnp.clip(b2, 0, plen - 1)]
+    return jnp.where(hi_pos >= lo_pos, op(a, b_), ident)
+
+
+def _bound_frame_expr(e):
     from duckdb_tpu.planner.binder import ExprBinder, Scope
 
-    if hasattr(e, "const_value"):
-        return e.const_value()
-    return ExprBinder(Scope()).bind(e).const_value()
+    if hasattr(e, "ltype") and hasattr(e, "const_value"):
+        return e
+    return ExprBinder(Scope()).bind(e)
+
+
+def _const_frame(e):
+    return _bound_frame_expr(e).const_value()

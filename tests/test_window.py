@@ -61,3 +61,90 @@ def test_window_differential(con, q):
         capture_output=True, text=True,
     ).stdout.strip().splitlines()
     assert got == ref, f"\ngot: {got}\nref: {ref}"
+
+
+class TestExplicitFrames:
+    """ROWS/RANGE BETWEEN frames with offsets, differentially verified against
+    the reference binary (reference: src/function/window/window_boundaries_
+    state.cpp). Expectations below are the reference's own output."""
+
+    @pytest.fixture(scope="class")
+    def fcon(self):
+        import duckdb_tpu
+
+        con = duckdb_tpu.connect()
+        con.sql("CREATE TABLE wt (g INT, k INT, v INT)")
+        con.sql("INSERT INTO wt VALUES (1,1,10),(1,2,20),(1,2,25),(1,5,50),"
+                "(1,9,90),(2,1,5),(2,3,30),(2,4,NULL),(2,8,80),(1,NULL,7),"
+                "(2,NULL,NULL)")
+        con.sql("CREATE TABLE wd (g INT, k DECIMAL(8,2), v INT)")
+        con.sql("INSERT INTO wd VALUES (1,1.50,10),(1,2.25,20),(1,2.80,25),"
+                "(1,5.00,50),(2,0.10,5),(2,3.75,30),(2,NULL,9)")
+        con.sql("CREATE TABLE wdt (k DATE, v INT)")
+        con.sql("INSERT INTO wdt VALUES ('2024-01-01',1),('2024-01-03',3),"
+                "('2024-01-04',4),('2024-01-10',10)")
+        return con
+
+    def q(self, fcon, sql):
+        return fcon.sql(sql).rows()
+
+    def test_range_sum_offsets(self, fcon):
+        rows = self.q(fcon, "SELECT g,k, sum(v) OVER (PARTITION BY g ORDER "
+                      "BY k RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) "
+                      "FROM wt ORDER BY g,k,v")
+        assert [r[2] for r in rows] == [55, 55, 55, 50, 90, 7,
+                                        35, 35, 30, 80, None]
+
+    def test_range_min_offsets(self, fcon):
+        rows = self.q(fcon, "SELECT g,k, min(v) OVER (PARTITION BY g ORDER "
+                      "BY k RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) "
+                      "FROM wt ORDER BY g,k,v")
+        assert [r[2] for r in rows] == [10, 10, 10, 50, 90, 7,
+                                        5, 5, 30, 80, None]
+
+    def test_rows_minmax_sliding(self, fcon):
+        rows = self.q(fcon, "SELECT g,k, min(v) OVER (PARTITION BY g ORDER "
+                      "BY k ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) "
+                      "FROM wt ORDER BY g,k,v")
+        assert [r[2] for r in rows] == [10, 10, 10, 20, 25, 7,
+                                        5, 5, 5, 30, 80]
+
+    def test_range_desc(self, fcon):
+        rows = self.q(fcon, "SELECT g,k, sum(v) OVER (PARTITION BY g ORDER "
+                      "BY k DESC RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) "
+                      "FROM wt ORDER BY g,k,v")
+        assert [r[2] for r in rows] == [55, 55, 55, 50, 90, 7,
+                                        35, 35, 30, 80, None]
+
+    def test_range_following_only_empty_frames(self, fcon):
+        rows = self.q(fcon, "SELECT g,k, sum(v) OVER (PARTITION BY g ORDER "
+                      "BY k RANGE BETWEEN 1 FOLLOWING AND 3 FOLLOWING) "
+                      "FROM wt ORDER BY g,k,v")
+        assert [r[2] for r in rows] == [45, 50, 50, None, None, 7,
+                                        30, None, None, None, None]
+
+    def test_framed_first_last_value(self, fcon):
+        rows = self.q(fcon, "SELECT g,k, last_value(v) OVER (PARTITION BY g "
+                      "ORDER BY k RANGE BETWEEN 2 PRECEDING AND 1 FOLLOWING) "
+                      "FROM wt ORDER BY g,k,v")
+        assert [r[2] for r in rows] == [25, 25, 25, 50, 90, 7,
+                                        5, None, None, 80, None]
+
+    def test_decimal_range_key(self, fcon):
+        rows = self.q(fcon, "SELECT g,k, sum(v) OVER (PARTITION BY g ORDER "
+                      "BY k RANGE BETWEEN 1.0 PRECEDING AND 0.55 FOLLOWING) "
+                      "FROM wd ORDER BY g,k")
+        assert [r[2] for r in rows] == [10, 55, 45, 50, 5, 30, 9]
+
+    def test_date_range_key(self, fcon):
+        rows = self.q(fcon, "SELECT k, sum(v) OVER (ORDER BY k RANGE "
+                      "BETWEEN 2 PRECEDING AND 1 FOLLOWING) FROM wdt "
+                      "ORDER BY k")
+        assert [r[1] for r in rows] == [1, 8, 7, 10]
+
+    def test_rows_preceding_only(self, fcon):
+        rows = self.q(fcon, "SELECT g,k, sum(v) OVER (PARTITION BY g ORDER "
+                      "BY k ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) "
+                      "FROM wt ORDER BY g,k,v")
+        assert [r[2] for r in rows] == [None, 10, 30, 45, 75, 140,
+                                        None, 5, 35, 30, 80]
