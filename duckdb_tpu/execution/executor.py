@@ -991,6 +991,28 @@ class Executor:
         return Batch(src=GatherCols(b.src, rows), plen=cap, live=pos < out)
 
     # -- set ops --------------------------------------------------------------
+    def _exec_Sample(self, node: P.Sample) -> Batch:
+        """Narrow the live mask pseudo-randomly; block shape is preserved so
+        downstream stages recompile nothing (reference materializes a
+        reservoir, src/execution/operator/helper/physical_reservoir_sample
+        .cpp — here a sample is just another mask)."""
+        import random as _random
+
+        b = self.execute(node.child)
+        seed = node.seed if node.seed is not None else _random.randrange(1 << 30)
+        key = jax.random.PRNGKey(seed)
+        r = jax.random.uniform(key, (b.plen,))
+        if node.percent is not None:
+            keep = jnp.logical_and(b.live, r < node.percent / 100.0)
+        else:
+            dead = jnp.logical_not(b.live)
+            ops = jax.lax.sort(
+                [dead, r, jnp.arange(b.plen, dtype=jnp.int32)], num_keys=2)
+            sel = ops[2][: max(node.rows, 0)]
+            keep = jnp.zeros((b.plen,), jnp.bool_).at[sel].set(True)
+            keep = jnp.logical_and(keep, b.live)
+        return Batch(src=b.src, plen=b.plen, live=keep)
+
     def _exec_SetOp(self, node: P.SetOp) -> Batch:
         assert node.op == "union_all"
         a = self.execute(node.left)

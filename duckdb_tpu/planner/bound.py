@@ -557,6 +557,16 @@ def _coerce_to(c: Column, t: LogicalType, env: EvalEnv) -> Column:
             ltype=t,
             validity=c.validity,
         )
+    if c.ltype.id is TypeId.SQLNULL:
+        # NULL literal → all-null column of the target type (UNION branches
+        # from GROUPING SETS desugaring produce these for rolled-up keys)
+        n = c.data.shape[0]
+        if t.id is TypeId.VARCHAR:
+            return Column(data=jnp.zeros((n,), jnp.int32), ltype=t,
+                          validity=jnp.zeros((n,), jnp.bool_),
+                          dict_values=np.array([""], dtype=object))
+        return Column(data=jnp.zeros((n,), t.np_dtype), ltype=t,
+                      validity=jnp.zeros((n,), jnp.bool_))
     raise BindError(f"unsupported coercion {c.ltype} → {t}")
 
 

@@ -98,6 +98,18 @@ class Limit(PlanNode):
 
 
 @dataclass
+class Sample(PlanNode):
+    """Pseudo-random row sample (reference: src/execution/operator/helper/
+    physical_reservoir_sample.cpp). rows XOR percent is set."""
+
+    child: PlanNode
+    rows: Optional[int] = None
+    percent: Optional[float] = None
+    method: Optional[str] = None
+    seed: Optional[int] = None
+
+
+@dataclass
 class SetOp(PlanNode):
     op: str  # union_all (union/except/intersect lower to agg/semi/anti joins)
     left: PlanNode

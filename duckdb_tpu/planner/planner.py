@@ -862,6 +862,19 @@ class Planner:
             plan = P.Join(plan, s.build_plan, s.jtype, s.probe_keys,
                           s.build_keys, s.extra, null_aware=s.null_aware)
 
+        if sel.sample is not None:
+            amount_ast, unit, method, seed = sel.sample
+            be = binder.bind(amount_ast)
+            v = be.const_value()
+            from duckdb_tpu.types import TypeId as _TID
+            if be.ltype.id is _TID.DECIMAL:
+                v = v / (10 ** be.ltype.scale)
+            if unit == "percent":
+                plan = P.Sample(plan, percent=float(v), method=method,
+                                seed=seed)
+            else:
+                plan = P.Sample(plan, rows=int(v), method=method, seed=seed)
+
         # -- aggregation ------------------------------------------------------
         has_agg = bool(sel.group_by) or sel.group_by_all
         for e, _ in sel.select_list:

@@ -227,6 +227,8 @@ class SelectNode:
     group_by_all: bool = False
     having: Optional[Expr] = None
     qualify: Optional[Expr] = None
+    # (amount Expr, unit 'rows'|'percent', method|None, seed|None)
+    sample: Optional[tuple] = None
 
 
 @dataclass

@@ -263,20 +263,185 @@ class Parser:
                 break
         if self.accept_kw("from"):
             node.from_table = self.parse_table_ref()
+            if self.accept_kw("using", "sample"):
+                node.sample = self.parse_sample_clause()
         if self.accept_kw("where"):
             node.where = self.parse_expr()
+        if self.accept_kw("using", "sample"):  # also legal after WHERE
+            node.sample = self.parse_sample_clause()
+        grouping_sets = None
         if self.accept_kw("group", "by"):
             if self.accept_kw("all"):
                 node.group_by_all = True
             else:
-                node.group_by.append(self.parse_expr())
-                while self.accept_op(","):
-                    node.group_by.append(self.parse_expr())
+                grouping_sets = self._parse_group_by_elements(node)
         if self.accept_kw("having"):
             node.having = self.parse_expr()
         if self.accept_kw("qualify"):
             node.qualify = self.parse_expr()
+        if grouping_sets is not None:
+            return self._desugar_grouping_sets(node, grouping_sets)
         return node
+
+    def _parse_group_by_elements(self, node):
+        """GROUP BY list with GROUPING SETS / ROLLUP / CUBE elements.
+
+        Returns None for a plain list (stored on node.group_by), else the
+        combined list of grouping sets (cross-product across elements, as in
+        the reference's Transformer::TransformGroupBy,
+        src/parser/transform/statement/transform_select_node.cpp).
+        """
+        elems = []  # each element: list of alternative key-lists
+        while True:
+            if self.accept_kw("grouping", "sets"):
+                self.expect_op("(")
+                gs = [self._parse_grouping_set()]
+                while self.accept_op(","):
+                    gs.append(self._parse_grouping_set())
+                self.expect_op(")")
+                elems.append(gs)
+            elif self.accept_kw("rollup"):
+                es = self._parse_paren_exprs()
+                elems.append([es[:i] for i in range(len(es), -1, -1)])
+            elif self.accept_kw("cube"):
+                es = self._parse_paren_exprs()
+                subs = [[es[i] for i in range(len(es)) if (mask >> i) & 1]
+                        for mask in range(1 << len(es))]
+                subs.sort(key=len, reverse=True)
+                elems.append(subs)
+            else:
+                elems.append([[self.parse_expr()]])
+            if not self.accept_op(","):
+                break
+        if all(len(g) == 1 for g in elems):
+            node.group_by = [e for g in elems for e in g[0]]
+            return None
+        sets = [[]]
+        for g in elems:
+            sets = [s + alt for s in sets for alt in g]
+        return sets
+
+    def _parse_paren_exprs(self):
+        self.expect_op("(")
+        es = [self.parse_expr()]
+        while self.accept_op(","):
+            es.append(self.parse_expr())
+        self.expect_op(")")
+        return es
+
+    def _parse_grouping_set(self):
+        if self.accept_op("("):
+            if self.accept_op(")"):
+                return []
+            es = [self.parse_expr()]
+            while self.accept_op(","):
+                es.append(self.parse_expr())
+            self.expect_op(")")
+            return es
+        return [self.parse_expr()]
+
+    def _desugar_grouping_sets(self, node, sets):
+        """Desugar to UNION ALL: one aggregate branch per grouping set, with
+        rolled-up keys replaced by NULL literals and GROUPING() calls folded
+        to constants. Each branch then rides the existing fused single-set
+        aggregate pipeline (the TPU-friendly shape: N independent dense
+        aggregations instead of the reference's shared multi-set hash table,
+        src/execution/operator/aggregate/physical_hash_aggregate.cpp)."""
+        import copy
+
+        all_keys = []
+        for s_ in sets:
+            for e in s_:
+                if e not in all_keys:
+                    all_keys.append(e)
+        branches = []
+        for s_ in sets:
+            b = copy.deepcopy(node)
+            b.group_by = copy.deepcopy(s_)
+            absent = [k for k in all_keys if k not in s_]
+            b.select_list = [(self._rewrite_grouping(e, absent), a)
+                             for (e, a) in b.select_list]
+            if b.having is not None:
+                b.having = self._rewrite_grouping(b.having, absent)
+            branches.append(b)
+        out = branches[0]
+        for b in branches[1:]:
+            out = N.SetOpNode("union", True, out, b)
+        return out
+
+    def _rewrite_grouping(self, e, absent):
+        """Replace rolled-up key references with NULL and GROUPING(...) with
+        its constant bitmask; aggregate arguments are left untouched (they
+        still see the raw column)."""
+        import dataclasses
+
+        if not isinstance(e, N.Expr):
+            return e
+        if any(e == k for k in absent):
+            return N.Literal(None)
+        if isinstance(e, N.FunctionCall):
+            name = e.name.lower()
+            if name in ("grouping", "grouping_id"):
+                val = 0
+                for a in e.args:
+                    val = val * 2 + (1 if any(a == k for k in absent) else 0)
+                return N.Literal(val)
+            from duckdb_tpu.planner.binder import AGGREGATE_NAMES
+
+            if name in AGGREGATE_NAMES:
+                return e
+        if not dataclasses.is_dataclass(e):
+            return e
+        kw = {}
+        for f in dataclasses.fields(e):
+            v = getattr(e, f.name)
+            if isinstance(v, N.Expr):
+                v = self._rewrite_grouping(v, absent)
+            elif isinstance(v, list):
+                v = [self._rewrite_grouping(x, absent)
+                     if isinstance(x, N.Expr) else x for x in v]
+            elif isinstance(v, tuple):
+                v = tuple(self._rewrite_grouping(x, absent)
+                          if isinstance(x, N.Expr) else x for x in v)
+            kw[f.name] = v
+        return type(e)(**kw)
+
+    def parse_sample_clause(self):
+        """USING SAMPLE <n> [% | PERCENT | ROWS] [(method [, seed])]
+        [REPEATABLE (seed)] — reference grammar in
+        src/parser/transform/helpers/transform_sample.cpp."""
+        method = None
+        # method-first form: USING SAMPLE reservoir(10 ROWS)
+        if (self.peek().type == TokType.IDENT
+                and self.kw() in ("reservoir", "bernoulli", "system")
+                and self.peek(1).value == "("):
+            method = self.next().value.lower()
+            self.expect_op("(")
+            amount = self.parse_unary()  # bare literal: '%' must stay a unit
+            unit = "percent"
+            if self.accept_kw("rows"):
+                unit = "rows"
+            elif self.accept_kw("percent") or self.accept_op("%"):
+                unit = "percent"
+            self.expect_op(")")
+        else:
+            amount = self.parse_unary()  # bare literal: '%' must stay a unit
+            unit = "rows"
+            if self.accept_op("%") or self.accept_kw("percent"):
+                unit = "percent"
+            elif self.accept_kw("rows"):
+                unit = "rows"
+        seed = None
+        if self.accept_op("("):
+            method = self.expect_ident().lower()
+            if self.accept_op(","):
+                seed = int(self.next().value)
+            self.expect_op(")")
+        if self.accept_kw("repeatable"):
+            self.expect_op("(")
+            seed = int(self.next().value)
+            self.expect_op(")")
+        return (amount, unit, method, seed)
 
     def parse_select_item(self) -> Tuple[N.Expr, Optional[str]]:
         # [table.]* [EXCLUDE(...)]
