@@ -252,6 +252,20 @@ class Connection:
         cols = [ColumnDef(c.name, resolve_type_name(c.type_name, c.type_mods))
                 for c in s.columns]
         entry = TableEntry(s.name, cols)
+        for c in s.columns:
+            if c.not_null:
+                entry.constraints.append(("not_null", c.name))
+            if c.primary_key:
+                entry.constraints.append(("primary_key", [c.name]))
+            if c.unique:
+                entry.constraints.append(("unique", [c.name]))
+            if c.check:
+                entry.constraints.append(("check", c.check))
+        for con_ in getattr(s, "constraints", []):
+            if con_[0] == "primary_key":
+                for cn in con_[1]:
+                    entry.constraints.append(("not_null", cn))
+            entry.constraints.append(con_)
         entry.nrows = 0
         for cd in cols:
             entry.set_host_column(cd.name,
@@ -328,6 +342,8 @@ class Connection:
                 phys = np.array([0 if v is None else v for v in vals],
                                 dtype=t.np_dtype)
             new_cols[cname] = (phys, None if valid.all() else valid)
+        if entry.constraints:
+            self._verify_append_constraints(entry, new_cols, n_new)
         # merge with existing data
         for cd in entry.columns:
             old_vals, old_valid, old_dict = entry.host_column(cd.name)
@@ -353,6 +369,103 @@ class Connection:
                 new_valid = _concat_valid(old_valid, valid, len(old_vals), n_new)
                 entry.set_host_column(cd.name, merged, validity=new_valid)
         entry.nrows += n_new
+
+    def _verify_append_constraints(self, entry, new_cols, n_new):
+        """NOT NULL / PRIMARY KEY / UNIQUE / CHECK verification before any
+        mutation (reference: VerifyAppendConstraints,
+        src/storage/table/row_group_collection.cpp). Raises with the
+        reference's "Constraint Error" phrasing and nothing is appended."""
+
+        def col_strings(name):
+            """Logical values of column `name` across old rows + new rows as a
+            comparable string array, plus the combined validity plane."""
+            cd = next(c for c in entry.columns if c.name == name)
+            old_vals, old_valid, old_dict = entry.host_column(name)
+            n_old = len(old_vals)
+            if name in new_cols:
+                phys, valid = new_cols[name]
+            else:
+                phys = np.zeros(n_new, dtype=old_vals.dtype)
+                valid = np.zeros(n_new, dtype=bool)
+            if cd.ltype.id is TypeId.VARCHAR:
+                old_s = (old_dict[old_vals].astype(str) if old_dict is not None
+                         and n_old else np.empty(0, dtype="<U1"))
+                new_s = phys.astype(str)
+            else:
+                old_s = old_vals.astype(str)
+                new_s = phys.astype(str)
+            vs = np.concatenate([old_s, new_s])
+            va = _concat_valid(old_valid, valid, n_old, n_new)
+            if va is None:
+                va = np.ones(n_old + n_new, dtype=bool)
+            return vs, va
+
+        for con_ in entry.constraints:
+            kind = con_[0]
+            if kind == "not_null":
+                cname = con_[1]
+                if cname not in new_cols:
+                    raise ConnectionException(
+                        f"Constraint Error: NOT NULL constraint failed: "
+                        f"{entry.name}.{cname}")
+                _, valid = new_cols[cname]
+                if valid is not None and not valid.all():
+                    raise ConnectionException(
+                        f"Constraint Error: NOT NULL constraint failed: "
+                        f"{entry.name}.{cname}")
+            elif kind in ("primary_key", "unique"):
+                cols = con_[1]
+                parts = [col_strings(c) for c in cols]
+                key = parts[0][0]
+                for vs, _ in parts[1:]:
+                    key = np.char.add(np.char.add(key, "\x1f"), vs)
+                all_valid = parts[0][1]
+                for _, va in parts[1:]:
+                    all_valid = np.logical_and(all_valid, va)
+                live = key[all_valid]  # SQL: NULL keys never collide
+                if len(live) and len(np.unique(live)) < len(live):
+                    label = ("PRIMARY KEY" if kind == "primary_key"
+                             else "UNIQUE")
+                    raise ConnectionException(
+                        f"Constraint Error: duplicate key violates "
+                        f"{label} constraint on {entry.name}"
+                        f"({', '.join(cols)})")
+            elif kind == "check":
+                self._verify_check(entry, new_cols, n_new, con_[1])
+
+    def _verify_check(self, entry, new_cols, n_new, check_sql):
+        """Run the CHECK expression over the staged rows through the normal
+        query path (a scratch table, never WAL-logged)."""
+        tmp = TableEntry("__check_tmp", list(entry.columns))
+        tmp.nrows = n_new
+        for cd in entry.columns:
+            if cd.name in new_cols:
+                phys, valid = new_cols[cd.name]
+            else:
+                phys = np.zeros(n_new, dtype=cd.ltype.np_dtype)
+                valid = np.zeros(n_new, dtype=bool)
+            if cd.ltype.id is TypeId.VARCHAR:
+                uniq, codes = (np.unique(phys.astype(str),
+                                         return_inverse=True) if n_new
+                               else (np.empty(0, object),
+                                     np.empty(0, np.int64)))
+                tmp.set_host_column(cd.name, codes.astype(np.int32),
+                                    validity=valid,
+                                    dict_values=uniq.astype(object))
+            else:
+                tmp.set_host_column(cd.name, phys, validity=valid)
+        self.catalog.tables["__check_tmp"] = tmp
+        try:
+            stmt = Parser(f"SELECT count(*) FROM __check_tmp WHERE "
+                          f"NOT ({check_sql})").parse_statements()[0]
+            plan, output = Planner(self.catalog).plan_select(stmt)
+            n_viol = Executor(self.catalog).run(plan, output).rows()[0][0]
+        finally:
+            self.catalog.tables.pop("__check_tmp", None)
+        if n_viol:
+            raise ConnectionException(
+                f"Constraint Error: CHECK constraint failed on "
+                f"{entry.name}: {check_sql}")
 
     # -- UPDATE / DELETE -------------------------------------------------------
     def _table_mask(self, table: str, alias, where):

@@ -93,6 +93,10 @@ class TableEntry:
         # device tier
         self._device: Dict[str, Column] = {}
         self.stats: Dict[str, ColumnStats] = {}
+        # ("not_null", col) / ("primary_key"|"unique", [cols]) /
+        # ("check", sql_text) — enforced on append (reference:
+        # src/storage/table/row_group_collection.cpp VerifyAppendConstraints)
+        self.constraints: List[tuple] = []
 
     # -- population -----------------------------------------------------------
     def set_host_column(self, name, values, validity=None, dict_values=None):

@@ -441,6 +441,19 @@ class Planner:
         nrows = 10_000  # unknown; middle-of-road estimate
         return plan, scope_adds, nrows
 
+    def _plan_sample(self, plan, sample):
+        """USING SAMPLE / TABLESAMPLE tuple → P.Sample wrapper."""
+        amount_ast, unit, method, seed = sample
+        be = ExprBinder(Scope()).bind(amount_ast)
+        v = be.const_value()
+        from duckdb_tpu.types import TypeId as _TID
+
+        if be.ltype.id is _TID.DECIMAL:
+            v = v / (10 ** be.ltype.scale)
+        if unit == "percent":
+            return P.Sample(plan, percent=float(v), method=method, seed=seed)
+        return P.Sample(plan, rows=int(v), method=method, seed=seed)
+
     def collect_atoms(self, ref: N.TableRef, ctes, scope: Scope,
                       atoms: List[Atom], pred_asts: List[N.Expr]):
         """Flatten a FROM tree into atoms + predicate ASTs (inner joins only).
@@ -452,6 +465,9 @@ class Planner:
             tbl = (ref.name.lower()
                    if ref.name.lower() not in ctes
                    and self.catalog.has_table(ref.name.lower()) else None)
+            if getattr(ref, "sample", None) is not None:
+                plan = self._plan_sample(plan, ref.sample)
+                tbl = None  # sampled scan: zone-map shortcuts no longer exact
             self._add_atom(plan, scope_adds, nrows, scope, atoms, table=tbl)
             return
         if isinstance(ref, N.SubqueryRef):
@@ -863,17 +879,7 @@ class Planner:
                           s.build_keys, s.extra, null_aware=s.null_aware)
 
         if sel.sample is not None:
-            amount_ast, unit, method, seed = sel.sample
-            be = binder.bind(amount_ast)
-            v = be.const_value()
-            from duckdb_tpu.types import TypeId as _TID
-            if be.ltype.id is _TID.DECIMAL:
-                v = v / (10 ** be.ltype.scale)
-            if unit == "percent":
-                plan = P.Sample(plan, percent=float(v), method=method,
-                                seed=seed)
-            else:
-                plan = P.Sample(plan, rows=int(v), method=method, seed=seed)
+            plan = self._plan_sample(plan, sel.sample)
 
         # -- aggregation ------------------------------------------------------
         has_agg = bool(sel.group_by) or sel.group_by_all

@@ -180,6 +180,7 @@ class BaseTableRef(TableRef):
     schema: Optional[str] = None
     alias: Optional[str] = None
     column_aliases: Tuple[str, ...] = ()
+    sample: Optional[tuple] = None  # TABLESAMPLE, applied pre-join
 
 
 @dataclass
@@ -271,12 +272,16 @@ class ColumnSpec:
     not_null: bool = False
     primary_key: bool = False
     default: Optional[Expr] = None
+    unique: bool = False
+    check: Optional[str] = None  # original SQL text of the CHECK expression
 
 
 @dataclass
 class CreateTable:
     name: str
     columns: List[ColumnSpec] = field(default_factory=list)
+    # table-level: ("primary_key"|"unique", [cols]) / ("check", sql_text)
+    constraints: List[tuple] = field(default_factory=list)
     as_select: Optional[SelectStatement] = None
     if_not_exists: bool = False
     or_replace: bool = False

@@ -569,7 +569,11 @@ class Parser:
             alias, col_aliases = self.parse_alias()
             return N.TableFunctionRef(name.lower(), args, alias, col_aliases)
         alias, col_aliases = self.parse_alias()
-        return N.BaseTableRef(name, schema=schema, alias=alias, column_aliases=col_aliases)
+        sample = None
+        if self.accept_kw("tablesample"):
+            sample = self.parse_sample_clause()
+        return N.BaseTableRef(name, schema=schema, alias=alias,
+                              column_aliases=col_aliases, sample=sample)
 
     def parse_tf_arg(self) -> N.Expr:
         # named arg: ident := expr  or  ident => expr
@@ -587,7 +591,7 @@ class Parser:
         elif (
             self.peek().type == TokType.IDENT
             and self.kw() not in _STOP_KEYWORDS
-            and self.kw() not in ("join", "asof")
+            and self.kw() not in ("join", "asof", "tablesample")
         ):
             alias = self.next().value
         col_aliases: Tuple[str, ...] = ()
@@ -1008,35 +1012,89 @@ class Parser:
                                      or_replace=or_replace, temporary=temporary)
             self.expect_op("(")
             cols = []
+            constraints = []
             while True:
-                cname = self.expect_ident()
-                tname, mods = self.parse_type_name()
-                spec = N.ColumnSpec(cname, tname, mods)
-                while True:
-                    if self.accept_kw("not", "null"):
-                        spec.not_null = True
-                    elif self.accept_kw("null"):
-                        pass
-                    elif self.accept_kw("primary", "key"):
-                        spec.primary_key = True
-                        spec.not_null = True
-                    elif self.accept_kw("default"):
-                        spec.default = self.parse_expr()
-                    elif self.accept_kw("unique"):
-                        pass
-                    else:
-                        break
-                cols.append(spec)
+                if self.kw() in ("primary", "unique", "check", "foreign",
+                                 "constraint"):
+                    constraints.extend(self.parse_table_constraint())
+                else:
+                    cname = self.expect_ident()
+                    tname, mods = self.parse_type_name()
+                    spec = N.ColumnSpec(cname, tname, mods)
+                    while True:
+                        if self.accept_kw("not", "null"):
+                            spec.not_null = True
+                        elif self.accept_kw("null"):
+                            pass
+                        elif self.accept_kw("primary", "key"):
+                            spec.primary_key = True
+                            spec.not_null = True
+                        elif self.accept_kw("default"):
+                            spec.default = self.parse_expr()
+                        elif self.accept_kw("unique"):
+                            spec.unique = True
+                        elif self.accept_kw("check"):
+                            spec.check = self._parse_check_text()
+                        elif self.accept_kw("references"):
+                            # parsed for surface parity; FK not enforced yet
+                            self.expect_ident()
+                            if self.accept_op("("):
+                                self.expect_ident()
+                                self.expect_op(")")
+                        else:
+                            break
+                    cols.append(spec)
                 if not self.accept_op(","):
                     break
             self.expect_op(")")
-            return N.CreateTable(name, columns=cols, if_not_exists=if_not_exists,
+            return N.CreateTable(name, columns=cols, constraints=constraints,
+                                 if_not_exists=if_not_exists,
                                  or_replace=or_replace, temporary=temporary)
         if self.accept_kw("view"):
             name = self.expect_ident()
             self.expect_kw("as")
             return N.CreateView(name, self.parse_select_statement(), or_replace=or_replace)
         raise ParserError("unsupported CREATE")
+
+    def parse_table_constraint(self):
+        if self.accept_kw("constraint"):
+            self.expect_ident()  # constraint name (unused)
+        if self.accept_kw("primary", "key"):
+            return [("primary_key", self._parse_ident_list())]
+        if self.accept_kw("unique"):
+            return [("unique", self._parse_ident_list())]
+        if self.accept_kw("check"):
+            return [("check", self._parse_check_text())]
+        if self.accept_kw("foreign", "key"):
+            self._parse_ident_list()
+            self.expect_kw("references")
+            self.expect_ident()
+            if self.accept_op("("):
+                self.expect_ident()
+                while self.accept_op(","):
+                    self.expect_ident()
+                self.expect_op(")")
+            return []  # FK parsed, not enforced yet
+        raise ParserError(f"unsupported constraint near {self.peek().value!r}")
+
+    def _parse_ident_list(self):
+        self.expect_op("(")
+        cols = [self.expect_ident()]
+        while self.accept_op(","):
+            cols.append(self.expect_ident())
+        self.expect_op(")")
+        return cols
+
+    def _parse_check_text(self) -> str:
+        """CHECK ( expr ) — returns the original SQL text of expr, so the
+        catalog can persist and re-bind it at enforcement time."""
+        self.expect_op("(")
+        p0 = self.peek().pos
+        # parse to validate, but keep the raw source slice
+        self.parse_expr()
+        p1 = self.peek().pos
+        self.expect_op(")")
+        return self.sql[p0:p1].strip()
 
     def parse_drop(self):
         self.expect_kw("drop")

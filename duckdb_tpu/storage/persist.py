@@ -92,6 +92,7 @@ def checkpoint(con, path: str):
             "columns": [{"name": cd.name, "type": _type_to_json(cd.ltype)}
                         for cd in entry.columns],
             "rows": entry.nrows,
+            "constraints": [list(c) for c in entry.constraints],
         })
     for vname, vast in cat.views.items():
         sql_text = getattr(vast, "_sql_text", None)
@@ -128,6 +129,7 @@ def open_database(con, path: str):
                     for c in t["columns"]]
             entry = TableEntry(t["name"], cols)
             entry.nrows = t["rows"]
+            entry.constraints = [tuple(c) for c in t.get("constraints", [])]
             with open(os.path.join(tdir, "meta.json")) as f:
                 tmeta = json.load(f)
             kinds = {c["name"]: c["kind"] for c in tmeta["columns"]}

@@ -1,0 +1,77 @@
+"""PRIMARY KEY / UNIQUE / NOT NULL / CHECK constraint enforcement on append
+(reference: VerifyAppendConstraints,
+src/storage/table/row_group_collection.cpp)."""
+
+import pytest
+
+
+@pytest.fixture()
+def con():
+    import duckdb_tpu
+
+    c = duckdb_tpu.connect()
+    c.sql("CREATE TABLE p (id INT PRIMARY KEY, name VARCHAR NOT NULL, "
+          "age INT CHECK (age >= 0), email VARCHAR UNIQUE)")
+    c.sql("INSERT INTO p VALUES (1, 'alice', 30, 'a@x.com')")
+    return c
+
+
+def _fails(con, q, frag):
+    with pytest.raises(Exception, match=frag):
+        con.sql(q)
+
+
+def test_primary_key_duplicate(con):
+    _fails(con, "INSERT INTO p VALUES (1,'b',1,'b@x')", "PRIMARY KEY")
+
+
+def test_not_null(con):
+    _fails(con, "INSERT INTO p VALUES (2, NULL, 1, 'b@x')", "NOT NULL")
+    _fails(con, "INSERT INTO p (id, age) VALUES (2, 1)", "NOT NULL")
+
+
+def test_check(con):
+    _fails(con, "INSERT INTO p VALUES (2,'b',-5,'b@x')", "CHECK")
+
+
+def test_unique(con):
+    _fails(con, "INSERT INTO p VALUES (2,'b',1,'a@x.com')", "UNIQUE")
+    # NULLs never collide under UNIQUE
+    con.sql("INSERT INTO p VALUES (2,'b',1,NULL), (3,'c',1,NULL)")
+    assert con.sql("SELECT count(*) FROM p").rows() == [(3,)]
+
+
+def test_failed_insert_appends_nothing(con):
+    _fails(con, "INSERT INTO p VALUES (9,'z',1,'z@x'),(9,'y',1,'y@x')",
+           "PRIMARY KEY")
+    assert con.sql("SELECT count(*) FROM p").rows() == [(1,)]
+
+
+def test_table_level_composite(con):
+    con.sql("CREATE TABLE c2 (a INT, b INT, PRIMARY KEY (a, b), "
+            "CHECK (a < b))")
+    con.sql("INSERT INTO c2 VALUES (1, 2), (1, 3)")
+    _fails(con, "INSERT INTO c2 VALUES (1, 2)", "PRIMARY KEY")
+    _fails(con, "INSERT INTO c2 VALUES (5, 4)", "CHECK")
+    _fails(con, "INSERT INTO c2 VALUES (NULL, 4)", "NOT NULL")
+
+
+def test_foreign_key_parses(con):
+    con.sql("CREATE TABLE c3 (x INT REFERENCES p (id), "
+            "FOREIGN KEY (x) REFERENCES p (id))")
+    con.sql("INSERT INTO c3 VALUES (99)")  # FK not enforced yet
+
+
+def test_constraints_survive_reopen(tmp_path):
+    import duckdb_tpu
+
+    db = str(tmp_path / "cdb")
+    c = duckdb_tpu.connect(db)
+    c.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT CHECK (v > 0))")
+    c.sql("INSERT INTO t VALUES (1, 5)")
+    c.close()
+    c2 = duckdb_tpu.connect(db)
+    _fails(c2, "INSERT INTO t VALUES (1, 5)", "PRIMARY KEY")
+    _fails(c2, "INSERT INTO t VALUES (2, -1)", "CHECK")
+    c2.sql("INSERT INTO t VALUES (2, 9)")
+    assert c2.sql("SELECT count(*) FROM t").rows() == [(2,)]

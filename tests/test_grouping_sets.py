@@ -109,3 +109,20 @@ class TestSample:
         rows = scon.sql("SELECT min(a) >= 0 AND max(a) < 1000 FROM "
                         "(SELECT * FROM big USING SAMPLE 50)").rows()
         assert rows == [(True,)]
+
+
+class TestTableSample:
+    def test_tablesample_pre_join(self):
+        import duckdb_tpu
+
+        c = duckdb_tpu.connect()
+        c.sql("CREATE TABLE t AS SELECT range AS a FROM range(1000)")
+        c.sql("CREATE TABLE u AS SELECT range AS b FROM range(10)")
+        assert c.sql("SELECT count(*) FROM t TABLESAMPLE 100"
+                     ).rows() == [(100,)]
+        # sample applies BEFORE the join (reference: tablesample binds to the
+        # table ref), so 20 sampled rows x 10 = 200
+        assert c.sql("SELECT count(*) FROM t AS x TABLESAMPLE 20 ROWS, u "
+                     "WHERE x.a < 2000").rows() == [(200,)]
+        assert c.sql("SELECT count(*) FROM t TABLESAMPLE 50, "
+                     "u TABLESAMPLE 3 ROWS").rows() == [(150,)]
