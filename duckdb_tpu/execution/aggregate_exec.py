@@ -512,6 +512,51 @@ def _compute_agg(agg: BoundAggregate, inp, gids, nseg, live, plen, key_data,
         d = scanned[jnp.clip(end_pos, 0, plen - 1)].astype(c.data.dtype)
         return Column(data=d, ltype=agg.ltype, validity=nonempty)
 
+    if f in ("list", "array_agg"):
+        # host-side finalize like string_agg: the per-group tuples become new
+        # dictionary entries of a LIST column (reference:
+        # src/core_functions/aggregate/nested/list.cpp)
+        from duckdb_tpu.planner.functions_nested import encode_objects
+
+        iota32 = jnp.arange(plen, dtype=jnp.int32)
+        # include NULL values: the reference's list() keeps NULL elements
+        operands = [jnp.logical_not(live), gids.astype(jnp.int32), iota32]
+        out = jax.lax.sort(operands, num_keys=2, is_stable=True)
+        dead_s, gid_s, perm = out[0], out[1], out[2]
+        vals_s = jnp.broadcast_to(c.data, (plen,))[perm]
+        valid_s = (jnp.broadcast_to(c.validity, (plen,))[perm]
+                   if c.validity is not None else None)
+        h_dead = np.asarray(dead_s)
+        h_gid = np.asarray(gid_s)
+        h_vals = np.asarray(vals_s)
+        h_valid = None if valid_s is None else np.asarray(valid_s)
+
+        def pyval(i):
+            if h_valid is not None and not h_valid[i]:
+                return None
+            v = h_vals[i]
+            if c.ltype.id is TypeId.VARCHAR:
+                return str(c.dict_values[v])
+            if c.ltype.id in (TypeId.LIST, TypeId.STRUCT):
+                return tuple(c.dict_values[v])
+            if c.ltype.is_float:
+                return float(v)
+            if c.ltype.id is TypeId.BOOLEAN:
+                return bool(v)
+            return int(v)
+
+        parts = {}
+        for i in range(plen):
+            if h_dead[i]:
+                break
+            parts.setdefault(int(h_gid[i]), []).append(pyval(i))
+        entries = [tuple(parts.get(g, [])) for g in range(n_groups)]
+        codes, dvals = encode_objects(entries)
+        grp_live = jax.ops.segment_sum(live.astype(jnp.int64), gids,
+                                       num_segments=nseg)[:-1] > 0
+        return Column(data=jnp.asarray(codes), ltype=agg.ltype,
+                      validity=grp_live, dict_values=dvals)
+
     if f == "string_agg":
         # host-side finalize: concatenated strings are new dictionary entries
         sep = ","

@@ -231,6 +231,11 @@ class Result:
                 v = vals[i]
                 if t.id is TypeId.VARCHAR:
                     out.append(str(dvals[v]))
+                elif t.id is TypeId.LIST:
+                    out.append(list(dvals[v]))
+                elif t.id is TypeId.STRUCT:
+                    names = [n for n, _ in (t.fields or ())]
+                    out.append(dict(zip(names, dvals[v])))
                 elif t.id is TypeId.DECIMAL:
                     out.append(pydec.Decimal(int(v)).scaleb(-t.scale))
                 elif t.id is TypeId.HUGEINT:
@@ -290,6 +295,8 @@ class Executor:
         from duckdb_tpu.execution.tracing import TraceEnv, run_jitted
         from duckdb_tpu.ops import sort as S
 
+        if any(t.id in (TypeId.LIST, TypeId.STRUCT) for _, _, t in output):
+            return None  # nested outputs carry object dicts: general path
         node = plan
         limit_node = order_node = None
         if isinstance(node, P.Limit):
@@ -991,6 +998,45 @@ class Executor:
         return Batch(src=GatherCols(b.src, rows), plen=cap, live=pos < out)
 
     # -- set ops --------------------------------------------------------------
+    def _exec_Unnest(self, node: P.Unnest) -> Batch:
+        """Flatten the dict-encoded list column host-side: element counts are
+        data-dependent, so this is one deliberate host round trip; sibling
+        columns stay device-resident and replicate via a GatherCols index
+        plane (reference: physical_unnest.cpp row expansion)."""
+        from duckdb_tpu.planner.functions_nested import _column_from_pyvals
+
+        b = self.execute(node.child)
+        c = node.expr.eval(b.env())
+        ct = c.ltype.child
+        live = np.asarray(b.live)
+        codes = np.asarray(jnp.broadcast_to(c.data, (b.plen,)))
+        cvalid = (np.asarray(jnp.broadcast_to(c.validity, (b.plen,)))
+                  if c.validity is not None else None)
+        dvals = c.dict_values
+        rows_idx = []
+        vals = []
+        for i in range(b.plen):
+            if not live[i] or (cvalid is not None and not cvalid[i]):
+                continue  # unnest(NULL) yields zero rows
+            for v in dvals[codes[i]]:
+                rows_idx.append(i)
+                vals.append(v)
+        n = len(vals)
+        cap = max(128, pad_bucket(n))
+        idx = np.zeros(cap, dtype=np.int32)
+        idx[:n] = rows_idx
+        data, valid, vdict = _column_from_pyvals(vals, ct)
+        pdata = np.zeros(cap, dtype=data.dtype)
+        pdata[:n] = data
+        pvalid = np.zeros(cap, dtype=bool)
+        pvalid[:n] = valid
+        vcol = Column(data=jnp.asarray(pdata), ltype=ct,
+                      validity=jnp.asarray(pvalid), dict_values=vdict)
+        new_live = jnp.arange(cap) < n
+        src = ChainCols([DictCols({node.key: vcol}),
+                         GatherCols(b.src, jnp.asarray(idx))])
+        return Batch(src=src, plen=cap, live=new_live)
+
     def _exec_Sample(self, node: P.Sample) -> Batch:
         """Narrow the live mask pseudo-randomly; block shape is preserved so
         downstream stages recompile nothing (reference materializes a

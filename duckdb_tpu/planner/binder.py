@@ -17,6 +17,7 @@ from duckdb_tpu.sql import nodes as N
 from duckdb_tpu.planner import bound as B
 from duckdb_tpu.planner import functions as F
 from duckdb_tpu.planner import functions_ext as _Fext  # noqa: F401 (registry side effects)
+from duckdb_tpu.planner import functions_nested as _Fnest  # noqa: F401 (registry side effects)
 from duckdb_tpu.storage import json_io as _Fjson  # noqa: F401 (registry side effects)
 from duckdb_tpu.types import (
     BIGINT,
@@ -42,7 +43,7 @@ AGGREGATE_NAMES = {
     "string_agg", "bool_and", "bool_or", "product", "bit_and", "bit_or", "bit_xor",
     "count_star", "arg_min", "arg_max", "median", "mode", "approx_count_distinct",
     "quantile", "quantile_cont", "quantile_disc", "approx_quantile",
-    "group_concat", "listagg",
+    "group_concat", "listagg", "list", "array_agg",
 }
 
 

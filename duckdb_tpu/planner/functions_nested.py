@@ -1,0 +1,312 @@
+"""Nested types: LIST and STRUCT scalar functions.
+
+TPU-first representation: nested values are dictionary-encoded exactly like
+VARCHAR — the device plane is an int32 code per row and the distinct Python
+tuples (lists) / records (structs) live host-side in the column's
+`dict_values`. Scalar functions over nested values then run per-distinct-
+value on the host and become device LUT gathers, so they stay trace-safe
+and cost one gather regardless of row count.
+
+Behavior parity reference: duckdb nested function family
+(/root/reference/src/core_functions/scalar/list/*.cpp,
+src/function/scalar/struct/*.cpp). Round-1 scope: literals and constant
+arguments construct lists/structs; columnar construction (list_value over
+column refs) lands with round 2.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal as pydec
+
+import jax.numpy as jnp
+import numpy as np
+
+from duckdb_tpu.blocks import Column
+from duckdb_tpu.planner.functions import REGISTRY, register
+from duckdb_tpu.types import (
+    BIGINT, BOOLEAN, DOUBLE, SQLNULL, VARCHAR, LogicalType, TypeId, list_of,
+    struct_of,
+)
+
+
+class BindError(ValueError):
+    pass
+
+
+def obj_array(entries) -> np.ndarray:
+    """Object ndarray of tuples (np.array() would splat tuples into 2D)."""
+    d = np.empty(len(entries), dtype=object)
+    for i, e in enumerate(entries):
+        d[i] = e
+    return d
+
+
+def encode_objects(entries):
+    """Dedup hashable entries → (codes int32 ndarray, dict object array)."""
+    seen = {}
+    codes = np.empty(len(entries), dtype=np.int32)
+    for i, e in enumerate(entries):
+        if e not in seen:
+            seen[e] = len(seen)
+        codes[i] = seen[e]
+    return codes, obj_array(list(seen))
+
+
+def _const_py(e):
+    """Python-level (logical) value of a constant bound expr."""
+    try:
+        v = e.const_value()
+    except Exception as exc:  # noqa: BLE001
+        if e.ltype.id in (TypeId.LIST, TypeId.STRUCT):
+            # constant nested subexpression (e.g. an inner list literal):
+            # evaluate on a 1-row empty env and read its single dict entry
+            from duckdb_tpu.planner.bound import EvalEnv
+
+            c = e.eval(EvalEnv(cols={}, plen=1,
+                               live=jnp.ones((1,), jnp.bool_)))
+            return tuple(c.dict_values[int(np.asarray(c.data)[0])]), e.ltype
+        raise BindError(
+            "nested constructors currently require constant arguments "
+            "(columnar list_value lands in round 2)") from exc
+    t = e.ltype
+    if v is None:
+        return None, SQLNULL
+    if t.id is TypeId.DECIMAL:
+        return pydec.Decimal(int(v)).scaleb(-t.scale), t
+    if t.id is TypeId.DATE:
+        return datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v)), t
+    if t.id is TypeId.VARCHAR:
+        return str(v), t
+    if t.id is TypeId.BOOLEAN:
+        return bool(v), t
+    if t.is_float:
+        return float(v), t
+    return v, t
+
+
+def _const_column(entry, lt: LogicalType):
+    """A broadcastable single-entry dict-encoded constant column."""
+
+    def impl(env, cols, node):
+        return Column(data=jnp.zeros((env.plen,), dtype=jnp.int32), ltype=lt,
+                      dict_values=obj_array([entry]))
+
+    return impl
+
+
+@register("list_value")
+@register("list_pack")
+def _bind_list_value(arg_exprs):
+    vals = []
+    child = SQLNULL
+    for a in arg_exprs:
+        v, t = _const_py(a)
+        vals.append(v)
+        if child.id is TypeId.SQLNULL:
+            child = t
+    lt = list_of(child)
+    return lt, _const_column(tuple(vals), lt), []
+
+
+@register("struct_pack_kv")
+def _bind_struct_pack_kv(arg_exprs):
+    """Interleaved ('name', expr, 'name', expr, ...) from the {..} literal."""
+    fields = []
+    vals = []
+    for i in range(0, len(arg_exprs), 2):
+        name = str(arg_exprs[i].const_value())
+        v, t = _const_py(arg_exprs[i + 1])
+        fields.append((name, t))
+        vals.append(v)
+    lt = struct_of(*fields)
+    return lt, _const_column(tuple(vals), lt), []
+
+
+def _column_from_pyvals(vals, ct: LogicalType):
+    """Per-dict-entry Python values → (lut data, lut validity, dict|None)."""
+    n = len(vals)
+    valid = np.array([v is not None for v in vals], dtype=bool)
+    if ct.id is TypeId.VARCHAR:
+        strs = np.array([("" if v is None else str(v)) for v in vals],
+                        dtype=object)
+        uniq, inv = (np.unique(strs.astype(str), return_inverse=True)
+                     if n else (np.empty(0, object), np.empty(0, np.int64)))
+        return inv.astype(np.int32), valid, uniq.astype(object)
+    if ct.id in (TypeId.LIST, TypeId.STRUCT):
+        codes, dvals = encode_objects(
+            [(() if v is None else tuple(v)) for v in vals])
+        return codes, valid, dvals
+    if ct.id is TypeId.DECIMAL:
+        data = np.array([0 if v is None else int(pydec.Decimal(v).scaleb(
+            ct.scale)) for v in vals], dtype=np.int64)
+        return data, valid, None
+    if ct.id is TypeId.DATE:
+        epoch = datetime.date(1970, 1, 1)
+        data = np.array([0 if v is None else (v - epoch).days for v in vals],
+                        dtype=np.int32)
+        return data, valid, None
+    data = np.array([0 if v is None else v for v in vals],
+                    dtype=ct.np_dtype if ct.id is not TypeId.SQLNULL
+                    else np.int32)
+    return data, valid, None
+
+
+def _lut_gather(col: Column, vals, ct: LogicalType) -> Column:
+    """Per-distinct host values → device column via one LUT gather."""
+    data, valid, dvals = _column_from_pyvals(vals, ct)
+    nd = max(len(col.dict_values), 1)
+    codes = jnp.clip(col.data, 0, nd - 1)
+    d = jnp.asarray(data)[codes]
+    v = jnp.asarray(valid)[codes]
+    if col.validity is not None:
+        v = jnp.logical_and(v, col.validity)
+    return Column(data=d, ltype=ct, validity=v, dict_values=dvals)
+
+
+@register("list_extract")
+@register("list_element")
+@register("array_extract")
+def _bind_list_extract(arg_exprs):
+    base = arg_exprs[0]
+    if base.ltype.id is TypeId.STRUCT:
+        return _bind_struct_extract(arg_exprs)
+    if base.ltype.id is not TypeId.LIST:
+        raise BindError(
+            f"list_extract expects a LIST argument, got {base.ltype!r}")
+    idx = int(arg_exprs[1].const_value())
+    ct = base.ltype.child or SQLNULL
+
+    def impl(env, cols, node):
+        c = cols[0]
+
+        def pick(t):
+            # 1-based; negative counts from the end; out of range → NULL
+            i = idx - 1 if idx > 0 else idx
+            if idx == 0 or i >= len(t) or i < -len(t):
+                return None
+            return t[i]
+
+        return _lut_gather(c, [pick(t) for t in c.dict_values], ct)
+
+    return ct, impl, arg_exprs[:1]
+
+
+@register("struct_extract")
+def _bind_struct_extract(arg_exprs):
+    base = arg_exprs[0]
+    if base.ltype.id is not TypeId.STRUCT:
+        raise BindError(
+            f"struct_extract expects a STRUCT argument, got {base.ltype!r}")
+    name = str(arg_exprs[1].const_value()).lower()
+    fields = base.ltype.fields or ()
+    for pos, (fname, ftype) in enumerate(fields):
+        if fname.lower() == name:
+            break
+    else:
+        raise BindError(f'struct has no field "{name}"')
+
+    def impl(env, cols, node):
+        c = cols[0]
+        return _lut_gather(c, [t[pos] if pos < len(t) else None
+                               for t in c.dict_values], ftype)
+
+    return ftype, impl, arg_exprs[:1]
+
+
+@register("list_contains")
+@register("array_contains")
+@register("list_has")
+def _bind_list_contains(arg_exprs):
+    needle, _ = _const_py(arg_exprs[1])
+
+    def impl(env, cols, node):
+        c = cols[0]
+        lut = np.fromiter((needle in t for t in c.dict_values),
+                          dtype=np.bool_, count=len(c.dict_values))
+        d = jnp.asarray(lut)[jnp.clip(c.data, 0, max(len(lut) - 1, 0))]
+        return Column(data=d, ltype=BOOLEAN, validity=c.validity)
+
+    return BOOLEAN, impl, arg_exprs[:1]
+
+
+@register("string_split")
+@register("str_split")
+@register("string_to_array")
+@register("split")
+def _bind_string_split(arg_exprs):
+    sep = str(arg_exprs[1].const_value())
+    lt = list_of(VARCHAR)
+
+    def impl(env, cols, node):
+        c = cols[0]
+        entries = [tuple(str(s).split(sep)) for s in c.dict_values]
+        inv, dvals = encode_objects(entries)
+        codes = jnp.asarray(inv)[jnp.clip(c.data, 0,
+                                          max(len(inv) - 1, 0))]
+        return Column(data=codes, ltype=lt, validity=c.validity,
+                      dict_values=dvals)
+
+    return lt, impl, arg_exprs[:1]
+
+
+def _list_transform(name, fn, out_child=None):
+    """Register a LIST→LIST per-distinct transform."""
+
+    def binder(arg_exprs):
+        base = arg_exprs[0]
+        if base.ltype.id is not TypeId.LIST:
+            raise BindError(f"{name} expects a LIST argument")
+        lt = (list_of(out_child) if out_child is not None else base.ltype)
+
+        def impl(env, cols, node):
+            c = cols[0]
+            inv, dvals = encode_objects([fn(t) for t in c.dict_values])
+            codes = jnp.asarray(inv)[jnp.clip(c.data, 0,
+                                              max(len(inv) - 1, 0))]
+            return Column(data=codes, ltype=lt, validity=c.validity,
+                          dict_values=dvals)
+
+        return lt, impl, arg_exprs[:1]
+
+    REGISTRY[name] = binder
+
+
+_list_transform("list_sort",
+                lambda t: tuple(sorted((x for x in t if x is not None)))
+                + tuple(None for x in t if x is None))
+_list_transform("list_reverse_sort",
+                lambda t: tuple(sorted((x for x in t if x is not None),
+                                       reverse=True))
+                + tuple(None for x in t if x is None))
+_list_transform("list_distinct",
+                lambda t: tuple(dict.fromkeys(x for x in t if x is not None)))
+_list_transform("list_unique", lambda t: t)  # replaced below (scalar result)
+del REGISTRY["list_unique"]
+
+
+@register("list_unique")
+def _bind_list_unique(arg_exprs):
+    def impl(env, cols, node):
+        c = cols[0]
+        lut = np.fromiter(
+            (len(set(x for x in t if x is not None))
+             for t in c.dict_values), dtype=np.int64,
+            count=len(c.dict_values))
+        d = jnp.asarray(lut)[jnp.clip(c.data, 0, max(len(lut) - 1, 0))]
+        return Column(data=d, ltype=BIGINT, validity=c.validity)
+
+    return BIGINT, impl, arg_exprs[:1]
+
+
+@register("array_length")
+@register("list_length")
+def _bind_list_length(arg_exprs):
+    def impl(env, cols, node):
+        c = cols[0]
+        lut = np.fromiter((len(t) for t in c.dict_values), dtype=np.int64,
+                          count=len(c.dict_values))
+        d = jnp.asarray(lut)[jnp.clip(c.data, 0, max(len(lut) - 1, 0))]
+        return Column(data=d, ltype=BIGINT, validity=c.validity)
+
+    return BIGINT, impl, arg_exprs

@@ -98,6 +98,16 @@ class Limit(PlanNode):
 
 
 @dataclass
+class Unnest(PlanNode):
+    """Flatten one LIST expression to rows; sibling columns replicate
+    (reference: src/execution/operator/projection/physical_unnest.cpp)."""
+
+    child: PlanNode
+    expr: object  # BoundExpr of LIST type
+    key: str  # output column key for the flattened values
+
+
+@dataclass
 class Sample(PlanNode):
     """Pseudo-random row sample (reference: src/execution/operator/helper/
     physical_reservoir_sample.cpp). rows XOR percent is set."""

@@ -913,9 +913,21 @@ class Planner:
         # -- projection -------------------------------------------------------
         items = []
         output = []
+        unnest_spec = None  # (key, child ltype)
         select_exprs = self._expand_stars(sel.select_list, scope)
         for e, alias in select_exprs:
-            be = post_binder.bind(e)
+            if (isinstance(e, N.FunctionCall) and e.name.lower() == "unnest"
+                    and len(e.args) == 1):
+                ba = post_binder.bind(e.args[0])
+                if unnest_spec is not None:
+                    raise BindError(
+                        "multiple UNNESTs in one SELECT land in round 2")
+                ukey = self.fresh("unnest")
+                ct = ba.ltype.child or SQLNULL
+                unnest_spec = (ukey, ba)
+                be = B.BoundColumnRef(ukey, ct)
+            else:
+                be = post_binder.bind(e)
             key = self.fresh("out")
             name = alias or _default_name(e)
             items.append((key, be))
@@ -928,6 +940,8 @@ class Planner:
             plan = P.Window(plan, windows)
         if qual_b is not None:
             plan = P.Filter(plan, qual_b)
+        if unnest_spec is not None:
+            plan = P.Unnest(plan, unnest_spec[1], unnest_spec[0])
         plan = P.Project(plan, items)
 
         if sel.distinct:
@@ -1320,6 +1334,10 @@ def _agg_result_type(func: str, args) -> LogicalType:
         from duckdb_tpu.types import VARCHAR as _VC
 
         return _VC
+    if func in ("list", "array_agg"):
+        from duckdb_tpu.types import list_of as _list_of
+
+        return _list_of(t)
     if func in ("bit_and", "bit_or", "bit_xor"):
         return t
     if func in ("stddev", "stddev_samp", "stddev_pop", "var_samp", "var_pop",

@@ -760,6 +760,16 @@ class Parser:
             if self.accept_op("::"):
                 tname, mods = self.parse_type_name()
                 e = N.CastExpr(e, tname, mods)
+            elif self.peek().value == "[" and self.peek().type == TokType.OP:
+                # 1-based list index / struct field access (reference grammar:
+                # a_expr indirection in the PEG expression rules)
+                self.next()
+                idx = self.parse_expr()
+                self.expect_op("]")
+                if isinstance(idx, N.Literal) and isinstance(idx.value, str):
+                    e = N.FunctionCall("struct_extract", [e, idx])
+                else:
+                    e = N.FunctionCall("list_extract", [e, idx])
             elif self.peek().value == "." and self.peek().type == TokType.OP:
                 # struct field access or qualified ref handled in primary; here
                 # only allow ident chaining on ColumnRef
@@ -792,6 +802,29 @@ class Parser:
 
     def parse_primary(self) -> N.Expr:
         t = self.peek()
+        if t.type == TokType.OP and t.value == "[":
+            # list literal [e1, e2, ...]
+            self.next()
+            args = []
+            if self.peek().value != "]":
+                args.append(self.parse_expr())
+                while self.accept_op(","):
+                    args.append(self.parse_expr())
+            self.expect_op("]")
+            return N.FunctionCall("list_value", args)
+        if t.type == TokType.OP and t.value == "{":
+            # struct literal {'name': expr, ...}
+            self.next()
+            args = []
+            while True:
+                key = self.next().value
+                self.expect_op(":")
+                args.append(N.Literal(str(key)))
+                args.append(self.parse_expr())
+                if not self.accept_op(","):
+                    break
+            self.expect_op("}")
+            return N.FunctionCall("struct_pack_kv", args)
         if t.type == TokType.NUMBER:
             self.next()
             v = t.value

@@ -68,6 +68,10 @@ _PHYSICAL = {
     TypeId.INTERVAL: np.int64,  # micros; months/days components planned
     TypeId.VARCHAR: np.int32,  # dictionary code
     TypeId.BLOB: np.int32,
+    # nested values are dictionary-encoded like VARCHAR: the device plane is
+    # an int32 code; the distinct tuples/records live host-side
+    TypeId.LIST: np.int32,
+    TypeId.STRUCT: np.int32,
 }
 
 
@@ -77,10 +81,17 @@ class LogicalType:
     width: int = 0  # decimal precision
     scale: int = 0  # decimal scale
     child: Optional["LogicalType"] = field(default=None)
+    # STRUCT field schema: tuple of (name, LogicalType)
+    fields: Optional[tuple] = field(default=None)
 
     def __repr__(self) -> str:
         if self.id is TypeId.DECIMAL:
             return f"DECIMAL({self.width},{self.scale})"
+        if self.id is TypeId.LIST:
+            return f"{self.child!r}[]"
+        if self.id is TypeId.STRUCT and self.fields:
+            inner = ", ".join(f"{n} {t!r}" for n, t in self.fields)
+            return f"STRUCT({inner})"
         return self.id.name
 
     # -- classification helpers ------------------------------------------------
@@ -219,3 +230,12 @@ def _int_decimal_width(t: LogicalType) -> int:
         TypeId.BIGINT: 19,
         TypeId.HUGEINT: 38,
     }[t.id]
+
+
+def list_of(child: LogicalType) -> LogicalType:
+    return LogicalType(TypeId.LIST, child=child)
+
+
+def struct_of(*fields) -> LogicalType:
+    """struct_of(("a", BIGINT), ("b", VARCHAR)) → STRUCT type."""
+    return LogicalType(TypeId.STRUCT, fields=tuple(fields))

@@ -1,0 +1,95 @@
+"""LIST / STRUCT nested types.
+
+TPU representation: dict-encoded object columns (int32 codes on device,
+distinct tuples host-side), so nested scalar functions are LUT gathers.
+Value expectations differentially verified against the reference binary
+(reference: src/core_functions/scalar/list/*.cpp,
+src/execution/operator/projection/physical_unnest.cpp).
+"""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def con():
+    import duckdb_tpu
+
+    c = duckdb_tpu.connect()
+    c.sql("CREATE TABLE t (g INT, s VARCHAR, v INT)")
+    c.sql("INSERT INTO t VALUES (1,'a,b',10),(1,'c',20),(2,'d,e,f',5),"
+          "(2,'g',NULL),(3,NULL,7)")
+    return c
+
+
+def test_list_literal(con):
+    assert con.sql("SELECT [1, 2, 3]").rows() == [([1, 2, 3],)]
+    assert con.sql("SELECT ['x', 'y']").rows() == [(["x", "y"],)]
+
+
+def test_list_index(con):
+    # 1-based; negative from end; out of range / index 0 → NULL
+    assert con.sql("SELECT [1,2,3][2], [1,2,3][-1], [1,2,3][9], [1,2,3][0]"
+                   ).rows() == [(2, 3, None, None)]
+
+
+def test_list_len_contains(con):
+    assert con.sql("SELECT len([1,2,3]), list_contains([1,2,3], 2), "
+                   "list_contains([1,2,3], 9)").rows() == [(3, True, False)]
+
+
+def test_string_split(con):
+    assert con.sql("SELECT string_split('a,b,c', ',')"
+                   ).rows() == [(["a", "b", "c"],)]
+    rows = con.sql("SELECT s, string_split(s, ',') FROM t WHERE g = 2 "
+                   "ORDER BY s").rows()
+    assert rows == [("d,e,f", ["d", "e", "f"]), ("g", ["g"])]
+
+
+def test_list_sort_distinct(con):
+    rows = con.sql("SELECT list_sort([3,1,2]), list_reverse_sort([1,3,2]), "
+                   "sorted_d: list_sort(list_distinct([1,1,2,2]))").rows() \
+        if False else con.sql(
+        "SELECT list_sort([3,1,2]), list_reverse_sort([1,3,2]), "
+        "list_sort(list_distinct([1,1,2,2]))").rows()
+    assert rows == [([1, 2, 3], [3, 2, 1], [1, 2])]
+
+
+def test_list_aggregate(con):
+    # the reference keeps NULL elements in list() (list.cpp)
+    rows = con.sql("SELECT g, list(v) FROM t GROUP BY g ORDER BY g").rows()
+    assert rows == [(1, [10, 20]), (2, [5, None]), (3, [7])]
+    assert con.sql("SELECT list(v) FROM t WHERE v > 100"
+                   ).rows() == [(None,)]
+
+
+def test_array_agg_strings(con):
+    rows = con.sql("SELECT g, array_agg(s) FROM t GROUP BY g ORDER BY g"
+                   ).rows()
+    assert rows == [(1, ["a,b", "c"]), (2, ["d,e,f", "g"]), (3, [None])]
+
+
+def test_unnest(con):
+    assert con.sql("SELECT unnest([1,2,3])").rows() == [(1,), (2,), (3,)]
+    # NULL list unnests to zero rows; sibling columns replicate
+    rows = con.sql("SELECT g, unnest(string_split(s, ',')) FROM t "
+                   "ORDER BY 1, 2").rows()
+    assert rows == [(1, "a"), (1, "b"), (1, "c"), (2, "d"), (2, "e"),
+                    (2, "f"), (2, "g")]
+
+
+def test_struct_literal_and_extract(con):
+    assert con.sql("SELECT {'a': 1, 'b': 'x'}"
+                   ).rows() == [({"a": 1, "b": "x"},)]
+    assert con.sql("SELECT {'a': 1, 'b': 'x'}['b'], "
+                   "struct_extract({'a': 42}, 'a')").rows() == [("x", 42)]
+
+
+def test_list_of_lists(con):
+    assert con.sql("SELECT [[1,2],[3]][1]").rows() == [([1, 2],)]
+
+
+def test_unnest_then_aggregate(con):
+    rows = con.sql(
+        "SELECT part, count(*) FROM (SELECT unnest(string_split(s, ',')) "
+        "AS part FROM t) GROUP BY part ORDER BY part").rows()
+    assert len(rows) == 7 and rows[0] == ("a", 1)
