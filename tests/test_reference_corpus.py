@@ -18,6 +18,19 @@ CURATED = [
     "conjunction/or_between.test",
     "conjunction/or_comparison.test",
     "limit/test_preserve_insertion_order.test",
+    "aggregate/aggregates/test_empty_aggregate.test",
+    "join/inner/empty_tinyint_column.test",
+    "join/inner/join_cross_product.test",
+    "join/inner/not_between_is_null.test",
+    "join/inner/test_eq_ineq_join.test",
+    "join/inner/test_inner_join_filter_pushdown.test",
+    "join/inner/test_lt_join.test",
+    "join/inner/test_unequal_join.test",
+    "subquery/scalar/test_correlated_subquery_cte.test",
+    "window/test_tpcds_q49.test",
+    "window/test_window_binding.test",
+    "window/window_mtcars.test",
+    "cte/cte_on_conflict_issue.test",
 ]
 
 
