@@ -998,6 +998,46 @@ class Executor:
         return Batch(src=GatherCols(b.src, rows), plen=cap, live=pos < out)
 
     # -- set ops --------------------------------------------------------------
+    def _exec_ListPack(self, node: P.ListPack) -> Batch:
+        """Zip N evaluated columns into per-row tuples host-side, then
+        dict-encode (one deliberate host round trip, like Unnest)."""
+        from duckdb_tpu.planner.functions_nested import encode_objects
+
+        b = self.execute(node.child)
+        env = b.env()
+        ct = node.ltype.child
+        mats = []
+        for e in node.exprs:
+            c = e.eval(env)
+            data = np.asarray(jnp.broadcast_to(c.data, (b.plen,)))
+            valid = (np.asarray(jnp.broadcast_to(c.validity, (b.plen,)))
+                     if c.validity is not None else None)
+            mats.append((data, valid, c.dict_values, c.ltype))
+        live = np.asarray(b.live)
+
+        def pyval(mi, i):
+            data, valid, dvals, lt = mats[mi]
+            if valid is not None and not valid[i]:
+                return None
+            v = data[i]
+            if lt.id is TypeId.VARCHAR:
+                return str(dvals[v])
+            if lt.id in (TypeId.LIST, TypeId.STRUCT):
+                return tuple(dvals[v])
+            if lt.is_float:
+                return float(v)
+            if lt.id is TypeId.BOOLEAN:
+                return bool(v)
+            return int(v)
+
+        entries = [tuple(pyval(mi, i) for mi in range(len(mats)))
+                   if live[i] else () for i in range(b.plen)]
+        codes, dvals = encode_objects(entries)
+        col = Column(data=jnp.asarray(codes), ltype=node.ltype,
+                     dict_values=dvals)
+        return Batch(src=ChainCols([DictCols({node.key: col}), b.src]),
+                     plen=b.plen, live=b.live)
+
     def _exec_Unnest(self, node: P.Unnest) -> Batch:
         """Flatten the dict-encoded list column host-side: element counts are
         data-dependent, so this is one deliberate host round trip; sibling

@@ -108,6 +108,18 @@ class Unnest(PlanNode):
 
 
 @dataclass
+class ListPack(PlanNode):
+    """Columnar list construction: one LIST value per row from N column
+    expressions (reference: list_value.cpp over vectors). Eager node — the
+    variable-width host encode happens outside any trace."""
+
+    child: PlanNode
+    exprs: list  # BoundExprs, one per element position
+    key: str
+    ltype: object  # LIST LogicalType
+
+
+@dataclass
 class Sample(PlanNode):
     """Pseudo-random row sample (reference: src/execution/operator/helper/
     physical_reservoir_sample.cpp). rows XOR percent is set."""

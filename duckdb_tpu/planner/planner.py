@@ -914,8 +914,53 @@ class Planner:
         items = []
         output = []
         unnest_spec = None  # (key, child ltype)
+        listpacks = []  # (key, [BoundExpr], LIST type)
         select_exprs = self._expand_stars(sel.select_list, scope)
+
+        def hoist_listpacks(e):
+            """Columnar list_value subtrees become eager ListPack nodes; the
+            subtree is replaced with a reference the binder resolves via a
+            synthetic scope entry. Constant list literals bind in place."""
+            import dataclasses
+
+            if not isinstance(e, N.Expr):
+                return e
+            if (isinstance(e, N.FunctionCall)
+                    and e.name.lower() in ("list_value", "list_pack")
+                    and e.args):
+                new_args = [hoist_listpacks(a) for a in e.args]
+                e2 = N.FunctionCall(e.name, new_args)
+                try:
+                    post_binder.bind(e2)
+                    return e2
+                except ValueError:
+                    from duckdb_tpu.types import list_of as _list_of
+
+                    bargs = [post_binder.bind(a) for a in new_args]
+                    lt = _list_of(bargs[0].ltype)
+                    lkey = self.fresh("listpack")
+                    listpacks.append((lkey, bargs, lt))
+                    ph = f"__lp{len(listpacks)}"
+                    scope2.add(ph, ph, lkey, lt)
+                    return N.ColumnRef((ph, ph))
+            if not dataclasses.is_dataclass(e):
+                return e
+            kw = {}
+            for f_ in dataclasses.fields(e):
+                v = getattr(e, f_.name)
+                if isinstance(v, N.Expr):
+                    v = hoist_listpacks(v)
+                elif isinstance(v, list):
+                    v = [hoist_listpacks(x) if isinstance(x, N.Expr) else x
+                         for x in v]
+                elif isinstance(v, tuple):
+                    v = tuple(hoist_listpacks(x) if isinstance(x, N.Expr)
+                              else x for x in v)
+                kw[f_.name] = v
+            return type(e)(**kw)
+
         for e, alias in select_exprs:
+            e = hoist_listpacks(e)
             if (isinstance(e, N.FunctionCall) and e.name.lower() == "unnest"
                     and len(e.args) == 1):
                 ba = post_binder.bind(e.args[0])
@@ -940,6 +985,8 @@ class Planner:
             plan = P.Window(plan, windows)
         if qual_b is not None:
             plan = P.Filter(plan, qual_b)
+        for lkey, bargs, lt in listpacks:
+            plan = P.ListPack(plan, bargs, lkey, lt)
         if unnest_spec is not None:
             plan = P.Unnest(plan, unnest_spec[1], unnest_spec[0])
         plan = P.Project(plan, items)

@@ -93,3 +93,17 @@ def test_unnest_then_aggregate(con):
         "SELECT part, count(*) FROM (SELECT unnest(string_split(s, ',')) "
         "AS part FROM t) GROUP BY part ORDER BY part").rows()
     assert len(rows) == 7 and rows[0] == ("a", 1)
+
+
+def test_columnar_list_value(con):
+    """list_value over column refs (eager ListPack node)."""
+    con.sql("CREATE TABLE lp (a INT, b INT)")
+    con.sql("INSERT INTO lp VALUES (1,2),(3,NULL)")
+    assert con.sql("SELECT list_value(a, b) FROM lp ORDER BY a"
+                   ).rows() == [([1, 2],), ([3, None],)]
+    assert con.sql("SELECT len(list_value(a, b, 9)) FROM lp ORDER BY a"
+                   ).rows() == [(3,), (3,)]
+    assert con.sql("SELECT unnest(list_value(a, b)) FROM lp ORDER BY 1"
+                   ).rows() == [(1,), (2,), (3,), (None,)]
+    assert con.sql("SELECT list_sort(list_value(b, a, 7)) FROM lp "
+                   "ORDER BY a").rows() == [([1, 2, 7],), ([3, 7, None],)]
