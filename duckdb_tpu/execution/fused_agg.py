@@ -130,16 +130,116 @@ class FusedAgg:
         self.partial_kinds = partial_kinds  # flat combine kinds (sum/min/max)
 
 
+class _JoinPrep:
+    """Eagerly-prepared dense unique join, applied inside the traced body.
+
+    The build side (dimension table/subplan) is executed eagerly; its rows
+    index into a direct-address LUT over the packed key domain. In-trace the
+    probe side computes the slot, gathers the build row index, and build
+    columns register into the trace env — the join costs one gather and adds
+    ZERO extra dispatch stages (the reference pays a hash-table probe per
+    operator; here fact→dim joins fuse into the aggregate program).
+
+    Default OFF (`SET experimental_join_fusion = true` to enable): measured
+    on the tunneled v5e, capturing multi-MB build LUTs as trace constants
+    blows up XLA compile (Q5 SF1: 495 s vs 74 s cold) for no warm win
+    (1.39 s vs 1.10 s — per-PROGRAM dispatches overlap asynchronously on
+    this runtime, unlike in-program serialized scatters, so collapsing
+    programs buys nothing). Round-2 plan: pass build arrays as jit INPUTS
+    (aux-input plumbing through run_jitted) to recover compile-cacheability
+    before re-evaluating.
+    """
+
+    def __init__(self, probe_keys, los, rngs, strides, size, lut, build_plen,
+                 src):
+        self.probe_keys = probe_keys
+        self.los = los
+        self.rngs = rngs
+        self.strides = strides
+        self.size = size
+        self.lut = lut
+        self.build_plen = build_plen
+        self.src = src  # build batch ColSource (eager)
+        self.build_cols: Dict[str, Column] = {}  # keys the pipeline touches
+
+
+def _prep_dense_join(executor, j: P.Join) -> Optional[_JoinPrep]:
+    import numpy as np
+
+    bb = executor.execute(j.build)
+    env_b = bb.env()
+    live_b = np.asarray(bb.live)
+    ok = live_b.copy()
+    key_vals = []
+    for e in j.build_keys:
+        c = e.eval(env_b)
+        if c.ltype.id is TypeId.VARCHAR:
+            return None  # cross-dict rank alignment lands in round 2
+        d = np.asarray(jnp.broadcast_to(c.data, (bb.plen,))).astype(np.int64)
+        if c.validity is not None:
+            ok &= np.asarray(jnp.broadcast_to(c.validity, (bb.plen,)))
+        key_vals.append(d)
+    los, rngs = [], []
+    for d in key_vals:
+        lv = d[ok]
+        lo = int(lv.min()) if len(lv) else 0
+        hi = int(lv.max()) if len(lv) else 0
+        los.append(lo)
+        rngs.append(max(hi - lo + 1, 1))
+    size = 1
+    for r in rngs:
+        size *= r
+        if size > PERFECT_LIMIT:
+            return None
+    strides = []
+    st = 1
+    for r in reversed(rngs):
+        strides.append(st)
+        st *= r
+    strides.reverse()
+    packed = np.zeros(bb.plen, dtype=np.int64)
+    for d, lo, st_ in zip(key_vals, los, strides):
+        packed += (d - lo) * st_
+    pk = packed[ok]
+    if len(np.unique(pk)) != len(pk):
+        return None  # non-unique build keys: general join path
+    lut = np.full(size, -1, dtype=np.int32)
+    lut[pk] = np.nonzero(ok)[0].astype(np.int32)
+    return _JoinPrep(list(j.probe_keys), los, rngs, strides, size,
+                     jnp.asarray(lut), bb.plen, bb.src)
+
+
 def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
-    # 1. peel Filter/Project chain down to a Scan
+    # 1. peel Filter/Project/(inner dense-unique Join) chain down to a Scan.
+    #    Filters commute with inner joins, so interleaving is not preserved;
+    #    the body applies joins first, then all filters.
+    mgr = getattr(executor.catalog, "settings_manager", None)
+    allow_joins = bool(mgr.get("experimental_join_fusion", False)) if mgr \
+        else False
     chain = []
+    join_nodes = []
     base = node.child
-    while isinstance(base, (P.Filter, P.Project)):
-        chain.append(base)
-        base = base.child
+    while isinstance(base, (P.Filter, P.Project, P.Join)):
+        if isinstance(base, P.Join):
+            if (not allow_joins or base.jtype != "inner"
+                    or base.extra is not None or base.null_aware):
+                return None
+            join_nodes.append(base)
+            base = base.probe
+        else:
+            chain.append(base)
+            base = base.child
     if not isinstance(base, P.Scan):
         return None
     chain.reverse()
+    join_nodes.reverse()  # innermost (closest to scan) first
+
+    join_preps = []
+    for j in join_nodes:
+        prep = _prep_dense_join(executor, j)
+        if prep is None:
+            return None
+        join_preps.append(prep)
 
     for agg in node.aggs:
         if agg.func not in _FUSABLE_AGGS or agg.distinct:
@@ -178,9 +278,19 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
 
     def collect(e):
         for nn in B.walk(e):
-            if isinstance(nn, B.BoundColumnRef) and nn.key in key2col:
-                if nn.key not in needed:
-                    needed.append(nn.key)
+            if isinstance(nn, B.BoundColumnRef):
+                if nn.key in key2col:
+                    if nn.key not in needed:
+                        needed.append(nn.key)
+                elif nn.key in project_items:
+                    continue  # overlay expr, its refs collected separately
+                else:
+                    for prep in join_preps:
+                        if nn.key in prep.build_cols:
+                            break
+                        if nn.key in prep.src:
+                            prep.build_cols[nn.key] = prep.src[nn.key]
+                            break
 
     for nd in chain:
         if isinstance(nd, P.Filter):
@@ -188,18 +298,33 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
         else:
             for _, e in nd.items:
                 collect(e)
+    for _, e in project_items.items():
+        collect(e)
     for _, ge in group_resolved:
         collect(ge)
     for agg in node.aggs:
         for a in agg.args:
             collect(a)
+    for prep in join_preps:
+        for e in prep.probe_keys:
+            collect(e)
 
     base_cols = {k: base_batch.src[k] for k in needed}
 
+    def col_lookup(key):
+        if key in base_cols:
+            return base_cols[key]
+        for prep in join_preps:
+            if key in prep.build_cols:
+                return prep.build_cols[key]
+        return None
+
     # 4. static per-key domains
+    import numpy as _np
+
     mins, domains = [], []
     for _, ref in group_resolved:
-        c = base_cols.get(ref.key)
+        c = col_lookup(ref.key)
         if c is None:
             return None
         if c.ltype.id is TypeId.VARCHAR:
@@ -207,10 +332,17 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
             domains.append(len(c.dict_values) + 1)
         elif c.ltype.is_integer or c.ltype.id in (TypeId.DATE, TypeId.DECIMAL,
                                                   TypeId.BOOLEAN):
-            st = entry.stats_for(key2col[ref.key])
-            if st.min_val is None or st.max_val is None:
-                return None
-            lo, hi = int(st.min_val), int(st.max_val)
+            if ref.key in key2col:
+                st = entry.stats_for(key2col[ref.key])
+                if st.min_val is None or st.max_val is None:
+                    return None
+                lo, hi = int(st.min_val), int(st.max_val)
+            else:  # build-side key: the batch is eager, min/max is host work
+                d = _np.asarray(c.data)
+                if c.validity is not None:
+                    d = d[_np.asarray(c.validity)]
+                lo = int(d.min()) if len(d) else 0
+                hi = int(d.max()) if len(d) else 0
             if hi - lo + 2 > PERFECT_LIMIT:
                 return None
             mins.append(lo)
@@ -231,13 +363,15 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
             all_exprs += [e for _, e in nd.items]
     for agg in node.aggs:
         all_exprs += agg.args
+    for prep in join_preps:
+        all_exprs += prep.probe_keys
     prefetch_scalar_subqueries(all_exprs)
 
     filters = [nd.expr for nd in chain if isinstance(nd, P.Filter)]
     proj_list = list(project_items.items())
     out_types = {}
     for (gkey, ref) in group_resolved:
-        c = base_cols[ref.key]
+        c = col_lookup(ref.key)
         out_types[gkey] = (c.ltype, c.dict_values)
     for agg in node.aggs:
         out_types[agg.key] = (agg.ltype, None)
@@ -273,6 +407,32 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
         live = env.live
         env2 = TraceEnv({k: env[k] for k in needed}, p, live,
                         overlay=dict(proj_list))
+        for prep in join_preps:
+            slot = jnp.zeros((p,), jnp.int64)
+            hit = live
+            for e, lo, rng, st_ in zip(prep.probe_keys, prep.los, prep.rngs,
+                                       prep.strides):
+                c = e.eval(env2)
+                v = jnp.broadcast_to(c.data, (p,)).astype(jnp.int64)
+                okk = jnp.logical_and(v >= lo, v <= lo + rng - 1)
+                if c.validity is not None:
+                    okk = jnp.logical_and(
+                        okk, jnp.broadcast_to(c.validity, (p,)))
+                slot = slot + jnp.clip(v - lo, 0, rng - 1) * jnp.int64(st_)
+                hit = jnp.logical_and(hit, okk)
+            bidx = prep.lut[jnp.clip(slot, 0, prep.size - 1)]
+            hit = jnp.logical_and(hit, bidx >= 0)
+            live = hit
+            env2.live = live
+            bc = jnp.clip(bidx, 0, prep.build_plen - 1)
+            for k, col in prep.build_cols.items():
+                env2._cols[k] = Column(
+                    data=col.data[bc], ltype=col.ltype,
+                    validity=(col.validity[bc] if col.validity is not None
+                              else None),
+                    dict_values=col.dict_values,
+                    data_hi=(col.data_hi[bc] if col.data_hi is not None
+                             else None))
         for f in filters:
             c = f.eval(env2)
             keep = jnp.broadcast_to(c.data.astype(jnp.bool_), (p,))
@@ -345,7 +505,7 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
         slots = jnp.arange(total, dtype=jnp.int64)
         for (gkey, ref), lo, dom, st in zip(group_resolved, mins, domains,
                                             strides):
-            src_col = base_cols[ref.key]
+            src_col = col_lookup(ref.key)
             comp = (slots // jnp.int64(st)) % jnp.int64(dom)
             validity = jnp.logical_and(comp > 0, occ > 0)
             vals = (comp - 1 + jnp.int64(lo)).astype(src_col.data.dtype)

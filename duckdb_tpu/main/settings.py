@@ -49,6 +49,9 @@ SETTINGS = [
             "WAL size that triggers automatic checkpoint"),
     Setting("enable_object_cache", True, "BOOLEAN", "GLOBAL",
             "Cache compiled query programs"),
+    Setting("experimental_join_fusion", False, "BOOLEAN", "GLOBAL",
+            "Fuse dense unique inner joins into aggregate programs "
+            "(constant-capture prototype; see fused_agg._JoinPrep)"),
 ]
 
 BY_NAME: Dict[str, Setting] = {s.name: s for s in SETTINGS}

@@ -49,3 +49,36 @@ def test_full_join_all_matched(con):
     con.sql("DELETE FROM b WHERE x = 4")
     rows = con.sql("SELECT count(*) FROM a FULL JOIN b ON a.x = b.x").rows()
     assert rows == [(2,)]
+
+
+def test_experimental_join_fusion_matches_general_path():
+    """The gated join-fusion prototype (SET experimental_join_fusion) must
+    agree with the general join path on a Q5-shaped star query."""
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE dim (k INT, name VARCHAR)")
+    con.sql("INSERT INTO dim VALUES (1,'a'),(2,'b'),(3,'c')")
+    con.sql("CREATE TABLE dim2 (j INT, region VARCHAR)")
+    con.sql("INSERT INTO dim2 VALUES (10,'x'),(20,'y')")
+    con.sql("CREATE TABLE fact (k INT, j INT, v INT)")
+    con.sql("INSERT INTO fact SELECT 1 + range % 3, "
+            "CASE WHEN range % 2 = 0 THEN 10 ELSE 20 END, range "
+            "FROM range(1000)")
+    q = ("SELECT name, region, sum(v), count(*) FROM fact, dim, dim2 "
+         "WHERE fact.k = dim.k AND fact.j = dim2.j AND v < 900 "
+         "GROUP BY name, region ORDER BY 1, 2")
+    base = con.sql(q).rows()
+    con.sql("SET experimental_join_fusion = true")
+    import duckdb_tpu.execution.fused_agg as FA
+
+    called = []
+    orig = FA._prep_dense_join
+    FA._prep_dense_join = lambda ex, j: called.append(1) or orig(ex, j)
+    try:
+        fused = con.sql(q).rows()
+    finally:
+        FA._prep_dense_join = orig
+        con.sql("SET experimental_join_fusion = false")
+    assert called, "join fusion did not engage"
+    assert fused == base
