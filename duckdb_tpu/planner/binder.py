@@ -420,6 +420,23 @@ class ExprBinder:
             if self.agg_collector is None:
                 raise BindError(f"aggregate {name}() not allowed here")
             return self.agg_collector(e, self)
+        if (name in ("list_transform", "array_transform", "apply",
+                     "list_filter", "array_filter", "filter")
+                and len(e.args) == 2
+                and isinstance(e.args[1], N.LambdaExpr)):
+            from duckdb_tpu.planner.functions_nested import bind_lambda_func
+
+            base = self.bind(e.args[0])
+            lam = e.args[1]
+            lscope = Scope()
+            pkey = f"__lambda_{lam.param}"
+            child_t = base.ltype.child or SQLNULL
+            lscope.add(lam.param, lam.param, pkey, child_t)
+            sub = ExprBinder(lscope, agg_collector=None,
+                             subquery_binder=self.subquery_binder)
+            body_b = sub.bind(lam.body)
+            rt, impl = bind_lambda_func(name, base, body_b, pkey, child_t)
+            return B.BoundFunction(name, [base], rt, impl)
         if name in F.REGISTRY:
             args = [self.bind(a) for a in e.args]
             rt, impl, args2 = F.REGISTRY[name](args)

@@ -310,3 +310,74 @@ def _bind_list_length(arg_exprs):
         return Column(data=d, ltype=BIGINT, validity=c.validity)
 
     return BIGINT, impl, arg_exprs
+
+
+def _py_decode(lt, data, valid, dvals, i):
+    if valid is not None and not valid[i]:
+        return None
+    v = data[i]
+    if lt.id is TypeId.VARCHAR:
+        return str(dvals[v])
+    if lt.id in (TypeId.LIST, TypeId.STRUCT):
+        return tuple(dvals[v])
+    if lt.id is TypeId.DECIMAL:
+        return pydec.Decimal(int(v)).scaleb(-lt.scale)
+    if lt.id is TypeId.DATE:
+        return datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v))
+    if lt.is_float:
+        return float(v)
+    if lt.id is TypeId.BOOLEAN:
+        return bool(v)
+    return int(v)
+
+
+def bind_lambda_func(name, base, body_b, pkey, child_t):
+    """list_transform / list_filter with `x -> expr` lambdas.
+
+    The lambda body is a bound expression over a synthetic element column.
+    Because lists are dict-encoded, the body evaluates ONCE per distinct
+    element across all distinct lists (concrete arrays — trace-safe), and
+    the result re-encodes into a LUT gather (reference:
+    src/core_functions/scalar/list/list_transform.cpp lambda executor,
+    rebuilt on the per-distinct-value invariant). Lambda bodies reference
+    only the lambda parameter in round 1 (no outer-column captures).
+    """
+    from duckdb_tpu.planner.bound import EvalEnv
+
+    is_filter = "filter" in name
+    out_t = base.ltype if is_filter else list_of(body_b.ltype)
+
+    def impl(env, cols, node):
+        c = cols[0]
+        entries = [tuple(t) for t in c.dict_values]
+        flat = [v for t in entries for v in t]
+        res_vals = []
+        if flat:
+            data, valid, dvals = _column_from_pyvals(flat, child_t)
+            elem = Column(data=jnp.asarray(data), ltype=child_t,
+                          validity=jnp.asarray(valid), dict_values=dvals)
+            n = len(flat)
+            eenv = EvalEnv(cols={pkey: elem}, plen=n,
+                           live=jnp.ones((n,), jnp.bool_))
+            rc = body_b.eval(eenv)
+            rdata = np.asarray(jnp.broadcast_to(rc.data, (n,)))
+            rvalid = (np.asarray(jnp.broadcast_to(rc.validity, (n,)))
+                      if rc.validity is not None else None)
+            res_vals = [_py_decode(rc.ltype, rdata, rvalid, rc.dict_values, i)
+                        for i in range(n)]
+        new_entries = []
+        pos = 0
+        for t in entries:
+            k = len(t)
+            if is_filter:
+                new_entries.append(tuple(
+                    t[i2] for i2 in range(k) if res_vals[pos + i2] is True))
+            else:
+                new_entries.append(tuple(res_vals[pos:pos + k]))
+            pos += k
+        inv, dv = encode_objects(new_entries)
+        codes = jnp.asarray(inv)[jnp.clip(c.data, 0, max(len(inv) - 1, 0))]
+        return Column(data=codes, ltype=out_t, validity=c.validity,
+                      dict_values=dv)
+
+    return out_t, impl

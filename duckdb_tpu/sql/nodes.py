@@ -150,6 +150,12 @@ class CaseExpr(Expr):
 
 
 @dataclass
+class LambdaExpr(Expr):
+    param: str
+    body: "Expr"
+
+
+@dataclass
 class CastExpr(Expr):
     child: Expr
     type_name: str

@@ -619,6 +619,26 @@ class Parser:
 
     # -- expressions (Pratt) ----------------------------------------------------
     def parse_expr(self) -> N.Expr:
+        # lambdas (list_transform/list_filter args): `x -> expr` (legacy
+        # single-arrow) and `lambda x: expr` (current reference syntax)
+        if (self.peek().type == TokType.IDENT
+                and self.kw() not in _STOP_KEYWORDS
+                and self.peek(1).type == TokType.OP
+                and self.peek(1).value == "->"):
+            param = self.next().value
+            self.next()
+            return N.LambdaExpr(param, self.parse_expr())
+        if (self.kw() == "lambda" and self.peek(1).type == TokType.IDENT
+                and self.peek(2).value in (":", ",")):
+            self.next()
+            params = [self.expect_ident()]
+            while self.accept_op(","):
+                params.append(self.expect_ident())
+            self.expect_op(":")
+            if len(params) > 1:
+                raise ParserError(
+                    "multi-parameter lambdas land in round 2")
+            return N.LambdaExpr(params[0], self.parse_expr())
         return self.parse_or()
 
     def parse_or(self) -> N.Expr:

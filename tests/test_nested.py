@@ -107,3 +107,29 @@ def test_columnar_list_value(con):
                    ).rows() == [(1,), (2,), (3,), (None,)]
     assert con.sql("SELECT list_sort(list_value(b, a, 7)) FROM lp "
                    "ORDER BY a").rows() == [([1, 2, 7],), ([3, 7, None],)]
+
+
+def test_lambda_transform_filter(con):
+    """list_transform / list_filter with x -> expr lambdas (evaluated once
+    per distinct element; reference: list_transform.cpp lambda executor)."""
+    assert con.sql("SELECT list_transform([1,2,3], x -> x + 1)"
+                   ).rows() == [([2, 3, 4],)]
+    # current reference syntax (single-arrow is deprecated there)
+    assert con.sql("SELECT list_transform([1,2,3], lambda x: x + 1)"
+                   ).rows() == [([2, 3, 4],)]
+    assert con.sql("SELECT list_filter([1,2,3,4], x -> x % 2 = 0)"
+                   ).rows() == [([2, 4],)]
+    # NULL elements map through transform, drop through filter
+    assert con.sql("SELECT list_transform([1,2,NULL], x -> x + 1)"
+                   ).rows() == [([2, 3, None],)]
+    assert con.sql("SELECT list_filter([1,NULL,3], x -> x > 1)"
+                   ).rows() == [([3],)]
+
+
+def test_lambda_over_column_lists(con):
+    rows = con.sql("SELECT list_transform(string_split(s, ','), "
+                   "x -> upper(x)) FROM t WHERE g = 2 ORDER BY s").rows()
+    assert rows == [(["D", "E", "F"],), (["G"],)]
+    rows = con.sql("SELECT list_filter(string_split(s, ','), "
+                   "x -> len(x) >= 1) FROM t WHERE g = 1 ORDER BY s").rows()
+    assert rows == [(["a", "b"],), (["c"],)]
