@@ -297,6 +297,11 @@ class Connection:
             vals = []
             for e in row:
                 b = binder.bind(e)
+                if b.ltype.id in (TypeId.LIST, TypeId.STRUCT):
+                    from duckdb_tpu.planner.functions_nested import _const_py
+
+                    vals.append(_const_py(b)[0])
+                    continue
                 v = b.const_value()
                 t = b.ltype
                 if v is not None and t.id is TypeId.DECIMAL:
@@ -324,7 +329,14 @@ class Connection:
             t = cd.ltype
             vals = [r[ci] for r in rows]
             valid = np.array([v is not None for v in vals], dtype=bool)
-            if t.id is TypeId.VARCHAR:
+            if t.id is TypeId.LIST:
+                phys = np.array(
+                    [0 if v is None else i for i, v in enumerate(vals)],
+                    dtype=np.int32)
+                # stash logical entries; merged below via re-encode
+                new_cols[cname + "\0entries"] = [
+                    None if v is None else tuple(v) for v in vals]
+            elif t.id is TypeId.VARCHAR:
                 phys = np.array([("" if v is None else str(v)) for v in vals],
                                 dtype=object)
             elif t.id is TypeId.DECIMAL:
@@ -353,7 +365,21 @@ class Connection:
             else:
                 phys = np.zeros(n_new, dtype=old_vals.dtype)
                 valid = np.zeros(n_new, dtype=bool)
-            if t.id is TypeId.VARCHAR:
+            if t.id is TypeId.LIST:
+                from duckdb_tpu.planner.functions_nested import encode_objects
+
+                old_entries = ([tuple(old_dict[c]) for c in old_vals]
+                               if old_dict is not None else [])
+                new_entries = new_cols.get(cd.name + "\0entries",
+                                           [None] * n_new)
+                all_entries = old_entries + [(() if e is None else e)
+                                             for e in new_entries]
+                codes, dvals2 = encode_objects(all_entries)
+                new_valid = _concat_valid(old_valid, valid, len(old_vals),
+                                          n_new)
+                entry.set_host_column(cd.name, codes, validity=new_valid,
+                                      dict_values=dvals2)
+            elif t.id is TypeId.VARCHAR:
                 old_strs = (old_dict[old_vals] if old_dict is not None
                             and len(old_vals) else np.empty(0, object))
                 all_strs = np.concatenate([old_strs, phys.astype(object)])

@@ -166,6 +166,10 @@ _TYPE_NAMES = {
 
 def resolve_type_name(name: str, mods: Tuple[int, ...]) -> LogicalType:
     n = name.lower()
+    if n.endswith("[]"):
+        from duckdb_tpu.types import list_of
+
+        return list_of(resolve_type_name(n[:-2], mods))
     if n in ("decimal", "numeric"):
         w = mods[0] if mods else 18
         s = mods[1] if len(mods) > 1 else 3

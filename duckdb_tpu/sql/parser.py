@@ -818,6 +818,11 @@ class Parser:
                 nums.append(int(self.next().value))
             self.expect_op(")")
             mods = tuple(nums)
+        while (self.peek().value == "[" and self.peek().type == TokType.OP
+               and self.peek(1).value == "]"):
+            self.next()
+            self.next()
+            name += "[]"
         return name, mods
 
     def parse_primary(self) -> N.Expr:

@@ -32,12 +32,16 @@ from duckdb_tpu.types import LogicalType, TypeId, decimal as make_decimal
 def _type_to_json(t: LogicalType):
     if t.id is TypeId.DECIMAL:
         return {"id": "decimal", "width": t.width, "scale": t.scale}
+    if t.id is TypeId.LIST:
+        return {"id": "list", "child": _type_to_json(t.child)}
     return {"id": t.id.value}
 
 
 def _type_from_json(d) -> LogicalType:
     if d["id"] == "decimal":
         return make_decimal(d["width"], d["scale"])
+    if d["id"] == "list":
+        return LogicalType(TypeId.LIST, child=_type_from_json(d["child"]))
     return LogicalType(TypeId(d["id"]))
 
 
@@ -61,7 +65,15 @@ def checkpoint(con, path: str):
         for cd in entry.columns:
             vals, valid, dvals = entry.host_column(cd.name)
             base = os.path.join(tdir, cd.name)
-            if cd.ltype.id is TypeId.VARCHAR:
+            if cd.ltype.id is TypeId.LIST:
+                import json as _json
+
+                np.asarray(vals).astype(np.int32).tofile(base + ".i32")
+                with open(base + ".dict.json", "w") as f:
+                    _json.dump([list(t) for t in (dvals if dvals is not None
+                                                  else [])], f)
+                kind = "listdict"
+            elif cd.ltype.id is TypeId.VARCHAR:
                 strs = (dvals[vals] if dvals is not None and len(vals)
                         else np.empty(0, object))
                 lens = np.array([len(s.encode()) for s in strs],
@@ -143,6 +155,15 @@ def open_database(con, path: str):
                     values = binary_dir.read_string_column(tdir, cname)
                     codes, uniq = binary_dir.dict_encode(values)
                     return codes, validity, uniq
+                if kind == "listdict":
+                    import json as _json
+
+                    from duckdb_tpu.planner.functions_nested import obj_array
+
+                    codes = binary_dir.read_numeric_column(tdir, cname, "i32")
+                    with open(os.path.join(tdir, cname + ".dict.json")) as f:
+                        entries = [tuple(x) for x in _json.load(f)]
+                    return codes, validity, obj_array(entries)
                 if kind == "f64":
                     v = np.fromfile(os.path.join(tdir, cname + ".f64"),
                                     dtype=np.float64)

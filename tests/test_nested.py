@@ -133,3 +133,32 @@ def test_lambda_over_column_lists(con):
     rows = con.sql("SELECT list_filter(string_split(s, ','), "
                    "x -> len(x) >= 1) FROM t WHERE g = 1 ORDER BY s").rows()
     assert rows == [(["a", "b"],), (["c"],)]
+
+
+def test_ddl_list_columns(tmp_path):
+    """CREATE TABLE with INT[]/VARCHAR[] columns, INSERT of list literals,
+    and checkpoint/reopen round trip (codes + JSON dictionary files)."""
+    import duckdb_tpu
+
+    c = duckdb_tpu.connect()
+    c.sql("CREATE TABLE lt (id INT, tags VARCHAR[], nums INT[])")
+    c.sql("INSERT INTO lt VALUES (1, ['a','b'], [10,20,30]), "
+          "(2, ['c'], []), (3, NULL, [5])")
+    assert c.sql("SELECT * FROM lt ORDER BY id").rows() == [
+        (1, ["a", "b"], [10, 20, 30]), (2, ["c"], []), (3, None, [5])]
+    assert c.sql("SELECT id, len(nums), nums[1] FROM lt ORDER BY id"
+                 ).rows() == [(1, 3, 10), (2, 0, None), (3, 1, 5)]
+    assert c.sql("SELECT id FROM lt WHERE list_contains(nums, 20)"
+                 ).rows() == [(1,)]
+
+    db = str(tmp_path / "listdb")
+    c2 = duckdb_tpu.connect(db)
+    c2.sql("CREATE TABLE p (id INT, v INT[])")
+    c2.sql("INSERT INTO p VALUES (1, [1,2]), (2, [3])")
+    c2.close()
+    c3 = duckdb_tpu.connect(db)
+    assert c3.sql("SELECT * FROM p ORDER BY id").rows() == [
+        (1, [1, 2]), (2, [3])]
+    c3.sql("INSERT INTO p VALUES (3, [9])")
+    assert c3.sql("SELECT id, len(v) FROM p ORDER BY id").rows() == [
+        (1, 2), (2, 1), (3, 1)]
