@@ -295,6 +295,11 @@ class ExprBinder:
             left, right = self._align_comparison(left, right)
             return B.BoundComparison(e.op, left, right)
         if e.op == "||":
+            l0 = self.bind(e.left)
+            if l0.ltype.id is TypeId.LIST:
+                rt, impl, args2 = F.REGISTRY["list_concat"](
+                    [l0, self.bind(e.right)])
+                return B.BoundFunction("list_concat", args2, rt, impl)
             return self._bind_concat(e)
         left = self.bind(e.left)
         right = self.bind(e.right)
@@ -436,10 +441,15 @@ class ExprBinder:
             pkey = f"__lambda_{lam.param}"
             child_t = base.ltype.child or SQLNULL
             lscope.add(lam.param, lam.param, pkey, child_t)
+            ikey = None
+            if getattr(lam, "index_param", None):
+                ikey = f"__lambda_{lam.index_param}"
+                lscope.add(lam.index_param, lam.index_param, ikey, BIGINT)
             sub = ExprBinder(lscope, agg_collector=None,
                              subquery_binder=self.subquery_binder)
             body_b = sub.bind(lam.body)
-            rt, impl = bind_lambda_func(name, base, body_b, pkey, child_t)
+            rt, impl = bind_lambda_func(name, base, body_b, pkey, child_t,
+                                        ikey=ikey)
             return B.BoundFunction(name, [base], rt, impl)
         if name in F.REGISTRY:
             args = [self.bind(a) for a in e.args]

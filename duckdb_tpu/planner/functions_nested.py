@@ -331,7 +331,7 @@ def _py_decode(lt, data, valid, dvals, i):
     return int(v)
 
 
-def bind_lambda_func(name, base, body_b, pkey, child_t):
+def bind_lambda_func(name, base, body_b, pkey, child_t, ikey=None):
     """list_transform / list_filter with `x -> expr` lambdas.
 
     The lambda body is a bound expression over a synthetic element column.
@@ -357,7 +357,14 @@ def bind_lambda_func(name, base, body_b, pkey, child_t):
             elem = Column(data=jnp.asarray(data), ltype=child_t,
                           validity=jnp.asarray(valid), dict_values=dvals)
             n = len(flat)
-            eenv = EvalEnv(cols={pkey: elem}, plen=n,
+            ecols = {pkey: elem}
+            if ikey is not None:  # 1-based position within each list
+                idxs = np.concatenate([np.arange(1, len(t) + 1)
+                                       for t in entries]) if flat else \
+                    np.zeros(0, np.int64)
+                ecols[ikey] = Column(data=jnp.asarray(
+                    idxs.astype(np.int64)), ltype=BIGINT)
+            eenv = EvalEnv(cols=ecols, plen=n,
                            live=jnp.ones((n,), jnp.bool_))
             rc = body_b.eval(eenv)
             rdata = np.asarray(jnp.broadcast_to(rc.data, (n,)))
@@ -381,3 +388,121 @@ def bind_lambda_func(name, base, body_b, pkey, child_t):
                       dict_values=dv)
 
     return out_t, impl
+
+
+def _pairwise_list_op(a: "Column", b: "Column", fn, out_t):
+    """Per-distinct-PAIR host op over two dict-encoded columns → LUT gather
+    on the pair code (a_code * |b_dict| + b_code)."""
+    na, nb = max(len(a.dict_values), 1), max(len(b.dict_values), 1)
+    entries = [fn(ta, tb) for ta in a.dict_values for tb in b.dict_values] \
+        or [fn((), ())]
+    inv, dvals = encode_objects(entries)
+    pair = (jnp.clip(a.data, 0, na - 1).astype(jnp.int32) * nb
+            + jnp.clip(b.data, 0, nb - 1).astype(jnp.int32))
+    codes = jnp.asarray(inv)[jnp.clip(pair, 0, max(len(inv) - 1, 0))]
+    validity = None
+    if a.validity is not None or b.validity is not None:
+        va = a.validity if a.validity is not None else jnp.bool_(True)
+        vb = b.validity if b.validity is not None else jnp.bool_(True)
+        validity = jnp.logical_and(va, vb)
+    return Column(data=codes, ltype=out_t, validity=validity,
+                  dict_values=dvals)
+
+
+@register("list_concat")
+@register("list_cat")
+@register("array_concat")
+def _bind_list_concat(arg_exprs):
+    for a in arg_exprs:
+        if a.ltype.id is not TypeId.LIST:
+            raise BindError("list_concat expects LIST arguments")
+    out_t = arg_exprs[0].ltype
+
+    def impl(env, cols, node):
+        acc = cols[0]
+        for c in cols[1:]:
+            acc = _pairwise_list_op(acc, c, lambda x, y: tuple(x) + tuple(y),
+                                    out_t)
+        return acc
+
+    return out_t, impl, arg_exprs
+
+
+@register("list_append")
+@register("array_append")
+def _bind_list_append(arg_exprs):
+    v, _ = _const_py(arg_exprs[1])
+    out_t = arg_exprs[0].ltype
+    return out_t, _per_distinct(lambda t: tuple(t) + (v,), out_t), \
+        arg_exprs[:1]
+
+
+@register("list_prepend")
+@register("array_prepend")
+def _bind_list_prepend(arg_exprs):
+    # list_prepend(value, list)
+    v, _ = _const_py(arg_exprs[0])
+    out_t = arg_exprs[1].ltype
+    return out_t, _per_distinct(lambda t: (v,) + tuple(t), out_t, ci=0), \
+        arg_exprs[1:]
+
+
+def _per_distinct(fn, out_t, ci=0):
+    def impl(env, cols, node):
+        c = cols[ci]
+        inv, dvals = encode_objects([fn(t) for t in c.dict_values])
+        codes = jnp.asarray(inv)[jnp.clip(c.data, 0,
+                                          max(len(inv) - 1, 0))]
+        return Column(data=codes, ltype=out_t, validity=c.validity,
+                      dict_values=dvals)
+
+    return impl
+
+
+@register("list_slice")
+@register("array_slice")
+def _bind_list_slice(arg_exprs):
+    # 1-based inclusive bounds (reference: list_slice.cpp)
+    a = int(arg_exprs[1].const_value())
+    b2 = int(arg_exprs[2].const_value())
+    out_t = arg_exprs[0].ltype
+
+    def sl(t):
+        lo = a - 1 if a > 0 else len(t) + a
+        hi = b2 if b2 > 0 else len(t) + b2 + 1
+        return tuple(t[max(lo, 0):max(hi, 0)])
+
+    return out_t, _per_distinct(sl, out_t), arg_exprs[:1]
+
+
+@register("flatten")
+def _bind_flatten(arg_exprs):
+    base = arg_exprs[0]
+    if (base.ltype.id is not TypeId.LIST
+            or (base.ltype.child or SQLNULL).id is not TypeId.LIST):
+        raise BindError("flatten expects a LIST of LISTs")
+    out_t = base.ltype.child
+
+    def fl(t):
+        out = []
+        for sub in t:
+            if sub is not None:
+                out.extend(sub)
+        return tuple(out)
+
+    return out_t, _per_distinct(fl, out_t), arg_exprs[:1]
+
+
+@register("list_position")
+@register("list_indexof")
+@register("array_position")
+def _bind_list_position(arg_exprs):
+    needle, _ = _const_py(arg_exprs[1])
+
+    def impl(env, cols, node):
+        c = cols[0]
+        vals = [(t.index(needle) + 1 if needle in t else None)
+                for t in c.dict_values]
+        return _lut_gather(c, vals, BIGINT)
+
+    return BIGINT, impl, arg_exprs[:1]

@@ -153,6 +153,7 @@ class CaseExpr(Expr):
 class LambdaExpr(Expr):
     param: str
     body: "Expr"
+    index_param: Optional[str] = None  # lambda x, i: ... (1-based index)
 
 
 @dataclass

@@ -635,10 +635,11 @@ class Parser:
             while self.accept_op(","):
                 params.append(self.expect_ident())
             self.expect_op(":")
-            if len(params) > 1:
-                raise ParserError(
-                    "multi-parameter lambdas land in round 2")
-            return N.LambdaExpr(params[0], self.parse_expr())
+            if len(params) > 2:
+                raise ParserError("at most two lambda parameters (x, i)")
+            return N.LambdaExpr(params[0], self.parse_expr(),
+                                index_param=(params[1] if len(params) > 1
+                                             else None))
         return self.parse_or()
 
     def parse_or(self) -> N.Expr:
@@ -785,6 +786,11 @@ class Parser:
                 # a_expr indirection in the PEG expression rules)
                 self.next()
                 idx = self.parse_expr()
+                if self.accept_op(":"):  # slice e[a:b], 1-based inclusive
+                    hi = self.parse_expr()
+                    self.expect_op("]")
+                    e = N.FunctionCall("list_slice", [e, idx, hi])
+                    continue
                 self.expect_op("]")
                 if isinstance(idx, N.Literal) and isinstance(idx.value, str):
                     e = N.FunctionCall("struct_extract", [e, idx])

@@ -162,3 +162,24 @@ def test_ddl_list_columns(tmp_path):
     c3.sql("INSERT INTO p VALUES (3, [9])")
     assert c3.sql("SELECT id, len(v) FROM p ORDER BY id").rows() == [
         (1, 2), (2, 1), (3, 1)]
+
+
+def test_list_surface_functions(con):
+    """Concatenation, append/prepend, slicing, flatten, position — all
+    reference-verified (list || list, 1-based inclusive slices)."""
+    assert con.sql("SELECT [1,2] || [3], list_concat([1],[2],[3])"
+                   ).rows() == [([1, 2, 3], [1, 2, 3])]
+    assert con.sql("SELECT list_append([1,2], 3), list_prepend(0, [1,2])"
+                   ).rows() == [([1, 2, 3], [0, 1, 2])]
+    assert con.sql("SELECT [1,2,3,4][2:3], list_slice([1,2,3,4,5], 2, 4)"
+                   ).rows() == [([2, 3], [2, 3, 4])]
+    assert con.sql("SELECT flatten([[1,2],[3]])").rows() == [([1, 2, 3],)]
+    assert con.sql("SELECT list_position([4,5,6], 5), "
+                   "list_position([4,5,6], 9)").rows() == [(2, None)]
+
+
+def test_indexed_lambda(con):
+    assert con.sql("SELECT list_transform(['a','b'], lambda x, i: i)"
+                   ).rows() == [([1, 2],)]
+    assert con.sql("SELECT list_filter([10,20,30], lambda x, i: i >= 2)"
+                   ).rows() == [([20, 30],)]
