@@ -25,4 +25,47 @@ except Exception:  # noqa: BLE001 — cache is best-effort
 
 from duckdb_tpu.api.connection import Connection, connect  # noqa: F401,E402
 
+# -- module-level API over a lazily-created default connection --------------
+# (duckdb python parity: duckdb.sql(...) without an explicit connect();
+# reference: tools/pythonpkg duckdb.sql → default_connection. The `sql`
+# attribute shadows the internal duckdb_tpu.sql subpackage exactly as the
+# reference's python package shadows its own.)
+_default_con = None
+
+
+def default_connection() -> Connection:
+    global _default_con
+    if _default_con is None:
+        _default_con = connect()
+    return _default_con
+
+
+def sql(query: str):  # noqa: A001 — parity with duckdb.sql
+    return default_connection().sql(query)
+
+
+def query(q: str):
+    return default_connection().sql(q)
+
+
+def execute(q: str):
+    return default_connection().sql(q)
+
+
+def table(name: str):
+    return default_connection().table(name)
+
+
+def from_df(df, name=None):
+    return default_connection().from_df(df, name)
+
+
+def read_csv(path: str):
+    return default_connection().sql(f"SELECT * FROM '{path}'")
+
+
+def read_parquet(path: str):
+    return default_connection().sql(f"SELECT * FROM '{path}'")
+
+
 __version__ = "0.1.0"

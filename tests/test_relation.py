@@ -71,3 +71,17 @@ def test_dataframe_round_trip(con):
     assert r.df().shape == (3, 2)
     assert r.arrow().num_rows == 3
     assert list(r.fetchnumpy()["a"]) == [1, 2, 3]
+
+
+def test_module_level_api():
+    """duckdb python parity: module-level sql/query/execute/table/from_df
+    over a lazily-created default connection."""
+    import duckdb_tpu
+
+    assert duckdb_tpu.sql("SELECT 1+1").rows() == [(2,)]
+    duckdb_tpu.execute("CREATE OR REPLACE TABLE _mod (a INT)")
+    duckdb_tpu.execute("INSERT INTO _mod VALUES (5), (7)")
+    assert duckdb_tpu.query("SELECT sum(a) FROM _mod").rows() == [(12,)]
+    assert duckdb_tpu.table("_mod").count() == 2
+    # the internal SQL subpackage stays importable despite the shadow
+    from duckdb_tpu.sql.parser import Parser  # noqa: F401
