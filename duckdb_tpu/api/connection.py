@@ -539,6 +539,7 @@ class Connection:
             s.table, s.alias, s.where)
         env = batch.env()
         binder = planner._pred_binder(scope, {})
+        staged = {}  # column name → (vals, valid|None, dvals|None) post-state
         for cname, expr in s.assignments:
             cd = next(c for c in entry.columns
                       if c.name.lower() == cname.lower())
@@ -570,11 +571,82 @@ class Connection:
             ov = old_valid if old_valid is not None else np.ones(entry.nrows,
                                                                  bool)
             valid_out = np.where(mask, new_valid, ov)
-            entry.set_host_column(
-                cd.name, vals_out,
-                validity=None if valid_out.all() else valid_out,
-                dict_values=dvals_out)
+            staged[cd.name] = (vals_out,
+                               None if valid_out.all() else valid_out,
+                               dvals_out)
+        if entry.constraints:
+            self._verify_update_constraints(entry, staged, mask)
+        for cname2, (vals_out, valid_out, dvals_out) in staged.items():
+            entry.set_host_column(cname2, vals_out, validity=valid_out,
+                                  dict_values=dvals_out)
         return None
+
+    def _verify_update_constraints(self, entry, staged, mask):
+        """Verify constraints against the post-UPDATE state before any
+        column commits (reference: VerifyUpdateConstraints,
+        src/storage/data_table.cpp)."""
+
+        def post(name):
+            return staged.get(name) or entry.host_column(name)
+
+        def post_strings(name):
+            cd = next(c for c in entry.columns if c.name == name)
+            vals, valid, dvals = post(name)
+            if cd.ltype.id is TypeId.VARCHAR and dvals is not None:
+                vs = (dvals[np.clip(vals, 0, len(dvals) - 1)].astype(str)
+                      if len(vals) else np.empty(0, dtype="<U1"))
+            else:
+                vs = vals.astype(str)
+            va = valid if valid is not None else np.ones(len(vals), bool)
+            return vs, va
+
+        for con_ in entry.constraints:
+            kind = con_[0]
+            if kind == "not_null":
+                cname = con_[1]
+                if cname in staged:
+                    _, valid, _ = staged[cname]
+                    if valid is not None and not valid.all():
+                        raise ConnectionException(
+                            f"Constraint Error: NOT NULL constraint failed:"
+                            f" {entry.name}.{cname}")
+            elif kind in ("primary_key", "unique"):
+                cols = con_[1]
+                if not any(c in staged for c in cols):
+                    continue
+                parts = [post_strings(c) for c in cols]
+                key = parts[0][0]
+                for vs, _ in parts[1:]:
+                    key = np.char.add(np.char.add(key, "\x1f"), vs)
+                all_valid = parts[0][1]
+                for _, va in parts[1:]:
+                    all_valid = np.logical_and(all_valid, va)
+                live = key[all_valid]
+                if len(live) and len(np.unique(live)) < len(live):
+                    label = ("PRIMARY KEY" if kind == "primary_key"
+                             else "UNIQUE")
+                    raise ConnectionException(
+                        f"Constraint Error: duplicate key violates {label} "
+                        f"constraint on {entry.name}({', '.join(cols)})")
+            elif kind == "check":
+                ncols = {}
+                n = int(mask.sum())
+                if n == 0:
+                    continue
+                for cd in entry.columns:
+                    vals, valid, dvals = post(cd.name)
+                    mv = vals[mask]
+                    if cd.ltype.id is TypeId.VARCHAR and dvals is not None:
+                        ncols[cd.name] = (
+                            dvals[np.clip(mv, 0, len(dvals) - 1)].astype(
+                                object),
+                            (valid[mask] if valid is not None
+                             else np.ones(n, bool)))
+                    else:
+                        ncols[cd.name] = (mv, valid[mask]
+                                          if valid is not None
+                                          else np.ones(n, bool))
+                self._verify_check(entry, ncols, n, con_[1])
 
     # -- MERGE -----------------------------------------------------------------
     def _merge(self, s: N.MergeStatement):

@@ -75,3 +75,18 @@ def test_constraints_survive_reopen(tmp_path):
     _fails(c2, "INSERT INTO t VALUES (2, -1)", "CHECK")
     c2.sql("INSERT INTO t VALUES (2, 9)")
     assert c2.sql("SELECT count(*) FROM t").rows() == [(2,)]
+
+
+def test_update_constraints(con):
+    """UPDATE verifies against the post-update state before committing
+    (reference: VerifyUpdateConstraints, src/storage/data_table.cpp)."""
+    con.sql("INSERT INTO p VALUES (2, 'b', 20, 'b@x')")
+    _fails(con, "UPDATE p SET id = 1 WHERE id = 2", "PRIMARY KEY")
+    _fails(con, "UPDATE p SET name = NULL WHERE id = 1", "NOT NULL")
+    _fails(con, "UPDATE p SET age = -5 WHERE id = 2", "CHECK")
+    # multi-assignment failure commits nothing
+    _fails(con, "UPDATE p SET age = age + 1, id = 1 WHERE id = 2",
+           "PRIMARY KEY")
+    assert con.sql("SELECT age FROM p WHERE id = 2").rows() == [(20,)]
+    con.sql("UPDATE p SET id = 3 WHERE id = 2")  # legal key move
+    assert con.sql("SELECT id FROM p ORDER BY id").rows() == [(1,), (3,)]
