@@ -329,7 +329,7 @@ class Connection:
             t = cd.ltype
             vals = [r[ci] for r in rows]
             valid = np.array([v is not None for v in vals], dtype=bool)
-            if t.id is TypeId.LIST:
+            if t.id in (TypeId.LIST, TypeId.STRUCT):
                 phys = np.array(
                     [0 if v is None else i for i, v in enumerate(vals)],
                     dtype=np.int32)
@@ -365,7 +365,7 @@ class Connection:
             else:
                 phys = np.zeros(n_new, dtype=old_vals.dtype)
                 valid = np.zeros(n_new, dtype=bool)
-            if t.id is TypeId.LIST:
+            if t.id in (TypeId.LIST, TypeId.STRUCT):
                 from duckdb_tpu.planner.functions_nested import encode_objects
 
                 old_entries = ([tuple(old_dict[c]) for c in old_vals]

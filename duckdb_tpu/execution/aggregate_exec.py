@@ -286,7 +286,7 @@ def _compute_agg(agg: BoundAggregate, inp, gids, nseg, live, plen, key_data,
     data = jnp.broadcast_to(c.data, (plen,))
     mask = jnp.logical_and(live, valid)
 
-    if agg.distinct:
+    if agg.distinct and f not in ("list", "array_agg"):
         return _compute_distinct_agg(agg, c, data, mask, gids, nseg, plen, n_groups)
 
     if f == "count":
@@ -550,6 +550,9 @@ def _compute_agg(agg: BoundAggregate, inp, gids, nseg, live, plen, key_data,
             if h_dead[i]:
                 break
             parts.setdefault(int(h_gid[i]), []).append(pyval(i))
+        if agg.distinct:  # list(DISTINCT x): first-seen order; one NULL kept
+            for g in parts:
+                parts[g] = list(dict.fromkeys(parts[g]))
         entries = [tuple(parts.get(g, [])) for g in range(n_groups)]
         codes, dvals = encode_objects(entries)
         grp_live = jax.ops.segment_sum(live.astype(jnp.int64), gids,

@@ -170,6 +170,30 @@ def resolve_type_name(name: str, mods: Tuple[int, ...]) -> LogicalType:
         from duckdb_tpu.types import list_of
 
         return list_of(resolve_type_name(n[:-2], mods))
+    if n.startswith("struct(") and n.endswith(")"):
+        from duckdb_tpu.types import struct_of
+
+        fields = []
+        depth = 0
+        part = ""
+        for ch in n[7:-1] + ",":
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                fname, _, ftype = part.strip().partition(" ")
+                fmods: Tuple[int, ...] = ()
+                if "(" in ftype and ftype.endswith(")"):
+                    base, _, rest = ftype.partition("(")
+                    fmods = tuple(int(x) for x in rest[:-1].split(","))
+                    ftype = base
+                fields.append((fname, resolve_type_name(ftype.strip(),
+                                                        fmods)))
+                part = ""
+            else:
+                part += ch
+        return struct_of(*fields)
     if n in ("decimal", "numeric"):
         w = mods[0] if mods else 18
         s = mods[1] if len(mods) > 1 else 3
@@ -284,7 +308,21 @@ class ExprBinder:
         return B.BoundLiteral(bind_interval(e.value, e.unit), INTERVAL)
 
     def _bind_ColumnRef(self, e: N.ColumnRef):
-        b = self.scope.resolve(e.parts)
+        try:
+            b = self.scope.resolve(e.parts)
+        except BindError:
+            # keyword pseudo-columns (reference binds these as functions:
+            # current_date/current_timestamp in default_functions.cpp)
+            if len(e.parts) == 1 and e.parts[0].lower() in (
+                    "current_date", "current_timestamp", "current_time",
+                    "localtimestamp"):
+                fc = N.FunctionCall(
+                    {"current_date": "today",
+                     "current_time": "now",
+                     "localtimestamp": "now",
+                     "current_timestamp": "now"}[e.parts[0].lower()], [])
+                return self._bind_FunctionCall(fc)
+            raise
         return B.BoundColumnRef(b.key, b.ltype)
 
     # -- operators -----------------------------------------------------------

@@ -496,6 +496,23 @@ def _bind_current_date(arg_exprs):
     return DATE, impl, []
 
 
+@register("now")
+@register("current_timestamp")
+@register("get_current_timestamp")
+@register("transaction_timestamp")
+def _bind_now(arg_exprs):
+    import datetime
+
+    micros = int((datetime.datetime.now()
+                  - datetime.datetime(1970, 1, 1)).total_seconds() * 1e6)
+
+    def impl(env, cols, node):
+        return Column(data=jnp.full((env.plen,), micros, jnp.int64),
+                      ltype=TIMESTAMP)
+
+    return TIMESTAMP, impl, []
+
+
 @register("epoch")
 def _bind_epoch(arg_exprs):
     def impl(env, cols, node):

@@ -814,6 +814,25 @@ class Parser:
         if name == "double" and self.kw() == "precision":
             self.next()
             name = "double"
+        if name == "struct" and self.peek().value == "(":
+            # STRUCT(a INT, b VARCHAR) → canonical name string, re-parsed by
+            # resolve_type_name (keeps the (name, mods) plumbing unchanged)
+            self.next()
+            fields = []
+            while True:
+                fname = self.expect_ident()
+                ftype, fmods = self.parse_type_name()
+                if fmods:
+                    ftype += "(" + ",".join(str(m) for m in fmods) + ")"
+                fields.append(f"{fname} {ftype}")
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+            name = "struct(" + ", ".join(fields) + ")"
+            while (self.peek().value == "[" and self.peek(1).value == "]"):
+                self.next(); self.next()
+                name += "[]"
+            return name, ()
         if name == "timestamp" and self.kw() in ("with", "without"):
             self.accept_kw("with", "time", "zone") or self.accept_kw("without", "time", "zone")
         mods: Tuple[int, ...] = ()

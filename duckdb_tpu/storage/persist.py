@@ -34,6 +34,10 @@ def _type_to_json(t: LogicalType):
         return {"id": "decimal", "width": t.width, "scale": t.scale}
     if t.id is TypeId.LIST:
         return {"id": "list", "child": _type_to_json(t.child)}
+    if t.id is TypeId.STRUCT:
+        return {"id": "struct",
+                "fields": [[n, _type_to_json(ft)]
+                           for n, ft in (t.fields or ())]}
     return {"id": t.id.value}
 
 
@@ -42,7 +46,39 @@ def _type_from_json(d) -> LogicalType:
         return make_decimal(d["width"], d["scale"])
     if d["id"] == "list":
         return LogicalType(TypeId.LIST, child=_type_from_json(d["child"]))
+    if d["id"] == "struct":
+        return LogicalType(TypeId.STRUCT, fields=tuple(
+            (n, _type_from_json(ft)) for n, ft in d["fields"]))
     return LogicalType(TypeId(d["id"]))
+
+
+def _nested_json_default(o):
+    """Tagged JSON encoding for Decimal/date values inside nested-type
+    dictionaries (decoded by _nested_json_decode on load)."""
+    import datetime
+    import decimal as pydec
+
+    if isinstance(o, pydec.Decimal):
+        return {"$dec": str(o)}
+    if isinstance(o, datetime.date):
+        return {"$date": o.isoformat()}
+    if isinstance(o, tuple):
+        return list(o)
+    raise TypeError(f"not JSON serializable: {type(o)}")
+
+
+def _nested_json_decode(v):
+    import datetime
+    import decimal as pydec
+
+    if isinstance(v, dict):
+        if "$dec" in v:
+            return pydec.Decimal(v["$dec"])
+        if "$date" in v:
+            return datetime.date.fromisoformat(v["$date"])
+    if isinstance(v, list):
+        return tuple(_nested_json_decode(x) for x in v)
+    return v
 
 
 _KIND = {np.dtype(np.int64): "i64", np.dtype(np.int32): "i32",
@@ -65,13 +101,14 @@ def checkpoint(con, path: str):
         for cd in entry.columns:
             vals, valid, dvals = entry.host_column(cd.name)
             base = os.path.join(tdir, cd.name)
-            if cd.ltype.id is TypeId.LIST:
+            if cd.ltype.id in (TypeId.LIST, TypeId.STRUCT):
                 import json as _json
 
                 np.asarray(vals).astype(np.int32).tofile(base + ".i32")
                 with open(base + ".dict.json", "w") as f:
                     _json.dump([list(t) for t in (dvals if dvals is not None
-                                                  else [])], f)
+                                                  else [])], f,
+                               default=_nested_json_default)
                 kind = "listdict"
             elif cd.ltype.id is TypeId.VARCHAR:
                 strs = (dvals[vals] if dvals is not None and len(vals)
@@ -162,7 +199,8 @@ def open_database(con, path: str):
 
                     codes = binary_dir.read_numeric_column(tdir, cname, "i32")
                     with open(os.path.join(tdir, cname + ".dict.json")) as f:
-                        entries = [tuple(x) for x in _json.load(f)]
+                        entries = [tuple(_nested_json_decode(v) for v in x)
+                                   for x in _json.load(f)]
                     return codes, validity, obj_array(entries)
                 if kind == "f64":
                     v = np.fromfile(os.path.join(tdir, cname + ".f64"),

@@ -183,3 +183,41 @@ def test_indexed_lambda(con):
                    ).rows() == [([1, 2],)]
     assert con.sql("SELECT list_filter([10,20,30], lambda x, i: i >= 2)"
                    ).rows() == [([20, 30],)]
+
+
+def test_struct_ddl_columns(tmp_path):
+    """STRUCT(a INT, b VARCHAR) columns: DDL, struct-literal INSERT,
+    extraction, filtering, and typed persistence (tagged JSON dict)."""
+    import decimal
+    import duckdb_tpu
+
+    c = duckdb_tpu.connect()
+    c.sql("CREATE TABLE st (id INT, s STRUCT(a INT, b VARCHAR))")
+    c.sql("INSERT INTO st VALUES (1, {'a': 10, 'b': 'x'}), "
+          "(2, {'a': 20, 'b': 'y'}), (3, NULL)")
+    assert c.sql("SELECT id, s['a'], struct_extract(s, 'b') FROM st "
+                 "ORDER BY id").rows() == [(1, 10, "x"), (2, 20, "y"),
+                                           (3, None, None)]
+    assert c.sql("SELECT id FROM st WHERE s['a'] = 20").rows() == [(2,)]
+
+    db = str(tmp_path / "structdb")
+    c2 = duckdb_tpu.connect(db)
+    c2.sql("CREATE TABLE sp (s STRUCT(x INT, y DECIMAL(4,1)))")
+    c2.sql("INSERT INTO sp VALUES ({'x': 1, 'y': 2.5})")
+    c2.close()
+    c3 = duckdb_tpu.connect(db)
+    assert c3.sql("SELECT s['y'] FROM sp").rows() == [
+        (decimal.Decimal("2.5"),)]
+
+
+def test_distinct_list_agg(con):
+    # reference keeps one NULL in list(DISTINCT); element order unspecified
+    rows = con.sql("SELECT list(DISTINCT x) FROM "
+                   "(SELECT unnest([1,1,2,NULL,2]) AS x)").rows()
+    assert sorted(rows[0][0], key=lambda v: (v is None, v)) == [1, 2, None]
+
+
+def test_keyword_pseudo_columns(con):
+    assert con.sql("SELECT current_date = today()").rows() == [(True,)]
+    assert con.sql("SELECT current_timestamp > "
+                   "TIMESTAMP '2020-01-01 00:00:00'").rows() == [(True,)]
