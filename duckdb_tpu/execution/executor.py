@@ -414,8 +414,10 @@ class Executor:
             imat, fmat, valids = run_jitted(
                 proj, "tail", batch, in_exprs, body,
                 overlay=None if fa is not None else overlay)
-        except (KeyError, B.BindError):
-            return None
+        except (KeyError, B.BindError,
+                jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError):
+            return None  # host-only function somewhere: general path
         host_ints, host_floats, host_valids = jax.device_get(
             (imat, fmat, valids))
         n = int(host_ints[-1][0])
@@ -475,7 +477,11 @@ class Executor:
             keep = jnp.logical_and(keep, _full_valid(c, b.plen))  # NULL → reject
             return jnp.logical_and(env.live, keep)
 
-        live = run_jitted(node, "filter", b, [node.expr], body)
+        try:
+            live = run_jitted(node, "filter", b, [node.expr], body)
+        except (jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError):
+            live = body(b.env())  # host-only function in the predicate
         return Batch(src=b.src, plen=b.plen, live=live)
 
     def _exec_Project(self, node: P.Project) -> Batch:

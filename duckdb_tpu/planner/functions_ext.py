@@ -513,6 +513,60 @@ def _bind_now(arg_exprs):
     return TIMESTAMP, impl, []
 
 
+@register("strftime")
+def _bind_strftime(arg_exprs):
+    """Host-side formatting (string output from an unbounded numeric domain
+    cannot be a LUT). The executor falls back to eager evaluation when this
+    appears in a traced pipeline (reference: strftime.cpp)."""
+    import datetime
+
+    fmt = str(arg_exprs[1].const_value())
+
+    def impl(env, cols, node):
+        import numpy as _np
+
+        c = cols[0]
+        d = _np.asarray(jnp.broadcast_to(c.data, (env.plen,)))
+        epoch = datetime.datetime(1970, 1, 1)
+        if c.ltype.id is TypeId.TIMESTAMP:
+            strs = [(epoch + datetime.timedelta(microseconds=int(v)))
+                    .strftime(fmt) for v in d]
+        else:
+            strs = [(datetime.date(1970, 1, 1)
+                     + datetime.timedelta(days=int(v))).strftime(fmt)
+                    for v in d]
+        uniq, codes = _np.unique(_np.array(strs, dtype=str),
+                                 return_inverse=True)
+        return Column(data=jnp.asarray(codes.astype(_np.int32)),
+                      ltype=VARCHAR, validity=c.validity,
+                      dict_values=uniq.astype(object))
+
+    return VARCHAR, impl, arg_exprs[:1]
+
+
+@register("strptime")
+def _bind_strptime(arg_exprs):
+    """VARCHAR → TIMESTAMP. Trace-safe: parses once per distinct dictionary
+    value, result is a LUT gather."""
+    import datetime
+
+    fmt = str(arg_exprs[1].const_value())
+
+    def impl(env, cols, node):
+        import numpy as _np
+
+        c = cols[0]
+        epoch = datetime.datetime(1970, 1, 1)
+        lut = _np.array(
+            [int((datetime.datetime.strptime(str(s_), fmt) - epoch)
+                 .total_seconds() * 1e6) for s_ in c.dict_values]
+            or [0], dtype=_np.int64)
+        d = jnp.asarray(lut)[jnp.clip(c.data, 0, len(lut) - 1)]
+        return Column(data=d, ltype=TIMESTAMP, validity=c.validity)
+
+    return TIMESTAMP, impl, arg_exprs[:1]
+
+
 @register("epoch")
 def _bind_epoch(arg_exprs):
     def impl(env, cols, node):

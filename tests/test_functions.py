@@ -98,3 +98,29 @@ def test_function_differential(con, q):
     assert ref_raw.returncode == 0, ref_raw.stderr
     ref = _norm_ref(ref_raw.stdout.splitlines())
     assert got == ref, f"\ngot: {got}\nref: {ref}"
+
+
+def test_strftime_strptime():
+    """Host-side date formatting; strftime falls back to eager evaluation
+    in traced pipelines, strptime is a per-distinct LUT."""
+    import datetime
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE sd (dt DATE, s VARCHAR)")
+    con.sql("INSERT INTO sd VALUES ('2024-01-15','2024/01/15'),"
+            "('2023-06-02','2023/06/02')")
+    assert con.sql("SELECT strftime(DATE '2024-01-15', '%Y-%m-%d %a')"
+                   ).rows() == [("2024-01-15 Mon",)]
+    assert con.sql("SELECT strftime(dt, '%Y/%m') FROM sd ORDER BY dt"
+                   ).rows() == [("2023/06",), ("2024/01",)]
+    assert con.sql("SELECT strptime(s, '%Y/%m/%d') FROM sd ORDER BY s"
+                   ).rows() == [(datetime.datetime(2023, 6, 2),),
+                                (datetime.datetime(2024, 1, 15),)]
+    # inside a traced filter → eager fallback
+    assert con.sql("SELECT count(*) FROM sd WHERE strftime(dt, '%Y') = "
+                   "'2024'").rows() == [(1,)]
+    # as a group key → general aggregate path
+    assert con.sql("SELECT strftime(dt, '%Y') AS y, count(*) FROM sd "
+                   "GROUP BY y ORDER BY y").rows() == [("2023", 1),
+                                                       ("2024", 1)]
