@@ -350,6 +350,19 @@ class Connection:
                      ((datetime.date.fromisoformat(v) if isinstance(v, str)
                        else v) - epoch).days for v in vals],
                     dtype=t.np_dtype)
+            elif t.id is TypeId.TIME:
+                def _tmicros(v):
+                    if isinstance(v, str):
+                        from duckdb_tpu.planner.binder import \
+                            _parse_time_micros
+
+                        return _parse_time_micros(v)
+                    if isinstance(v, datetime.time):
+                        return ((v.hour * 3600 + v.minute * 60 + v.second)
+                                * 1_000_000 + v.microsecond)
+                    return int(v)
+                phys = np.array([0 if v is None else _tmicros(v)
+                                 for v in vals], dtype=t.np_dtype)
             else:
                 phys = np.array([0 if v is None else v for v in vals],
                                 dtype=t.np_dtype)

@@ -246,6 +246,12 @@ class Result:
                 elif t.id is TypeId.TIMESTAMP:
                     out.append(datetime.datetime(1970, 1, 1)
                                + datetime.timedelta(microseconds=int(v)))
+                elif t.id is TypeId.TIME:
+                    us = int(v)
+                    out.append(datetime.time(us // 3_600_000_000,
+                                             us // 60_000_000 % 60,
+                                             us // 1_000_000 % 60,
+                                             us % 1_000_000))
                 elif t.id is TypeId.BOOLEAN:
                     out.append(bool(v))
                 elif t.is_float:

@@ -20,6 +20,7 @@ from duckdb_tpu.planner import functions_ext as _Fext  # noqa: F401 (registry si
 from duckdb_tpu.planner import functions_nested as _Fnest  # noqa: F401 (registry side effects)
 from duckdb_tpu.storage import json_io as _Fjson  # noqa: F401 (registry side effects)
 from duckdb_tpu.types import (
+    TIME,
     BIGINT,
     BOOLEAN,
     DATE,
@@ -161,6 +162,7 @@ _TYPE_NAMES = {
     "varchar": VARCHAR, "text": VARCHAR, "string": VARCHAR, "char": VARCHAR,
     "bpchar": VARCHAR,
     "date": DATE, "timestamp": TIMESTAMP, "datetime": TIMESTAMP,
+    "time": TIME,
 }
 
 
@@ -223,6 +225,8 @@ def bind_literal(lit: N.Literal) -> B.BoundExpr:
         return B.BoundLiteral(_parse_date(v), DATE)
     if hint == "timestamp":
         return B.BoundLiteral(_parse_timestamp(v), TIMESTAMP)
+    if hint == "time":
+        return B.BoundLiteral(_parse_time_micros(v), TIME)
     if isinstance(v, bool):
         return B.BoundLiteral(v, BOOLEAN)
     if isinstance(v, int):
@@ -233,6 +237,17 @@ def bind_literal(lit: N.Literal) -> B.BoundExpr:
     if isinstance(v, str):
         return B.BoundLiteral(v, VARCHAR)
     raise BindError(f"unsupported literal {v!r}")
+
+
+def _parse_time_micros(v: str) -> int:
+    """'HH:MM:SS[.ffffff]' → microseconds since midnight."""
+    hh, mm, rest = v.split(":")
+    if "." in rest:
+        ss, frac = rest.split(".")
+        us = int((frac + "000000")[:6])
+    else:
+        ss, us = rest, 0
+    return ((int(hh) * 3600 + int(mm) * 60 + int(ss)) * 1_000_000 + us)
 
 
 def _arith_result_type(op: str, lt: LogicalType, rt: LogicalType) -> LogicalType:

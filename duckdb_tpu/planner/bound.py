@@ -557,6 +557,14 @@ def _coerce_to(c: Column, t: LogicalType, env: EvalEnv) -> Column:
             ltype=t,
             validity=c.validity,
         )
+    if t.id is TypeId.TIME and c.ltype.id is TypeId.VARCHAR:
+        from duckdb_tpu.planner.binder import _parse_time_micros
+
+        lut = np.array([_parse_time_micros(str(s_))
+                        for s_ in c.dict_values] or [0], dtype=np.int64)
+        return Column(data=jnp.asarray(lut)[jnp.clip(c.data, 0,
+                                                     len(lut) - 1)],
+                      ltype=t, validity=c.validity)
     if c.ltype.id is TypeId.SQLNULL:
         # NULL literal → all-null column of the target type (UNION branches
         # from GROUPING SETS desugaring produce these for rolled-up keys)

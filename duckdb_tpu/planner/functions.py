@@ -60,6 +60,23 @@ def dict_predicate(col: Column, fn) -> Column:
 def _extract_impl(part: str):
     def impl(env: EvalEnv, cols, node):
         c = cols[0]
+        if c.ltype.id is TypeId.TIME or part in ("hour", "minute", "second",
+                                                 "millisecond",
+                                                 "microsecond"):
+            us = (c.data.astype(jnp.int64)
+                  if c.ltype.id is TypeId.TIME
+                  else c.data.astype(jnp.int64) % jnp.int64(86400_000_000))
+            if part == "hour":
+                out = us // jnp.int64(3_600_000_000)
+            elif part == "minute":
+                out = us // jnp.int64(60_000_000) % 60
+            elif part == "second":
+                out = us // jnp.int64(1_000_000) % 60
+            elif part == "millisecond":
+                out = us // jnp.int64(1_000) % 60_000
+            else:
+                out = us % jnp.int64(60_000_000)
+            return Column(data=out, ltype=BIGINT, validity=c.validity)
         if c.ltype.id is TypeId.TIMESTAMP:
             days = c.data // jnp.int64(86400_000_000)
         else:
@@ -117,7 +134,8 @@ def _bind_extract(arg_exprs):
 
 
 for _p in ("year", "month", "day", "quarter", "decade", "century", "dayofweek",
-           "dayofyear", "doy", "dow"):
+           "dayofyear", "doy", "dow", "hour", "minute", "second",
+           "millisecond", "microsecond"):
     def _mk(p):
         def b(arg_exprs):
             return BIGINT, _extract_impl(p), arg_exprs

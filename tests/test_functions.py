@@ -124,3 +124,27 @@ def test_strftime_strptime():
     assert con.sql("SELECT strftime(dt, '%Y') AS y, count(*) FROM sd "
                    "GROUP BY y ORDER BY y").rows() == [("2023", 1),
                                                        ("2024", 1)]
+
+
+def test_time_type():
+    """TIME: micros-since-midnight int64 plane; literals, casts, storage,
+    ordering, hour/minute/second extraction (also on TIMESTAMP)."""
+    import datetime
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    assert con.sql("SELECT TIME '12:34:56.789'").rows() == [
+        (datetime.time(12, 34, 56, 789000),)]
+    assert con.sql("SELECT '12:00:01'::TIME").rows() == [
+        (datetime.time(12, 0, 1),)]
+    assert con.sql("SELECT extract(hour FROM TIME '12:34:56'), "
+                   "minute(TIME '12:34:56'), second(TIME '12:34:56')"
+                   ).rows() == [(12, 34, 56)]
+    assert con.sql("SELECT extract(hour FROM TIMESTAMP "
+                   "'2024-01-01 07:08:09')").rows() == [(7,)]
+    con.sql("CREATE TABLE tt (t TIME)")
+    con.sql("INSERT INTO tt VALUES ('01:02:03'), (TIME '23:59:59')")
+    assert con.sql("SELECT min(t), max(t) FROM tt").rows() == [
+        (datetime.time(1, 2, 3), datetime.time(23, 59, 59))]
+    assert con.sql("SELECT TIME '12:00:00' < TIME '13:00:00'"
+                   ).rows() == [(True,)]
