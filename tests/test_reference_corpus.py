@@ -31,6 +31,10 @@ CURATED = [
     "window/test_window_binding.test",
     "window/window_mtcars.test",
     "cte/cte_on_conflict_issue.test",
+    "function/string/like_unicode.test",
+    "function/string/regex_filter_pushdown.test",
+    "function/string/test_issue_1812.test",
+    "projection/test_table_star.test",
 ]
 
 
