@@ -146,6 +146,10 @@ class Connection:
             return self._merge(s)
         if isinstance(s, N.CopyStatement):
             return self._copy(s)
+        if isinstance(s, N.ExportStatement):
+            return self._export_database(s)
+        if isinstance(s, N.ImportStatement):
+            return self._import_database(s)
         if isinstance(s, N.SetStatement):
             if s.is_reset:
                 self.settings.reset(s.name)
@@ -848,6 +852,46 @@ class Connection:
                               dict_values=out_dict)
 
     # -- COPY ------------------------------------------------------------------
+    def _export_database(self, s: N.ExportStatement):
+        """EXPORT DATABASE 'dir': schema.sql + load.sql + one data file per
+        table (reference: src/execution/operator/persistent/physical_export
+        .cpp writes the same trio)."""
+        import os
+
+        os.makedirs(s.path, exist_ok=True)
+        schema = []
+        loads = []
+        for name, entry in self.catalog.tables.items():
+            cols = ", ".join(f"{c.name} {c.ltype!r}" for c in entry.columns)
+            schema.append(f"CREATE TABLE {name} ({cols});")
+            ext = "parquet" if s.fmt == "parquet" else "csv"
+            data_path = os.path.join(s.path, f"{name}.{ext}")
+            opts = "(FORMAT PARQUET)" if ext == "parquet" else "(HEADER)"
+            self.sql(f"COPY {name} TO '{data_path}' {opts}")
+            loads.append(f"COPY {name} FROM '{data_path}' {opts};")
+        for vname, vast in self.catalog.views.items():
+            vsql = getattr(vast, "_sql_text", None)
+            if vsql:
+                schema.append(vsql.rstrip(";") + ";")
+        with open(os.path.join(s.path, "schema.sql"), "w") as f:
+            f.write("\n".join(schema) + "\n")
+        with open(os.path.join(s.path, "load.sql"), "w") as f:
+            f.write("\n".join(loads) + "\n")
+        return None
+
+    def _import_database(self, s: N.ImportStatement):
+        import os
+
+        for fname in ("schema.sql", "load.sql"):
+            fp = os.path.join(s.path, fname)
+            if not os.path.exists(fp):
+                raise ConnectionException(
+                    f'IMPORT DATABASE: "{fp}" not found')
+            for stmt in open(fp).read().split(";"):
+                if stmt.strip():
+                    self.sql(stmt)
+        return None
+
     def _copy(self, s: N.CopyStatement):
         from duckdb_tpu.storage import csv as csvmod
 

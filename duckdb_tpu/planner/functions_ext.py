@@ -890,3 +890,75 @@ def _bind_nextafter(arg_exprs):
                       validity=_and_validity(cols[0].validity,
                                              cols[1].validity))
     return DOUBLE, impl, arg_exprs
+
+
+@register("bar")
+def _bind_bar(arg_exprs):
+    """Unicode bar chart (reference: core_functions/scalar/bar.cpp). The
+    fractional tail uses the 1/8-block glyphs."""
+    lo = float(arg_exprs[1].const_value())
+    hi = float(arg_exprs[2].const_value())
+    width = (float(arg_exprs[3].const_value()) if len(arg_exprs) > 3
+             else 80.0)
+
+    def impl(env, cols, node):
+        import numpy as _np
+
+        c = cols[0]
+        x = _np.asarray(jnp.broadcast_to(c.data, (env.plen,)),
+                        dtype=_np.float64)
+        if c.ltype.id is TypeId.DECIMAL:
+            x = x / (10.0 ** c.ltype.scale)
+        frac = _np.clip((x - lo) / max(hi - lo, 1e-300), 0.0, 1.0) * width
+        blocks = "▏▎▍▌▋▊▉█"
+        strs = []
+        for f in frac:
+            full = int(f)
+            rem = int((f - full) * 8)
+            strs.append("█" * full + (blocks[rem - 1] if rem else ""))
+        uniq, codes = _np.unique(_np.array(strs, dtype=str),
+                                 return_inverse=True)
+        return Column(data=jnp.asarray(codes.astype(_np.int32)),
+                      ltype=VARCHAR, validity=c.validity,
+                      dict_values=uniq.astype(object))
+
+    return VARCHAR, impl, arg_exprs[:1]
+
+
+def _format_like(pyfmt):
+    def binder(arg_exprs):
+        fmt = str(arg_exprs[0].const_value())
+
+        def impl(env, cols, node):
+            import numpy as _np
+
+            mats = []
+            for c in cols:
+                d = _np.asarray(jnp.broadcast_to(c.data, (env.plen,)))
+                if c.ltype.id is TypeId.VARCHAR:
+                    d = c.dict_values[_np.clip(d, 0,
+                                               len(c.dict_values) - 1)]
+                elif c.ltype.id is TypeId.DECIMAL:
+                    d = d / (10.0 ** c.ltype.scale)
+                mats.append(d)
+            strs = [pyfmt(fmt, [m[i] for m in mats])
+                    for i in range(env.plen)]
+            uniq, codes = _np.unique(_np.array(strs, dtype=str),
+                                     return_inverse=True)
+            validity = None
+            for c in cols:
+                if c.validity is not None:
+                    v = jnp.broadcast_to(c.validity, (env.plen,))
+                    validity = v if validity is None else \
+                        jnp.logical_and(validity, v)
+            return Column(data=jnp.asarray(codes.astype(_np.int32)),
+                          ltype=VARCHAR, validity=validity,
+                          dict_values=uniq.astype(object))
+
+        return VARCHAR, impl, arg_exprs[1:]
+
+    return binder
+
+
+REGISTRY["format"] = _format_like(lambda f, a: f.format(*a))
+REGISTRY["printf"] = _format_like(lambda f, a: f % tuple(a))

@@ -352,6 +352,17 @@ class MergeStatement:
 
 
 @dataclass
+class ExportStatement:
+    path: str
+    fmt: str = "csv"  # csv | parquet
+
+
+@dataclass
+class ImportStatement:
+    path: str
+
+
+@dataclass
 class CopyStatement:
     table: Optional[str]  # COPY table TO/FROM; or None for COPY (select) TO
     select: Optional[SelectStatement]

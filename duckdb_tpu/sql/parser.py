@@ -119,6 +119,18 @@ class Parser:
             return self.parse_update()
         if k == "copy":
             return self.parse_copy()
+        if k in ("export", "import"):
+            self.next()
+            self.expect_kw("database")
+            path = self.next().value
+            if k == "import":
+                return N.ImportStatement(path)
+            fmt = "csv"
+            if self.accept_op("("):
+                if self.accept_kw("format"):
+                    fmt = self.next().value.lower()
+                self.expect_op(")")
+            return N.ExportStatement(path, fmt)
         if k == "merge":
             return self.parse_merge()
         if k == "explain":

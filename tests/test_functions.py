@@ -148,3 +148,16 @@ def test_time_type():
         (datetime.time(1, 2, 3), datetime.time(23, 59, 59))]
     assert con.sql("SELECT TIME '12:00:00' < TIME '13:00:00'"
                    ).rows() == [(True,)]
+
+
+def test_bar_format_printf():
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    assert con.sql("SELECT bar(5, 0, 10, 10)").rows() == [("█████",)]
+    assert con.sql("SELECT format('{}-{}', 1, 'a'), printf('%d-%s', 1, 'a')"
+                   ).rows() == [("1-a", "1-a")]
+    con.sql("CREATE TABLE bf (v INT)")
+    con.sql("INSERT INTO bf VALUES (3),(7)")
+    assert con.sql("SELECT format('n={}', v) FROM bf ORDER BY v"
+                   ).rows() == [("n=3",), ("n=7",)]

@@ -96,3 +96,28 @@ def test_memory_limit_eviction():
     assert con.sql("SELECT sum(a) FROM big").rows() == [(199990000,)]
     con.sql("SET memory_limit = '0B'")  # unlimited again for other tests
     con.sql("DROP TABLE big")
+
+
+def test_export_import_database(tmp_path):
+    """EXPORT DATABASE writes schema.sql + load.sql + per-table data files;
+    IMPORT DATABASE reconstructs (reference: physical_export.cpp)."""
+    import datetime
+    import decimal
+    import os
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE t (a INT, b VARCHAR, d DECIMAL(6,2))")
+    con.sql("INSERT INTO t VALUES (1,'x',1.25),(2,'y',3.50)")
+    con.sql("CREATE TABLE u (k DATE)")
+    con.sql("INSERT INTO u VALUES ('2024-01-05')")
+    d = str(tmp_path / "exp")
+    con.sql(f"EXPORT DATABASE '{d}'")
+    assert sorted(os.listdir(d)) == ["load.sql", "schema.sql", "t.csv",
+                                     "u.csv"]
+    con2 = duckdb_tpu.connect()
+    con2.sql(f"IMPORT DATABASE '{d}'")
+    assert con2.sql("SELECT * FROM t ORDER BY a").rows() == [
+        (1, "x", decimal.Decimal("1.25")), (2, "y", decimal.Decimal("3.50"))]
+    assert con2.sql("SELECT * FROM u").rows() == [
+        (datetime.date(2024, 1, 5),)]
