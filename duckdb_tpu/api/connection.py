@@ -291,8 +291,124 @@ class Connection:
             plan, output = planner.plan_select(src)
             res = Executor(self.catalog).run(plan, output)
             rows = res.rows()
+        if getattr(s, "on_conflict", None) is not None:
+            rows = self._resolve_conflicts(entry, rows, s.columns,
+                                           s.on_conflict)
         self._append_rows(entry, rows, s.columns)
         return None
+
+    def _resolve_conflicts(self, entry, rows, columns, on_conflict):
+        """ON CONFLICT upsert (reference: physical_insert.cpp OnConflict
+        handling). Conflicting rows either drop (DO NOTHING), update the
+        existing row in place (DO UPDATE with excluded.col / constants), or
+        replace every non-key column (INSERT OR REPLACE). Returns the rows
+        that remain to append."""
+        action = on_conflict[0]
+        tcols = [c.lower() for c in (on_conflict[1] if len(on_conflict) > 1
+                                     else ())]
+        if not tcols:
+            for con_ in entry.constraints:
+                if con_[0] in ("primary_key", "unique"):
+                    tcols = [c.lower() for c in con_[1]]
+                    break
+        if not tcols:
+            raise ConnectionException(
+                "ON CONFLICT requires a PRIMARY KEY/UNIQUE constraint or an "
+                "explicit conflict target")
+        names = [c.lower() for c in (columns or
+                                     [c.name for c in entry.columns])]
+        kpos = [names.index(c) for c in tcols]
+        # existing key tuples → row index
+        existing = {}
+        keycols = [entry.host_column(c) for c in tcols]
+        cds = {c.name: c for c in entry.columns}
+        for i in range(entry.nrows):
+            key = tuple(
+                (str(dv[vals[i]]) if cds[c].ltype.id is TypeId.VARCHAR
+                 and dv is not None else vals[i].item())
+                for c, (vals, _, dv) in zip(tcols, keycols))
+            existing[key] = i
+        keep = []
+        seen_batch = set()
+        for row in rows:
+            key = tuple(str(row[p]) if cds[tcols[j]].ltype.id is
+                        TypeId.VARCHAR else row[p]
+                        for j, p in enumerate(kpos))
+            if key in seen_batch:
+                continue  # duckdb: later duplicates within one INSERT drop
+            seen_batch.add(key)
+            if key not in existing:
+                keep.append(row)
+                continue
+            if action == "nothing":
+                continue
+            tgt = existing[key]
+            if action == "replace":
+                assigns = [(n, ("excluded", n)) for n in names
+                           if n not in tcols]
+            else:
+                assigns = []
+                for nm, expr in on_conflict[2]:
+                    if (isinstance(expr, N.ColumnRef)
+                            and len(expr.parts) == 2
+                            and expr.parts[0].lower() == "excluded"):
+                        assigns.append((nm.lower(),
+                                        ("excluded",
+                                         expr.parts[1].lower())))
+                    else:
+                        b = ExprBinder(Scope()).bind(expr)
+                        assigns.append((nm.lower(), ("const",
+                                                     b.const_value(),
+                                                     b.ltype)))
+            for nm, spec in assigns:
+                cd = cds[next(c.name for c in entry.columns
+                              if c.name.lower() == nm)]
+                if spec[0] == "excluded":
+                    v = row[names.index(spec[1])]
+                else:
+                    v = spec[1]
+                    if v is not None and spec[2].id is TypeId.DECIMAL:
+                        import decimal as pydec
+
+                        v = pydec.Decimal(v).scaleb(-spec[2].scale)
+                self._set_cell(entry, cd, tgt, v)
+        return keep
+
+    def _set_cell(self, entry, cd, row_idx, v):
+        """Point-update one cell of a host column (upsert write path)."""
+        import datetime
+        import decimal as pydec
+
+        vals, valid, dvals = entry.host_column(cd.name)
+        vals = vals.copy()
+        valid = (valid.copy() if valid is not None
+                 else np.ones(entry.nrows, bool))
+        if v is None:
+            valid[row_idx] = False
+        elif cd.ltype.id is TypeId.VARCHAR:
+            sv = str(v)
+            strs = (dvals[vals].astype(object) if dvals is not None
+                    else np.array([""] * entry.nrows, dtype=object))
+            strs[row_idx] = sv
+            uniq, codes = np.unique(strs.astype(str), return_inverse=True)
+            entry.set_host_column(cd.name, codes.astype(np.int32),
+                                  validity=None if valid.all() else valid,
+                                  dict_values=uniq.astype(object))
+            return
+        elif cd.ltype.id is TypeId.DECIMAL:
+            vals[row_idx] = int(pydec.Decimal(str(v)).scaleb(cd.ltype.scale))
+            valid[row_idx] = True
+        elif cd.ltype.id is TypeId.DATE:
+            epoch = datetime.date(1970, 1, 1)
+            d = (datetime.date.fromisoformat(v) if isinstance(v, str) else v)
+            vals[row_idx] = (d - epoch).days
+            valid[row_idx] = True
+        else:
+            vals[row_idx] = v
+            valid[row_idx] = True
+        entry.set_host_column(cd.name, vals,
+                              validity=None if valid.all() else valid,
+                              dict_values=dvals)
 
     def _eval_values(self, vn: N.ValuesNode, entry, columns):
         binder = ExprBinder(Scope())

@@ -133,6 +133,19 @@ def _compute_window(w: P.BoundWindow, env, plen, perm, seg_start, peer_start,
         ps = jnp.cumsum(peer_start.astype(jnp.int64))
         seg_ps, _ = _propagate_from_start(ps, seg_start)
         return ps - seg_ps + 1, None
+    if f in ("percent_rank", "cume_dist"):
+        _, seg_s, seg_e = _seg_bounds(seg_start, plen)
+        size = (seg_e - seg_s + 1).astype(jnp.float64)
+        if f == "percent_rank":
+            _, peer_idx = _propagate_from_start(idx, peer_start)
+            rk = (peer_idx - seg_s).astype(jnp.float64)
+            return jnp.where(size > 1, rk / jnp.maximum(size - 1, 1.0),
+                             0.0), None
+        # cume_dist: rows up to and including the current peer group
+        nxtp = jnp.roll(peer_start, -1).at[-1].set(True)
+        revp = jnp.where(nxtp, idx, jnp.int64(_I64_MAX))[::-1]
+        peer_e = jax.lax.associative_scan(jnp.minimum, revp)[::-1]
+        return (peer_e - seg_s + 1).astype(jnp.float64) / size, None
     if f == "ntile":
         n = int(w.args[0].const_value())
         # partition size: propagate from start of NEXT segment... compute via
@@ -186,6 +199,23 @@ def _compute_window(w: P.BoundWindow, env, plen, perm, seg_start, peer_start,
                                        plen)
         nonempty = hi_pos >= lo_pos
 
+    if f == "nth_value":
+        n = int(w.args[1].const_value())
+        _, seg_s, seg_e = _seg_bounds(seg_start, plen)
+        if framed:
+            p_ = lo_pos + n - 1
+            limit = hi_pos
+        else:
+            p_ = seg_s + n - 1
+            if has_order:
+                nxtp = jnp.roll(peer_start, -1).at[-1].set(True)
+                revp = jnp.where(nxtp, idx, jnp.int64(_I64_MAX))[::-1]
+                limit = jax.lax.associative_scan(jnp.minimum, revp)[::-1]
+            else:
+                limit = seg_e
+        ok = jnp.logical_and(n >= 1, p_ <= limit)
+        pc = jnp.clip(p_, 0, plen - 1)
+        return vals[pc], jnp.logical_and(ok, valid[pc])
     if f == "first_value":
         if framed:
             fv = vals[jnp.clip(lo_pos, 0, plen - 1)]

@@ -1099,8 +1099,11 @@ class Planner:
             t = _agg_result_type("sum", args)
         elif name in ("avg", "mean"):
             t = DOUBLE
-        elif name in ("min", "max", "lag", "lead", "first_value", "last_value"):
+        elif name in ("min", "max", "lag", "lead", "first_value",
+                      "last_value", "nth_value"):
             t = args[0].ltype if args else SQLNULL
+        elif name in ("percent_rank", "cume_dist"):
+            t = DOUBLE
         else:
             raise BindError(f"window function {name} not supported")
         key = self.fresh(f"win.{name}")

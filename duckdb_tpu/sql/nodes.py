@@ -314,6 +314,9 @@ class InsertStatement:
     table: str
     columns: Tuple[str, ...] = ()
     source: Optional[SelectStatement] = None  # includes VALUES via ValuesNode
+    # None | ("nothing", cols) | ("update", cols, [(name, Expr)]) |
+    # ("replace", ())
+    on_conflict: Optional[tuple] = None
 
 
 @dataclass

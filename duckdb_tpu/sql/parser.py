@@ -1200,6 +1200,11 @@ class Parser:
 
     def parse_insert(self):
         self.expect_kw("insert")
+        conflict_short = None
+        if self.accept_kw("or", "replace"):
+            conflict_short = ("replace", ())
+        elif self.accept_kw("or", "ignore"):
+            conflict_short = ("nothing", ())
         self.expect_kw("into")
         table = self.expect_ident()
         if self.accept_op("."):
@@ -1213,7 +1218,27 @@ class Parser:
             self.expect_op(")")
             cols = tuple(names)
         source = self.parse_select_statement()
-        return N.InsertStatement(table, cols, source)
+        on_conflict = conflict_short
+        if self.accept_kw("on", "conflict"):
+            tcols = ()
+            if self.peek().value == "(":
+                tcols = tuple(self._parse_ident_list())
+            self.expect_kw("do")
+            if self.accept_kw("nothing"):
+                on_conflict = ("nothing", tcols)
+            else:
+                self.expect_kw("update")
+                self.expect_kw("set")
+                assigns = [(self.expect_ident(), None)]
+                self.expect_op("=")
+                assigns[0] = (assigns[0][0], self.parse_expr())
+                while self.accept_op(","):
+                    nm = self.expect_ident()
+                    self.expect_op("=")
+                    assigns.append((nm, self.parse_expr()))
+                on_conflict = ("update", tcols, assigns)
+        return N.InsertStatement(table, cols, source,
+                                 on_conflict=on_conflict)
 
     def parse_delete(self):
         self.expect_kw("delete")

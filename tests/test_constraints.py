@@ -90,3 +90,26 @@ def test_update_constraints(con):
     assert con.sql("SELECT age FROM p WHERE id = 2").rows() == [(20,)]
     con.sql("UPDATE p SET id = 3 WHERE id = 2")  # legal key move
     assert con.sql("SELECT id FROM p ORDER BY id").rows() == [(1,), (3,)]
+
+
+def test_on_conflict_upsert():
+    """INSERT ... ON CONFLICT (reference: physical_insert.cpp upsert)."""
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE t (id INT PRIMARY KEY, v INT, s VARCHAR)")
+    con.sql("INSERT INTO t VALUES (1, 10, 'a')")
+    con.sql("INSERT INTO t VALUES (1, 99, 'z') ON CONFLICT DO NOTHING")
+    assert con.sql("SELECT * FROM t").rows() == [(1, 10, "a")]
+    con.sql("INSERT INTO t VALUES (1, 99, 'z'), (2, 5, 'b') "
+            "ON CONFLICT DO UPDATE SET v = excluded.v")
+    assert con.sql("SELECT * FROM t ORDER BY id").rows() == [
+        (1, 99, "a"), (2, 5, "b")]
+    con.sql("INSERT OR REPLACE INTO t VALUES (2, 77, 'B')")
+    assert con.sql("SELECT * FROM t ORDER BY id").rows() == [
+        (1, 99, "a"), (2, 77, "B")]
+    con.sql("INSERT OR IGNORE INTO t VALUES (2, 0, 'x'), (3, 1, 'c')")
+    assert con.sql("SELECT count(*) FROM t").rows() == [(3,)]
+    con.sql("INSERT INTO t VALUES (3, 0, 'k') "
+            "ON CONFLICT (id) DO UPDATE SET s = 'fixed'")
+    assert con.sql("SELECT s FROM t WHERE id = 3").rows() == [("fixed",)]

@@ -148,3 +148,20 @@ class TestExplicitFrames:
                       "FROM wt ORDER BY g,k,v")
         assert [r[2] for r in rows] == [None, 10, 30, 45, 75, 140,
                                         None, 5, 35, 30, 80]
+
+
+def test_percent_rank_cume_dist_nth_value(con):
+    """Reference-verified distribution functions and nth_value (default
+    peer-bounded frame and explicit ROWS frames)."""
+    rows = con.sql("SELECT v, percent_rank() OVER (ORDER BY v), "
+                   "cume_dist() OVER (ORDER BY v) FROM "
+                   "(SELECT unnest([10,20,20,30]) AS v) ORDER BY v").rows()
+    assert rows == [(10, 0.0, 0.25), (20, 1 / 3, 0.75), (20, 1 / 3, 0.75),
+                    (30, 1.0, 1.0)]
+    rows = con.sql("SELECT v, nth_value(v, 2) OVER (ORDER BY v) FROM "
+                   "(SELECT unnest([10,20,30]) AS v) ORDER BY v").rows()
+    assert rows == [(10, None), (20, 20), (30, 20)]
+    rows = con.sql("SELECT v, nth_value(v, 2) OVER (ORDER BY v ROWS "
+                   "BETWEEN 1 PRECEDING AND 1 FOLLOWING) FROM "
+                   "(SELECT unnest([10,20,30]) AS v) ORDER BY v").rows()
+    assert rows == [(10, 20), (20, 20), (30, 30)]
