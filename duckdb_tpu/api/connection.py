@@ -146,6 +146,10 @@ class Connection:
             return self._merge(s)
         if isinstance(s, N.CopyStatement):
             return self._copy(s)
+        if isinstance(s, N.PivotStatement):
+            return self._pivot(s)
+        if isinstance(s, N.UnpivotStatement):
+            return self._unpivot(s)
         if isinstance(s, N.ExportStatement):
             return self._export_database(s)
         if isinstance(s, N.ImportStatement):
@@ -968,6 +972,50 @@ class Connection:
                               dict_values=out_dict)
 
     # -- COPY ------------------------------------------------------------------
+    def _pivot(self, s: N.PivotStatement):
+        """PIVOT desugars over the data: one FILTERed aggregate per distinct
+        ON value (reference binds the same shape after its own value scan)."""
+        entry = self.catalog.get_table(s.table)
+        if s.in_values is not None:
+            vals = [ExprBinder(Scope()).bind(v).const_value()
+                    for v in s.in_values]
+        else:
+            vals = [r[0] for r in self.sql(
+                f"SELECT DISTINCT {s.on_sql} FROM {s.table} ORDER BY 1"
+            ).rows() if r[0] is not None]
+
+        def lit(v):
+            return f"'{v}'" if isinstance(v, str) else str(v)
+
+        if s.group_by:
+            groups = list(s.group_by)
+        else:
+            used = s.using_sql.lower() + " " + s.on_sql.lower()
+            import re as _re
+
+            toks = set(_re.findall(r"[a-z_][a-z0-9_]*", used))
+            groups = [c.name for c in entry.columns
+                      if c.name.lower() not in toks]
+        agg_list = ", ".join(
+            f'{s.using_sql} FILTER ({s.on_sql} = {lit(v)}) AS "{v}"'
+            for v in vals)
+        gsel = ", ".join(groups)
+        q = (f"SELECT {gsel}, {agg_list} FROM {s.table} "
+             f"GROUP BY {gsel} ORDER BY {gsel}" if groups else
+             f"SELECT {agg_list} FROM {s.table}")
+        return self.sql(q)
+
+    def _unpivot(self, s: N.UnpivotStatement):
+        entry = self.catalog.get_table(s.table)
+        others = [c.name for c in entry.columns
+                  if c.name.lower() not in {c2.lower() for c2 in s.on_cols}]
+        osel = (", ".join(others) + ", ") if others else ""
+        parts = [
+            f"SELECT {osel}'{c}' AS {s.name_col}, {c} AS {s.value_col} "
+            f"FROM {s.table} WHERE {c} IS NOT NULL"
+            for c in s.on_cols]
+        return self.sql(" UNION ALL ".join(parts))
+
     def _export_database(self, s: N.ExportStatement):
         """EXPORT DATABASE 'dir': schema.sql + load.sql + one data file per
         table (reference: src/execution/operator/persistent/physical_export

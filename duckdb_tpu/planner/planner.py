@@ -1061,6 +1061,22 @@ class Planner:
     def _bind_aggregate_call(self, fc: N.FunctionCall, binder,
                              aggs: List[B.BoundAggregate]):
         name = fc.name.lower()
+        if fc.filter is not None:
+            # FILTER (WHERE p): agg(x) FILTER p ≡ agg(CASE WHEN p THEN x END)
+            # (NULL inputs are ignored by every aggregate except count(*),
+            # which rewrites to count(CASE WHEN p THEN 1 END))
+            case = lambda a: N.CaseExpr(  # noqa: E731
+                None, [(fc.filter, a)], None)
+            if fc.is_star or not fc.args:
+                fc = N.FunctionCall("count", [case(N.Literal(1))],
+                                    distinct=fc.distinct,
+                                    order_by=fc.order_by)
+            else:
+                fc = N.FunctionCall(fc.name, [case(fc.args[0])]
+                                    + list(fc.args[1:]),
+                                    distinct=fc.distinct,
+                                    order_by=fc.order_by)
+            name = fc.name.lower()
         if name == "count" and fc.is_star:
             func = "count_star"
             args = []

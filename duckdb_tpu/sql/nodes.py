@@ -355,6 +355,23 @@ class MergeStatement:
 
 
 @dataclass
+class PivotStatement:
+    table: str
+    on_sql: str  # SQL text of the ON expression
+    in_values: Optional[list]  # literal values, or None → query DISTINCT
+    using_sql: str  # SQL text of the USING aggregate expression
+    group_by: Tuple[str, ...] = ()
+
+
+@dataclass
+class UnpivotStatement:
+    table: str
+    on_cols: Tuple[str, ...] = ()
+    name_col: str = "name"
+    value_col: str = "value"
+
+
+@dataclass
 class ExportStatement:
     path: str
     fmt: str = "csv"  # csv | parquet

@@ -119,6 +119,10 @@ class Parser:
             return self.parse_update()
         if k == "copy":
             return self.parse_copy()
+        if k == "pivot":
+            return self.parse_pivot()
+        if k == "unpivot":
+            return self.parse_unpivot()
         if k in ("export", "import"):
             self.next()
             self.expect_kw("database")
@@ -1044,7 +1048,7 @@ class Parser:
         fc = N.FunctionCall(name, args, distinct=distinct, is_star=is_star, order_by=order_by)
         if self.accept_kw("filter"):
             self.expect_op("(")
-            self.expect_kw("where")
+            self.accept_kw("where")  # FILTER (expr) and FILTER (WHERE expr)
             fc.filter = self.parse_expr()
             self.expect_op(")")
         if self.kw() == "over":
@@ -1150,6 +1154,56 @@ class Parser:
             self.expect_kw("as")
             return N.CreateView(name, self.parse_select_statement(), or_replace=or_replace)
         raise ParserError("unsupported CREATE")
+
+    def _expr_text(self, parse=None) -> str:
+        """Parse an expression, returning its original SQL text slice."""
+        p0 = self.peek().pos
+        (parse or self.parse_expr)()
+        return self.sql[p0:self.peek().pos].strip().rstrip(",")
+
+    def parse_pivot(self):
+        """PIVOT tbl ON expr [IN (v,...)] USING agg [GROUP BY cols]
+        (reference grammar: src/parser/transform/statement/transform_pivot_
+        stmt.cpp; desugared over the data by the connection)."""
+        self.expect_kw("pivot")
+        table = self.expect_ident()
+        self.expect_kw("on")
+        # additive level only: a trailing IN (...) is the pivot value list
+        on_sql = self._expr_text(self.parse_additive_chain)
+        in_values = None
+        if self.accept_kw("in"):
+            self.expect_op("(")
+            in_values = [self.parse_expr()]
+            while self.accept_op(","):
+                in_values.append(self.parse_expr())
+            self.expect_op(")")
+        self.expect_kw("using")
+        using_sql = self._expr_text()
+        if self.accept_kw("as"):
+            self.expect_ident()  # alias folded into generated names
+        group_by = ()
+        if self.accept_kw("group", "by"):
+            cols = [self.expect_ident()]
+            while self.accept_op(","):
+                cols.append(self.expect_ident())
+            group_by = tuple(cols)
+        return N.PivotStatement(table, on_sql, in_values, using_sql,
+                                group_by)
+
+    def parse_unpivot(self):
+        self.expect_kw("unpivot")
+        table = self.expect_ident()
+        self.expect_kw("on")
+        cols = [self.expect_ident()]
+        while self.accept_op(","):
+            cols.append(self.expect_ident())
+        name_col, value_col = "name", "value"
+        if self.accept_kw("into"):
+            self.expect_kw("name")
+            name_col = self.expect_ident()
+            self.expect_kw("value")
+            value_col = self.expect_ident()
+        return N.UnpivotStatement(table, tuple(cols), name_col, value_col)
 
     def parse_table_constraint(self):
         if self.accept_kw("constraint"):
