@@ -512,6 +512,39 @@ def _compute_agg(agg: BoundAggregate, inp, gids, nseg, live, plen, key_data,
         d = scanned[jnp.clip(end_pos, 0, plen - 1)].astype(c.data.dtype)
         return Column(data=d, ltype=agg.ltype, validity=nonempty)
 
+    if f == "histogram":
+        # value → count per group, keys sorted (reference:
+        # core_functions/aggregate/nested/histogram.cpp); NULLs excluded
+        from duckdb_tpu.planner.functions_nested import encode_objects
+
+        iota32 = jnp.arange(plen, dtype=jnp.int32)
+        out = jax.lax.sort([jnp.logical_not(mask), gids.astype(jnp.int32),
+                            iota32], num_keys=2, is_stable=True)
+        dead_s, gid_s, perm = out[0], out[1], out[2]
+        vals_s = jnp.broadcast_to(c.data, (plen,))[perm]
+        h_dead = np.asarray(dead_s)
+        h_gid = np.asarray(gid_s)
+        h_vals = np.asarray(vals_s)
+        counts = {}
+        for i in range(plen):
+            if h_dead[i]:
+                break
+            g = int(h_gid[i])
+            v = h_vals[i]
+            if c.ltype.id is TypeId.VARCHAR:
+                v = str(c.dict_values[v])
+            elif c.ltype.is_float:
+                v = float(v)
+            else:
+                v = int(v)
+            counts.setdefault(g, {})
+            counts[g][v] = counts[g].get(v, 0) + 1
+        entries = [tuple(sorted(counts.get(g, {}).items()))
+                   for g in range(n_groups)]
+        codes, dvals = encode_objects(entries)
+        return Column(data=jnp.asarray(codes), ltype=agg.ltype,
+                      validity=nonempty, dict_values=dvals)
+
     if f in ("list", "array_agg"):
         # host-side finalize like string_agg: the per-group tuples become new
         # dictionary entries of a LIST column (reference:

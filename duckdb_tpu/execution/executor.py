@@ -233,6 +233,8 @@ class Result:
                     out.append(str(dvals[v]))
                 elif t.id is TypeId.LIST:
                     out.append(list(dvals[v]))
+                elif t.id is TypeId.MAP:
+                    out.append(dict(dvals[v]))
                 elif t.id is TypeId.STRUCT:
                     names = [n for n, _ in (t.fields or ())]
                     out.append(dict(zip(names, dvals[v])))
@@ -301,7 +303,8 @@ class Executor:
         from duckdb_tpu.execution.tracing import TraceEnv, run_jitted
         from duckdb_tpu.ops import sort as S
 
-        if any(t.id in (TypeId.LIST, TypeId.STRUCT) for _, _, t in output):
+        if any(t.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP)
+               for _, _, t in output):
             return None  # nested outputs carry object dicts: general path
         node = plan
         limit_node = order_node = None

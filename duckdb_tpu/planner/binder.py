@@ -44,7 +44,7 @@ AGGREGATE_NAMES = {
     "string_agg", "bool_and", "bool_or", "product", "bit_and", "bit_or", "bit_xor",
     "count_star", "arg_min", "arg_max", "median", "mode", "approx_count_distinct",
     "quantile", "quantile_cont", "quantile_disc", "approx_quantile",
-    "group_concat", "listagg", "list", "array_agg",
+    "group_concat", "listagg", "list", "array_agg", "histogram",
 }
 
 

@@ -26,7 +26,7 @@ from duckdb_tpu.blocks import Column
 from duckdb_tpu.planner.functions import REGISTRY, register
 from duckdb_tpu.types import (
     BIGINT, BOOLEAN, DOUBLE, SQLNULL, VARCHAR, LogicalType, TypeId, list_of,
-    struct_of,
+    map_of, struct_of,
 )
 
 
@@ -169,6 +169,8 @@ def _lut_gather(col: Column, vals, ct: LogicalType) -> Column:
 @register("array_extract")
 def _bind_list_extract(arg_exprs):
     base = arg_exprs[0]
+    if base.ltype.id is TypeId.MAP:
+        return map_element(arg_exprs)
     if base.ltype.id is TypeId.STRUCT:
         return _bind_struct_extract(arg_exprs)
     if base.ltype.id is not TypeId.LIST:
@@ -195,6 +197,8 @@ def _bind_list_extract(arg_exprs):
 @register("struct_extract")
 def _bind_struct_extract(arg_exprs):
     base = arg_exprs[0]
+    if base.ltype.id is TypeId.MAP:
+        return map_element(arg_exprs)
     if base.ltype.id is not TypeId.STRUCT:
         raise BindError(
             f"struct_extract expects a STRUCT argument, got {base.ltype!r}")
@@ -506,3 +510,86 @@ def _bind_list_position(arg_exprs):
         return _lut_gather(c, vals, BIGINT)
 
     return BIGINT, impl, arg_exprs[:1]
+
+
+@register("map_pack_kv")
+def _bind_map_pack_kv(arg_exprs):
+    """MAP {'k': v, ...} literal: entries are (key, value) pair tuples."""
+    kt = vt = SQLNULL
+    pairs = []
+    for i in range(0, len(arg_exprs), 2):
+        k, kt_ = _const_py(arg_exprs[i])
+        v, vt_ = _const_py(arg_exprs[i + 1])
+        if kt.id is TypeId.SQLNULL:
+            kt = kt_
+        if vt.id is TypeId.SQLNULL:
+            vt = vt_
+        pairs.append((k, v))
+    lt = map_of(kt, vt)
+    return lt, _const_column(tuple(pairs), lt), []
+
+
+@register("map")
+def _bind_map(arg_exprs):
+    if not arg_exprs:
+        lt = map_of(SQLNULL, SQLNULL)
+        return lt, _const_column((), lt), []
+    ks, kt_l = _const_py(arg_exprs[0])
+    vs, vt_l = _const_py(arg_exprs[1])
+    lt = map_of(kt_l.child or SQLNULL, vt_l.child or SQLNULL)
+    return lt, _const_column(tuple(zip(ks, vs)), lt), []
+
+
+@register("map_keys")
+def _bind_map_keys(arg_exprs):
+    base = arg_exprs[0]
+    kt = (base.ltype.fields or (("key", SQLNULL),))[0][1]
+    out_t = list_of(kt)
+    return out_t, _per_distinct(lambda t: tuple(k for k, _ in t), out_t), \
+        arg_exprs[:1]
+
+
+@register("map_values")
+def _bind_map_values(arg_exprs):
+    base = arg_exprs[0]
+    out_t = list_of(base.ltype.child or SQLNULL)
+    return out_t, _per_distinct(lambda t: tuple(v for _, v in t), out_t), \
+        arg_exprs[:1]
+
+
+@register("cardinality")
+def _bind_cardinality(arg_exprs):
+    return _bind_list_length(arg_exprs[:1])
+
+
+@register("map_contains")
+def _bind_map_contains(arg_exprs):
+    k, _ = _const_py(arg_exprs[1])
+
+    def impl(env, cols, node):
+        c = cols[0]
+        lut = np.fromiter((any(kk == k for kk, _ in t)
+                           for t in c.dict_values), dtype=np.bool_,
+                          count=len(c.dict_values))
+        d = jnp.asarray(lut)[jnp.clip(c.data, 0, max(len(lut) - 1, 0))]
+        return Column(data=d, ltype=BOOLEAN, validity=c.validity)
+
+    return BOOLEAN, impl, arg_exprs[:1]
+
+
+def map_element(arg_exprs):
+    """m[k] / element_at(m, k): the value for key k, NULL when absent."""
+    base = arg_exprs[0]
+    k, _ = _const_py(arg_exprs[1])
+    vt = base.ltype.child or SQLNULL
+
+    def impl(env, cols, node):
+        c = cols[0]
+        vals = [next((v for kk, v in t if kk == k), None)
+                for t in c.dict_values]
+        return _lut_gather(c, vals, vt)
+
+    return vt, impl, arg_exprs[:1]
+
+
+REGISTRY["element_at"] = map_element

@@ -1404,6 +1404,10 @@ def _agg_result_type(func: str, args) -> LogicalType:
         from duckdb_tpu.types import list_of as _list_of
 
         return _list_of(t)
+    if func == "histogram":
+        from duckdb_tpu.types import map_of as _map_of
+
+        return _map_of(t, BIGINT)
     if func in ("bit_and", "bit_or", "bit_xor"):
         return t
     if func in ("stddev", "stddev_samp", "stddev_pop", "var_samp", "var_pop",

@@ -878,14 +878,23 @@ class Parser:
                     args.append(self.parse_expr())
             self.expect_op("]")
             return N.FunctionCall("list_value", args)
+        if (t.type == TokType.IDENT and t.value.lower() == "map"
+                and self.peek(1).value == "{"):
+            self.next()
+            e = self.parse_primary()  # the {..} literal
+            e.name = "map_pack_kv"
+            return e
         if t.type == TokType.OP and t.value == "{":
             # struct literal {'name': expr, ...}
             self.next()
             args = []
             while True:
-                key = self.next().value
+                ktok = self.next()
+                kv = (int(ktok.value)
+                      if ktok.type == TokType.NUMBER and "." not in ktok.value
+                      else str(ktok.value))
                 self.expect_op(":")
-                args.append(N.Literal(str(key)))
+                args.append(N.Literal(kv))
                 args.append(self.parse_expr())
                 if not self.accept_op(","):
                     break

@@ -38,6 +38,7 @@ class TypeId(enum.Enum):
     BLOB = "blob"
     LIST = "list"
     STRUCT = "struct"
+    MAP = "map"
 
 
 _INT_ORDER = [
@@ -72,6 +73,7 @@ _PHYSICAL = {
     # an int32 code; the distinct tuples/records live host-side
     TypeId.LIST: np.int32,
     TypeId.STRUCT: np.int32,
+    TypeId.MAP: np.int32,
 }
 
 
@@ -239,3 +241,10 @@ def list_of(child: LogicalType) -> LogicalType:
 def struct_of(*fields) -> LogicalType:
     """struct_of(("a", BIGINT), ("b", VARCHAR)) → STRUCT type."""
     return LogicalType(TypeId.STRUCT, fields=tuple(fields))
+
+
+def map_of(key: LogicalType, value: LogicalType) -> LogicalType:
+    """MAP type: entries are tuples of (key, value) pairs; `child` holds the
+    value type, `fields` the (key type, value type) pair."""
+    return LogicalType(TypeId.MAP, child=value,
+                       fields=(("key", key), ("value", value)))

@@ -221,3 +221,32 @@ def test_keyword_pseudo_columns(con):
     assert con.sql("SELECT current_date = today()").rows() == [(True,)]
     assert con.sql("SELECT current_timestamp > "
                    "TIMESTAMP '2020-01-01 00:00:00'").rows() == [(True,)]
+
+
+def test_map_type(con):
+    """MAP literals, element access (NULL on absent key), keys/values,
+    cardinality, map() constructor (reference: map functions family)."""
+    assert con.sql("SELECT MAP {'a': 1, 'b': 2}"
+                   ).rows() == [({"a": 1, "b": 2},)]
+    assert con.sql("SELECT MAP {'a': 1}['a'], MAP {'a': 1}['z']"
+                   ).rows() == [(1, None)]
+    assert con.sql("SELECT map_keys(MAP {'a': 1, 'b': 2}), "
+                   "map_values(MAP {'a': 1, 'b': 2})"
+                   ).rows() == [(["a", "b"], [1, 2])]
+    assert con.sql("SELECT cardinality(MAP {'a':1,'b':2}), "
+                   "map_contains(MAP {'a':1}, 'a'), "
+                   "map_contains(MAP {'a':1}, 'z')"
+                   ).rows() == [(2, True, False)]
+    assert con.sql("SELECT map(['k1','k2'],[10,20])"
+                   ).rows() == [({"k1": 10, "k2": 20},)]
+    assert con.sql("SELECT MAP {1: 'x', 2: 'y'}[2]").rows() == [("y",)]
+
+
+def test_histogram_aggregate(con):
+    assert con.sql("SELECT histogram(x) FROM "
+                   "(SELECT unnest([1,2,2,3,3,3]) AS x)"
+                   ).rows() == [({1: 1, 2: 2, 3: 3},)]
+    con.sql("CREATE TABLE hh (g INT, v VARCHAR)")
+    con.sql("INSERT INTO hh VALUES (1,'a'),(1,'a'),(1,'b'),(2,'c')")
+    assert con.sql("SELECT g, histogram(v) FROM hh GROUP BY g ORDER BY g"
+                   ).rows() == [(1, {"a": 2, "b": 1}), (2, {"c": 1})]
