@@ -146,6 +146,20 @@ class Connection:
             return self._merge(s)
         if isinstance(s, N.CopyStatement):
             return self._copy(s)
+        if isinstance(s, N.AlterStatement):
+            return self._alter(s)
+        if isinstance(s, N.CreateSequence):
+            key = s.name.lower()
+            seqs = getattr(self.catalog, "sequences", None)
+            if seqs is None:
+                seqs = self.catalog.sequences = {}
+            if key in seqs and s.if_not_exists:
+                return None
+            seqs[key] = {"value": s.start, "increment": s.increment}
+            from duckdb_tpu.planner import functions_ext as _fx
+
+            _fx.ACTIVE_SEQUENCES = seqs
+            return None
         if isinstance(s, N.PivotStatement):
             return self._pivot(s)
         if isinstance(s, N.UnpivotStatement):
@@ -972,6 +986,55 @@ class Connection:
                               dict_values=out_dict)
 
     # -- COPY ------------------------------------------------------------------
+    def _alter(self, s: N.AlterStatement):
+        """ALTER TABLE ADD/DROP/RENAME COLUMN, RENAME TO (reference:
+        src/catalog/catalog_entry/duck_table_entry.cpp alter paths)."""
+        key = s.table.lower()
+        if key not in self.catalog.tables:
+            if s.if_exists:
+                return None
+            raise ConnectionException(f'table "{s.table}" does not exist')
+        entry = self.catalog.tables[key]
+        if s.action == "add_column":
+            lt = resolve_type_name(s.col_type, s.col_mods)
+            entry.columns.append(ColumnDef(s.name, lt))
+            entry.col_types[s.name] = lt
+            if lt.id in (TypeId.VARCHAR, TypeId.LIST, TypeId.STRUCT,
+                         TypeId.MAP):
+                entry.set_host_column(
+                    s.name, np.zeros(entry.nrows, np.int32),
+                    validity=np.zeros(entry.nrows, bool),
+                    dict_values=np.array([""], dtype=object))
+            else:
+                entry.set_host_column(
+                    s.name, np.zeros(entry.nrows, lt.np_dtype),
+                    validity=np.zeros(entry.nrows, bool))
+        elif s.action == "drop_column":
+            entry.columns = [c for c in entry.columns
+                             if c.name.lower() != s.name.lower()]
+            entry.col_types.pop(s.name, None)
+            entry._host.pop(s.name, None)
+            entry._device.pop(s.name, None)
+        elif s.action == "rename_column":
+            for c in entry.columns:
+                if c.name.lower() == s.name.lower():
+                    vals = entry.host_column(c.name)
+                    entry._host[s.new_name] = vals
+                    entry._host.pop(c.name, None)
+                    entry._device.pop(c.name, None)
+                    entry.col_types[s.new_name] = c.ltype
+                    entry.col_types.pop(c.name, None)
+                    c.name = s.new_name
+                    break
+            else:
+                raise ConnectionException(
+                    f'column "{s.name}" does not exist')
+        elif s.action == "rename_table":
+            entry.name = s.new_name
+            self.catalog.tables[s.new_name.lower()] = entry
+            del self.catalog.tables[key]
+        return None
+
     def _pivot(self, s: N.PivotStatement):
         """PIVOT desugars over the data: one FILTERed aggregate per distinct
         ON value (reference binds the same shape after its own value scan)."""

@@ -962,3 +962,44 @@ def _format_like(pyfmt):
 
 REGISTRY["format"] = _format_like(lambda f, a: f.format(*a))
 REGISTRY["printf"] = _format_like(lambda f, a: f % tuple(a))
+
+
+# set by Connection at construction; sequences are engine-global like the
+# reference's catalog sequence entries
+ACTIVE_SEQUENCES = {}
+
+
+@register("nextval")
+def _bind_nextval(arg_exprs):
+    name = str(arg_exprs[0].const_value()).lower()
+
+    def impl(env, cols, node):
+        import numpy as _np
+
+        seq = ACTIVE_SEQUENCES.get(name)
+        if seq is None:
+            raise ValueError(f'sequence "{name}" does not exist')
+        inc = seq["increment"]
+        start = seq["value"]
+        live = _np.asarray(env.live)  # host-only: eager fallback in traces
+        offs = _np.cumsum(live) - live  # live-row prefix counts
+        vals = start + inc * offs.astype(_np.int64)
+        seq["value"] = int(start + inc * int(live.sum()))
+        return Column(data=jnp.asarray(vals), ltype=BIGINT)
+
+    return BIGINT, impl, []
+
+
+@register("currval")
+def _bind_currval(arg_exprs):
+    name = str(arg_exprs[0].const_value()).lower()
+
+    def impl(env, cols, node):
+        seq = ACTIVE_SEQUENCES.get(name)
+        if seq is None:
+            raise ValueError(f'sequence "{name}" does not exist')
+        return Column(data=jnp.full((env.plen,),
+                                    seq["value"] - seq["increment"],
+                                    jnp.int64), ltype=BIGINT)
+
+    return BIGINT, impl, []

@@ -355,6 +355,25 @@ class MergeStatement:
 
 
 @dataclass
+class AlterStatement:
+    table: str
+    action: str  # add_column / drop_column / rename_column / rename_table
+    name: str = ""
+    new_name: str = ""
+    col_type: str = ""
+    col_mods: Tuple[int, ...] = ()
+    if_exists: bool = False
+
+
+@dataclass
+class CreateSequence:
+    name: str
+    start: int = 1
+    increment: int = 1
+    if_not_exists: bool = False
+
+
+@dataclass
 class PivotStatement:
     table: str
     on_sql: str  # SQL text of the ON expression

@@ -119,6 +119,8 @@ class Parser:
             return self.parse_update()
         if k == "copy":
             return self.parse_copy()
+        if k == "alter":
+            return self.parse_alter()
         if k == "pivot":
             return self.parse_pivot()
         if k == "unpivot":
@@ -1162,6 +1164,20 @@ class Parser:
             name = self.expect_ident()
             self.expect_kw("as")
             return N.CreateView(name, self.parse_select_statement(), or_replace=or_replace)
+        if self.accept_kw("sequence"):
+            if_not_exists = bool(self.accept_kw("if", "not", "exists"))
+            name = self.expect_ident()
+            start, inc = 1, 1
+            while True:
+                if self.accept_kw("start"):
+                    self.accept_kw("with")
+                    start = int(self.next().value)
+                elif self.accept_kw("increment"):
+                    self.accept_kw("by")
+                    inc = int(self.next().value)
+                else:
+                    break
+            return N.CreateSequence(name, start, inc, if_not_exists)
         raise ParserError("unsupported CREATE")
 
     def _expr_text(self, parse=None) -> str:
@@ -1253,6 +1269,36 @@ class Parser:
         p1 = self.peek().pos
         self.expect_op(")")
         return self.sql[p0:p1].strip()
+
+    def parse_alter(self):
+        self.expect_kw("alter")
+        self.expect_kw("table")
+        if_exists = bool(self.accept_kw("if", "exists"))
+        table = self.expect_ident()
+        if self.accept_kw("add"):
+            self.accept_kw("column")
+            name = self.expect_ident()
+            tname, mods = self.parse_type_name()
+            return N.AlterStatement(table, "add_column", name=name,
+                                    col_type=tname, col_mods=mods,
+                                    if_exists=if_exists)
+        if self.accept_kw("drop"):
+            self.accept_kw("column")
+            name = self.expect_ident()
+            return N.AlterStatement(table, "drop_column", name=name,
+                                    if_exists=if_exists)
+        if self.accept_kw("rename"):
+            if self.accept_kw("to"):
+                return N.AlterStatement(table, "rename_table",
+                                        new_name=self.expect_ident(),
+                                        if_exists=if_exists)
+            self.accept_kw("column")
+            name = self.expect_ident()
+            self.expect_kw("to")
+            return N.AlterStatement(table, "rename_column", name=name,
+                                    new_name=self.expect_ident(),
+                                    if_exists=if_exists)
+        raise ParserError("unsupported ALTER TABLE action")
 
     def parse_drop(self):
         self.expect_kw("drop")
