@@ -1092,6 +1092,21 @@ class Executor:
                          GatherCols(b.src, jnp.asarray(idx))])
         return Batch(src=src, plen=cap, live=new_live)
 
+    def _exec_PositionalJoin(self, node: P.PositionalJoin) -> Batch:
+        a = self.execute(node.left)
+        b = self.execute(node.right)
+        na, nb = a.count_live(), b.count_live()
+        n = max(na, nb)
+        cap = max(128, pad_bucket(n))
+        ia, _ = compact_indices(a.live, cap)
+        ib, _ = compact_indices(b.live, cap)
+        pos = jnp.arange(cap)
+        src = ChainCols([
+            GatherCols(a.src, ia.astype(jnp.int32), null_rows=pos >= na),
+            GatherCols(b.src, ib.astype(jnp.int32), null_rows=pos >= nb),
+        ])
+        return Batch(src=src, plen=cap, live=pos < n)
+
     def _exec_Sample(self, node: P.Sample) -> Batch:
         """Narrow the live mask pseudo-randomly; block shape is preserved so
         downstream stages recompile nothing (reference materializes a

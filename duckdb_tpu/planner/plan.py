@@ -120,6 +120,15 @@ class ListPack(PlanNode):
 
 
 @dataclass
+class PositionalJoin(PlanNode):
+    """Row-by-row zip of two relations; the shorter side pads with NULLs
+    (reference: physical_positional_join.cpp)."""
+
+    left: PlanNode
+    right: PlanNode
+
+
+@dataclass
 class Sample(PlanNode):
     """Pseudo-random row sample (reference: src/execution/operator/helper/
     physical_reservoir_sample.cpp). rows XOR percent is set."""

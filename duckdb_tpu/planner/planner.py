@@ -171,6 +171,18 @@ class Planner:
         return plan, output
 
     def plan_query_node(self, node, outer_scope, ctes):
+        if isinstance(node, N.ValuesNode):
+            # VALUES (..),(..) → UNION ALL of single-row selects
+            sels = []
+            for row in node.rows:
+                sel = N.SelectNode()
+                sel.select_list = [(e, f"col{i}")
+                                   for i, e in enumerate(row)]
+                sels.append(sel)
+            out = sels[0]
+            for s2 in sels[1:]:
+                out = N.SetOpNode("union", True, out, s2)
+            node = out
         if isinstance(node, N.SelectNode):
             return self.plan_select_node(node, outer_scope, ctes)
         if isinstance(node, N.SetOpNode):
@@ -492,6 +504,28 @@ class Planner:
                         raise BindError("USING requires named join operands")
                     pred_asts.append(N.BinaryOp(
                         "=", N.ColumnRef((la, col)), N.ColumnRef((ra, col))))
+                return
+            if jt == "positional":
+                left_atoms: List[Atom] = []
+                right_atoms: List[Atom] = []
+                lpreds: List[N.Expr] = []
+                rpreds: List[N.Expr] = []
+                self.collect_atoms(ref.left, ctes, scope, left_atoms, lpreds)
+                self.collect_atoms(ref.right, ctes, scope, right_atoms,
+                                   rpreds)
+                binder = self._pred_binder(scope, ctes)
+                lplan = self.plan_pool(left_atoms,
+                                       [binder.bind(c) for c in lpreds])
+                rplan = self.plan_pool(right_atoms,
+                                       [binder.bind(c) for c in rpreds])
+                keys = set().union(*[a.keys for a in left_atoms
+                                     + right_atoms])
+                atoms.append(Atom(len(atoms),
+                                  P.PositionalJoin(lplan, rplan),
+                                  max(sum(a.rows for a in left_atoms), 1),
+                                  keys))
+                for k in keys:
+                    self.key_owner[k] = atoms[-1].id
                 return
             if jt in ("left", "right", "semi", "anti", "full", "asof",
                       "asof_left"):

@@ -107,6 +107,8 @@ class Parser:
         k = self.kw()
         if k in ("select", "with", "values") or self.peek().value == "(":
             return self.parse_select_statement()
+        if k == "from":
+            return self.parse_from_first()
         if k == "create":
             return self.parse_create()
         if k == "drop":
@@ -191,6 +193,40 @@ class Parser:
         node = self.parse_set_op_tree()
         order_by, limit, offset = self.parse_order_limit()
         return N.SelectStatement(node, ctes=ctes, order_by=order_by, limit=limit, offset=offset)
+
+    def parse_from_first(self):
+        """FROM-first syntax (reference PEG grammar: `FROM tbl [SELECT ...]`
+        with an implicit SELECT *)."""
+        self.expect_kw("from")
+        node = N.SelectNode()
+        node.from_table = self.parse_table_ref()
+        if self.accept_kw("using", "sample"):
+            node.sample = self.parse_sample_clause()
+        if self.accept_kw("where"):
+            node.where = self.parse_expr()
+        grouping_sets = None
+        if self.accept_kw("group", "by"):
+            if self.accept_kw("all"):
+                node.group_by_all = True
+            else:
+                grouping_sets = self._parse_group_by_elements(node)
+        if self.accept_kw("having"):
+            node.having = self.parse_expr()
+        if self.accept_kw("select"):
+            while True:
+                node.select_list.append(self.parse_select_item())
+                if not self.accept_op(","):
+                    break
+        else:
+            node.select_list.append((N.Star(), None))
+        if self.accept_kw("qualify"):
+            node.qualify = self.parse_expr()
+        out = node
+        if grouping_sets is not None:
+            out = self._desugar_grouping_sets(node, grouping_sets)
+        order_by, limit, offset = self.parse_order_limit()
+        return N.SelectStatement(out, order_by=order_by, limit=limit,
+                                 offset=offset)
 
     def parse_order_limit(self):
         order_by: List[N.OrderItem] = []
@@ -512,6 +548,12 @@ class Parser:
                 natural = True
             jt = None
             k = self.kw()
+            if k == "positional":
+                self.next()
+                self.expect_kw("join")
+                right = self.parse_join_operand()
+                left = N.JoinRef(left, right, "positional")
+                continue
             if k == "asof":
                 self.next()
                 if self.accept_kw("left"):
@@ -609,7 +651,8 @@ class Parser:
         elif (
             self.peek().type == TokType.IDENT
             and self.kw() not in _STOP_KEYWORDS
-            and self.kw() not in ("join", "asof", "tablesample")
+            and self.kw() not in ("join", "asof", "tablesample",
+                                  "positional", "select")
         ):
             alias = self.next().value
         col_aliases: Tuple[str, ...] = ()

@@ -82,3 +82,32 @@ def test_experimental_join_fusion_matches_general_path():
         con.sql("SET experimental_join_fusion = false")
     assert called, "join fusion did not engage"
     assert fused == base
+
+
+def test_positional_join():
+    """Row-by-row zip; shorter side pads with NULLs (reference:
+    physical_positional_join.cpp)."""
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE a (x INT)")
+    con.sql("INSERT INTO a VALUES (1),(2),(3)")
+    con.sql("CREATE TABLE b (y VARCHAR)")
+    con.sql("INSERT INTO b VALUES ('p'),('q')")
+    assert con.sql("SELECT * FROM a POSITIONAL JOIN b").rows() == [
+        (1, "p"), (2, "q"), (3, None)]
+
+
+def test_from_first_and_values():
+    """FROM-first syntax and top-level VALUES (reference PEG grammar)."""
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE t (g INT, v INT)")
+    con.sql("INSERT INTO t VALUES (1,10),(1,20),(2,5)")
+    assert con.sql("FROM t").rows() == [(1, 10), (1, 20), (2, 5)]
+    assert con.sql("FROM t SELECT g ORDER BY g").rows() == [(1,), (1,), (2,)]
+    assert con.sql("FROM t WHERE v > 6 SELECT count(*)").rows() == [(2,)]
+    assert con.sql("FROM t GROUP BY g SELECT g, sum(v) ORDER BY g"
+                   ).rows() == [(1, 30), (2, 5)]
+    assert con.sql("VALUES (1,2), (3,4)").rows() == [(1, 2), (3, 4)]
