@@ -1061,35 +1061,52 @@ class Executor:
         from duckdb_tpu.planner.functions_nested import _column_from_pyvals
 
         b = self.execute(node.child)
-        c = node.expr.eval(b.env())
-        ct = c.ltype.child
+        env = b.env()
         live = np.asarray(b.live)
-        codes = np.asarray(jnp.broadcast_to(c.data, (b.plen,)))
-        cvalid = (np.asarray(jnp.broadcast_to(c.validity, (b.plen,)))
-                  if c.validity is not None else None)
-        dvals = c.dict_values
+        mats = []
+        for e in node.exprs:
+            c = e.eval(env)
+            codes = np.asarray(jnp.broadcast_to(c.data, (b.plen,)))
+            cvalid = (np.asarray(jnp.broadcast_to(c.validity, (b.plen,)))
+                      if c.validity is not None else None)
+            mats.append((c.ltype.child, codes, cvalid, c.dict_values))
         rows_idx = []
-        vals = []
+        per_key_vals = [[] for _ in node.keys]
         for i in range(b.plen):
-            if not live[i] or (cvalid is not None and not cvalid[i]):
-                continue  # unnest(NULL) yields zero rows
-            for v in dvals[codes[i]]:
+            if not live[i]:
+                continue
+            lens = []
+            for _, codes, cvalid, dvals in mats:
+                if cvalid is not None and not cvalid[i]:
+                    lens.append(0)
+                else:
+                    lens.append(len(dvals[codes[i]]))
+            m = max(lens) if lens else 0
+            # multiple unnests zip by position, shorter lists NULL-pad
+            for j in range(m):
                 rows_idx.append(i)
-                vals.append(v)
-        n = len(vals)
+                for kk, (_, codes, cvalid, dvals) in enumerate(mats):
+                    t_ = (dvals[codes[i]]
+                          if not (cvalid is not None and not cvalid[i])
+                          else ())
+                    per_key_vals[kk].append(t_[j] if j < len(t_) else None)
+        n = len(rows_idx)
         cap = max(128, pad_bucket(n))
         idx = np.zeros(cap, dtype=np.int32)
         idx[:n] = rows_idx
-        data, valid, vdict = _column_from_pyvals(vals, ct)
-        pdata = np.zeros(cap, dtype=data.dtype)
-        pdata[:n] = data
-        pvalid = np.zeros(cap, dtype=bool)
-        pvalid[:n] = valid
-        vcol = Column(data=jnp.asarray(pdata), ltype=ct,
-                      validity=jnp.asarray(pvalid), dict_values=vdict)
         new_live = jnp.arange(cap) < n
-        src = ChainCols([DictCols({node.key: vcol}),
-                         GatherCols(b.src, jnp.asarray(idx))])
+        cols = {}
+        for key, (ct, _, _, _), vals in zip(node.keys, mats, per_key_vals):
+            data, valid, vdict = _column_from_pyvals(vals, ct)
+            pdata = np.zeros(cap, dtype=data.dtype)
+            pdata[:n] = data
+            pvalid = np.zeros(cap, dtype=bool)
+            pvalid[:n] = valid
+            cols[key] = Column(data=jnp.asarray(pdata), ltype=ct,
+                               validity=jnp.asarray(pvalid),
+                               dict_values=vdict)
+        src = ChainCols([DictCols(cols), GatherCols(b.src,
+                                                    jnp.asarray(idx))])
         return Batch(src=src, plen=cap, live=new_live)
 
     def _exec_PositionalJoin(self, node: P.PositionalJoin) -> Batch:

@@ -238,6 +238,54 @@ def _compute_window(w: P.BoundWindow, env, plen, perm, seg_start, peer_start,
         return _seg_end_gather(vals, seg_start, plen), \
             _seg_end_gather(valid, seg_start, plen)
 
+    if f in ("stddev", "stddev_samp", "stddev_pop", "var_samp", "var_pop",
+             "variance"):
+        # whole-partition moments via segment sums (ordered running
+        # variance lands with frame-aware holistics in round 2)
+        x = jnp.where(valid, vals.astype(jnp.float64), 0.0)
+        n_ = _seg_total(valid.astype(jnp.int64), seg_start, plen
+                        ).astype(jnp.float64)
+        sx = _seg_total(x, seg_start, plen)
+        mean = sx / jnp.maximum(n_, 1.0)
+        # two-pass centered sum: numerically matches the reference's
+        # incremental accumulation to the last ulp on typical data
+        d = jnp.where(valid, vals.astype(jnp.float64) - mean, 0.0)
+        m2 = _seg_total(d * d, seg_start, plen)
+        if f in ("stddev_pop", "var_pop"):
+            var = m2 / jnp.maximum(n_, 1.0)
+            ok = n_ >= 1
+        else:
+            var = m2 / jnp.maximum(n_ - 1.0, 1.0)
+            ok = n_ >= 2
+        var = jnp.maximum(var, 0.0)
+        out = var if f.startswith("var") else jnp.sqrt(var)
+        return out, ok
+    if f in ("median", "quantile_cont"):
+        # second sort by (partition, value): per-row gather at the
+        # interpolated mid positions of each live segment
+        q = 0.5
+        if f == "quantile_cont" and len(w.args) > 1:
+            q = float(w.args[1].const_value())
+        xkey = S.orderable_int64(vals, valid, False, False)
+        iota = jnp.arange(plen, dtype=jnp.int32)
+        seg_id = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
+        out2 = jax.lax.sort(
+            [seg_id, jnp.logical_not(valid), xkey,
+             vals.astype(jnp.float64), iota], num_keys=3)
+        vals2 = out2[3]
+        idx2, s2, _e2 = _seg_bounds(seg_start, plen)
+        nval = _seg_total(valid.astype(jnp.int64), seg_start, plen)
+        pos = (nval.astype(jnp.float64) - 1.0) * q
+        lo = jnp.floor(pos).astype(jnp.int64)
+        hi = jnp.ceil(pos).astype(jnp.int64)
+        frac = pos - lo.astype(jnp.float64)
+        vlo = vals2[jnp.clip(s2 + lo, 0, plen - 1)]
+        vhi = vals2[jnp.clip(s2 + hi, 0, plen - 1)]
+        med = vlo * (1.0 - frac) + vhi * frac
+        if c is not None and c.ltype.id is TypeId.DECIMAL:
+            med = med / (10.0 ** c.ltype.scale)
+        return med, nval > 0
+
     # running / framed aggregates: sum, count, avg, min, max
     is_float = c is not None and (c.ltype.is_float or f in ("avg",))
     if f in ("sum", "avg", "count"):

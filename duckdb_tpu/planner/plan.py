@@ -99,12 +99,13 @@ class Limit(PlanNode):
 
 @dataclass
 class Unnest(PlanNode):
-    """Flatten one LIST expression to rows; sibling columns replicate
-    (reference: src/execution/operator/projection/physical_unnest.cpp)."""
+    """Flatten LIST expressions to rows; multiple unnests zip by position
+    with NULL padding; sibling columns replicate (reference:
+    src/execution/operator/projection/physical_unnest.cpp)."""
 
     child: PlanNode
-    expr: object  # BoundExpr of LIST type
-    key: str  # output column key for the flattened values
+    exprs: list  # BoundExprs of LIST type
+    keys: list  # output column keys, one per expr
 
 
 @dataclass

@@ -947,7 +947,7 @@ class Planner:
         # -- projection -------------------------------------------------------
         items = []
         output = []
-        unnest_spec = None  # (key, child ltype)
+        unnest_specs = []  # (key, BoundExpr) — multiple unnests zip
         listpacks = []  # (key, [BoundExpr], LIST type)
         select_exprs = self._expand_stars(sel.select_list, scope)
 
@@ -998,12 +998,9 @@ class Planner:
             if (isinstance(e, N.FunctionCall) and e.name.lower() == "unnest"
                     and len(e.args) == 1):
                 ba = post_binder.bind(e.args[0])
-                if unnest_spec is not None:
-                    raise BindError(
-                        "multiple UNNESTs in one SELECT land in round 2")
                 ukey = self.fresh("unnest")
                 ct = ba.ltype.child or SQLNULL
-                unnest_spec = (ukey, ba)
+                unnest_specs.append((ukey, ba))
                 be = B.BoundColumnRef(ukey, ct)
             else:
                 be = post_binder.bind(e)
@@ -1021,8 +1018,9 @@ class Planner:
             plan = P.Filter(plan, qual_b)
         for lkey, bargs, lt in listpacks:
             plan = P.ListPack(plan, bargs, lkey, lt)
-        if unnest_spec is not None:
-            plan = P.Unnest(plan, unnest_spec[1], unnest_spec[0])
+        if unnest_specs:
+            plan = P.Unnest(plan, [u[1] for u in unnest_specs],
+                            [u[0] for u in unnest_specs])
         plan = P.Project(plan, items)
 
         if sel.distinct:
@@ -1153,6 +1151,9 @@ class Planner:
                       "last_value", "nth_value"):
             t = args[0].ltype if args else SQLNULL
         elif name in ("percent_rank", "cume_dist"):
+            t = DOUBLE
+        elif name in ("median", "quantile_cont", "stddev", "stddev_samp",
+                      "stddev_pop", "var_samp", "var_pop", "variance"):
             t = DOUBLE
         else:
             raise BindError(f"window function {name} not supported")

@@ -250,3 +250,9 @@ def test_histogram_aggregate(con):
     con.sql("INSERT INTO hh VALUES (1,'a'),(1,'a'),(1,'b'),(2,'c')")
     assert con.sql("SELECT g, histogram(v) FROM hh GROUP BY g ORDER BY g"
                    ).rows() == [(1, {"a": 2, "b": 1}), (2, {"c": 1})]
+
+
+def test_multi_unnest_zip(con):
+    """Multiple unnests zip by position; shorter lists NULL-pad."""
+    assert con.sql("SELECT unnest([1,2,3]) AS a, unnest(['x','y']) AS b"
+                   ).rows() == [(1, "x"), (2, "y"), (3, None)]

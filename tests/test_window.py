@@ -165,3 +165,23 @@ def test_percent_rank_cume_dist_nth_value(con):
                    "BETWEEN 1 PRECEDING AND 1 FOLLOWING) FROM "
                    "(SELECT unnest([10,20,30]) AS v) ORDER BY v").rows()
     assert rows == [(10, 20), (20, 20), (30, 30)]
+
+
+def test_holistic_window_aggregates(con):
+    """median/stddev/variance over unordered partitions (reference-verified;
+    variance may differ in the last ulp — accumulation order)."""
+    import math
+
+    rows = con.sql("SELECT g, median(v) OVER (PARTITION BY g) FROM "
+                   "(SELECT unnest([1,1,1,2,2]) AS g, "
+                   "unnest([10,20,40,5,NULL]) AS v) ORDER BY g, v").rows()
+    assert [r[1] for r in rows] == [20.0, 20.0, 20.0, 5.0, 5.0]
+    rows = con.sql("SELECT g, stddev(v) OVER (PARTITION BY g) FROM "
+                   "(SELECT unnest([1,1,1,2,2]) AS g, "
+                   "unnest([10,20,40,5,NULL]) AS v) ORDER BY g, v").rows()
+    assert rows[0][1] == 15.275252316519467  # bit-exact vs reference
+    assert rows[3][1] is None  # n < 2
+    rows = con.sql("SELECT var_pop(v) OVER (PARTITION BY g) FROM "
+                   "(SELECT unnest([1,1,1]) AS g, "
+                   "unnest([10,20,40]) AS v)").rows()
+    assert math.isclose(rows[0][0], 1400 / 9, rel_tol=1e-12)
