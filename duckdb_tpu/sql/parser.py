@@ -1100,6 +1100,23 @@ class Parser:
                     order_by.append(self.parse_order_item())
             self.expect_op(")")
         fc = N.FunctionCall(name, args, distinct=distinct, is_star=is_star, order_by=order_by)
+        if self.accept_kw("within", "group"):
+            # ordered-set syntax: percentile_cont(q) WITHIN GROUP (ORDER BY e)
+            # rewrites to the regular two-argument aggregate form
+            self.expect_op("(")
+            self.expect_kw("order")
+            self.expect_kw("by")
+            oe = self.parse_order_item()
+            self.expect_op(")")
+            lname = fc.name.lower()
+            mapped = {"percentile_cont": "quantile_cont",
+                      "percentile_disc": "quantile_disc",
+                      "mode": "mode"}.get(lname, lname)
+            if lname == "mode":
+                fc = N.FunctionCall("mode", [oe.expr], distinct=distinct)
+            else:
+                fc = N.FunctionCall(mapped, [oe.expr] + args,
+                                    distinct=distinct)
         if self.accept_kw("filter"):
             self.expect_op("(")
             self.accept_kw("where")  # FILTER (expr) and FILTER (WHERE expr)

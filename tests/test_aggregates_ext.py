@@ -53,3 +53,19 @@ def test_aggregate_differential(con, q):
     assert ref_r.returncode == 0, ref_r.stderr
     ref = ref_r.stdout.splitlines()
     assert got == ref, f"\ngot: {got}\nref: {ref}"
+
+
+def test_within_group_ordered_set():
+    """percentile_cont/disc and mode() WITHIN GROUP (ORDER BY e) rewrite to
+    the regular aggregate forms (reference-verified)."""
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE wg (v INT)")
+    con.sql("INSERT INTO wg VALUES (1),(2),(3),(4)")
+    assert con.sql("SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY v) "
+                   "FROM wg").rows() == [(1.75,)]
+    assert con.sql("SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY v) "
+                   "FROM wg").rows() == [(2,)]
+    assert con.sql("SELECT mode() WITHIN GROUP (ORDER BY v) FROM wg"
+                   ).rows() == [(1,)]
