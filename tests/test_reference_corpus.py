@@ -35,6 +35,8 @@ CURATED = [
     "function/string/regex_filter_pushdown.test",
     "function/string/test_issue_1812.test",
     "projection/test_table_star.test",
+    "filter/test_transitive_filters.test",
+    "cte/test_issue_5673.test",
 ]
 
 
