@@ -41,6 +41,8 @@ class Connection:
         self._plan_cache = {}
         self._catalog_version = 0
         self.last_profile = None
+        self._txn_snapshot = None
+        self._txn_wal = []
         if database not in (":memory:", ""):
             from duckdb_tpu.storage.persist import open_database
 
@@ -48,7 +50,8 @@ class Connection:
 
     _MUTATING = (N.CreateTable, N.CreateView, N.DropStatement,
                  N.InsertStatement, N.DeleteStatement, N.UpdateStatement,
-                 N.MergeStatement)
+                 N.MergeStatement, N.AlterStatement, N.CreateSequence,
+                 N.ImportStatement)
 
     # -- main entry -----------------------------------------------------------
     def sql(self, query: str) -> Optional[Result]:
@@ -69,16 +72,25 @@ class Connection:
             res = self._execute_statement(s)
         if (mutated and self.database not in (":memory:", "")
                 and not getattr(self, "_replaying", False)):
-            from duckdb_tpu.storage.persist import checkpoint, wal_append
-            import os
-
-            wal_append(self.database, query)
-            wal_path = os.path.join(self.database, "wal.sql")
-            threshold = 16 << 20
-            if (os.path.exists(wal_path)
-                    and os.path.getsize(wal_path) > threshold):
-                checkpoint(self, self.database)
+            if getattr(self, "_txn_snapshot", None) is not None:
+                # inside a transaction: buffer WAL entries; COMMIT flushes,
+                # ROLLBACK discards (the reference writes the WAL at commit
+                # time, src/transaction/wal_write_state.cpp)
+                self._txn_wal.append(query)
+            else:
+                self._wal_write(query)
         return res
+
+    def _wal_write(self, query: str):
+        from duckdb_tpu.storage.persist import checkpoint, wal_append
+        import os
+
+        wal_append(self.database, query)
+        wal_path = os.path.join(self.database, "wal.sql")
+        threshold = 16 << 20
+        if (os.path.exists(wal_path)
+                and os.path.getsize(wal_path) > threshold):
+            checkpoint(self, self.database)
 
     execute = sql
     query = sql
@@ -92,6 +104,9 @@ class Connection:
             self._replaying = False
 
     def close(self):
+        if getattr(self, "_txn_snapshot", None) is not None:
+            # uncommitted transaction aborts on close (reference semantics)
+            self._transaction(N.TransactionStatement("rollback"))
         if self.database not in (":memory:", ""):
             from duckdb_tpu.storage.persist import checkpoint
 
@@ -150,9 +165,7 @@ class Connection:
             return self._alter(s)
         if isinstance(s, N.CreateSequence):
             key = s.name.lower()
-            seqs = getattr(self.catalog, "sequences", None)
-            if seqs is None:
-                seqs = self.catalog.sequences = {}
+            seqs = self.catalog.sequences
             if key in seqs and s.if_not_exists:
                 return None
             seqs[key] = {"value": s.start, "increment": s.increment}
@@ -227,21 +240,38 @@ class Connection:
         return None
 
     def _transaction(self, s: N.TransactionStatement):
+        """BEGIN/COMMIT/ROLLBACK. The snapshot clones every TableEntry
+        (shallow copy-on-write — host arrays are immutable by convention),
+        so ROLLBACK undoes DML, not just DDL, and buffered WAL entries are
+        flushed only on COMMIT (reference: commit-time WAL write,
+        src/transaction/wal_write_state.cpp; undo via undo_buffer.cpp)."""
         from duckdb_tpu.storage.persist import checkpoint
 
         a = s.action
         if a == "begin":
-            self._txn_snapshot = (dict(self.catalog.tables),
-                                  dict(self.catalog.views))
+            if getattr(self, "_txn_snapshot", None) is not None:
+                raise ConnectionException(
+                    "TransactionContext Error: cannot start a transaction "
+                    "within a transaction")
+            self._txn_snapshot = (
+                {k: e.clone() for k, e in self.catalog.tables.items()},
+                dict(self.catalog.views),
+                {k: dict(v) for k, v in self.catalog.sequences.items()})
+            self._txn_wal = []
         elif a == "rollback":
             snap = getattr(self, "_txn_snapshot", None)
             if snap is None:
                 raise ConnectionException(
                     "TransactionContext Error: cannot rollback - "
                     "no transaction is active")
-            self.catalog.tables, self.catalog.views = (dict(snap[0]),
-                                                       dict(snap[1]))
+            self.catalog.tables = dict(snap[0])
+            self.catalog.views = dict(snap[1])
+            self.catalog.sequences = {k: dict(v) for k, v in snap[2].items()}
+            from duckdb_tpu.planner import functions_ext as _fx
+
+            _fx.ACTIVE_SEQUENCES = self.catalog.sequences
             self._txn_snapshot = None
+            self._txn_wal = []
             self._plan_cache.clear()
         elif a == "commit":
             if getattr(self, "_txn_snapshot", None) is None:
@@ -249,6 +279,11 @@ class Connection:
                     "TransactionContext Error: cannot commit - "
                     "no transaction is active")
             self._txn_snapshot = None
+            if (self.database not in (":memory:", "")
+                    and not getattr(self, "_replaying", False)):
+                for q in self._txn_wal:
+                    self._wal_write(q)
+            self._txn_wal = []
         elif a == "checkpoint":
             if self.database not in (":memory:", ""):
                 checkpoint(self, self.database)

@@ -98,6 +98,25 @@ class TableEntry:
         # src/storage/table/row_group_collection.cpp VerifyAppendConstraints)
         self.constraints: List[tuple] = []
 
+    def clone(self) -> "TableEntry":
+        """Snapshot copy for transaction rollback (the reference's analog is
+        the UndoBuffer + versioned CatalogSet, src/transaction/undo_buffer.cpp).
+        Host arrays are immutable by convention (every DML path builds new
+        arrays and calls set_host_column), so a shallow dict copy suffices —
+        copy-on-write at zero array cost."""
+        new = TableEntry(self.name,
+                         [ColumnDef(c.name, c.ltype) for c in self.columns])
+        new.nrows = self.nrows
+        new._host = dict(self._host)
+        new._loaders = dict(self._loaders)
+        new.stats = dict(self.stats)
+        new.constraints = list(self.constraints)
+        # share the device cache: DML invalidates per-column via
+        # set_host_column, so untouched columns stay HBM-resident across a
+        # rollback instead of re-uploading
+        new._device = self._device
+        return new
+
     # -- population -----------------------------------------------------------
     def set_host_column(self, name, values, validity=None, dict_values=None):
         self._host[name] = (values, validity, dict_values)
@@ -185,6 +204,7 @@ class Catalog:
     def __init__(self):
         self.tables: Dict[str, TableEntry] = {}
         self.views: Dict[str, object] = {}  # name -> parsed SELECT AST
+        self.sequences: Dict[str, dict] = {}  # name -> {value, increment}
         self._file_tables: Dict[tuple, str] = {}  # (path, mtime) -> table name
 
     def ensure_file_table(self, path: str) -> str:

@@ -129,8 +129,35 @@ def _matches(cell: str, t: LogicalType) -> bool:
 
 _KIND = {TypeId.BIGINT: "i64", TypeId.INTEGER: "i32", TypeId.SMALLINT: "i32",
          TypeId.TINYINT: "i32", TypeId.DOUBLE: "f64", TypeId.FLOAT: "f64",
-         TypeId.DATE: "date", TypeId.VARCHAR: "str", TypeId.BOOLEAN: "i32",
-         TypeId.DECIMAL: "f64"}
+         TypeId.DATE: "date", TypeId.VARCHAR: "str", TypeId.BOOLEAN: "i32"}
+
+
+def _kind_of(t: LogicalType) -> str:
+    # DECIMAL → dec<scale>: csv2col parses decimal text exactly in integer
+    # arithmetic (no float64 round-trip; exactness would break past 2^53,
+    # i.e. DECIMAL wider than 15 digits)
+    if t.id is TypeId.DECIMAL:
+        return f"dec{t.scale}"
+    return _KIND[t.id]
+
+
+def parse_decimal_text(c: str, scale: int) -> int:
+    """Exact decimal text → scaled int (integer arithmetic, round-half-up)."""
+    c = c.strip()
+    neg = c.startswith("-")
+    if c and c[0] in "+-":
+        c = c[1:]
+    if "e" in c or "E" in c:  # scientific notation: exact via Decimal
+        import decimal as pydec
+
+        v = int(pydec.Decimal(c).scaleb(scale).to_integral_value(
+            rounding=pydec.ROUND_HALF_UP))
+        return -v if neg else v
+    whole, _, frac = c.partition(".")
+    v = int((whole or "0") + (frac + "0" * scale)[:scale])
+    if len(frac) > scale and frac[scale] >= "5":
+        v += 1
+    return -v if neg else v
 
 
 def load_csv(path: str, schema: List[Tuple[str, LogicalType]], delim: str,
@@ -144,7 +171,7 @@ def load_csv(path: str, schema: List[Tuple[str, LogicalType]], delim: str,
 def _load_native(path, schema, delim, has_header):
     from duckdb_tpu.storage import binary_dir
 
-    spec = ",".join(f"{n}:{_KIND[t.id]}" for n, t in schema)
+    spec = ",".join(f"{n}:{_kind_of(t)}" for n, t in schema)
     with tempfile.TemporaryDirectory() as tmp:
         subprocess.run(
             [_CSV2COL, path, tmp, spec, "--delim", delim, "--header",
@@ -153,7 +180,7 @@ def _load_native(path, schema, delim, has_header):
         )
         out = {}
         for n, t in schema:
-            kind = _KIND[t.id]
+            kind = _kind_of(t)
             validity = None
             vp = os.path.join(tmp, f"{n}.valid")
             if os.path.exists(vp):
@@ -164,10 +191,8 @@ def _load_native(path, schema, delim, has_header):
                 out[n] = (codes, validity, uniq)
             elif kind == "f64":
                 v = np.fromfile(os.path.join(tmp, f"{n}.f64"), dtype=np.float64)
-                if t.id is TypeId.DECIMAL:
-                    v = np.round(v * 10**t.scale).astype(np.int64)
                 out[n] = (v, validity, None)
-            elif kind == "i64":
+            elif kind == "i64" or kind.startswith("dec"):
                 out[n] = (np.fromfile(os.path.join(tmp, f"{n}.i64"),
                                       dtype=np.int64), validity, None)
             else:
@@ -196,7 +221,7 @@ def _load_python(path, schema, delim, has_header):
             vals = np.array([(datetime.date.fromisoformat(c) - epoch).days
                              if c else 0 for c in cells], dtype=np.int32)
         elif t.id is TypeId.DECIMAL:
-            vals = np.array([round(float(c) * 10**t.scale) if c else 0
+            vals = np.array([parse_decimal_text(c, t.scale) if c else 0
                              for c in cells], dtype=np.int64)
         elif t.is_float:
             vals = np.array([float(c) if c else 0 for c in cells],

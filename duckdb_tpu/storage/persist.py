@@ -147,6 +147,9 @@ def checkpoint(con, path: str):
         sql_text = getattr(vast, "_sql_text", None)
         if sql_text:
             meta["views"][vname] = sql_text
+    # sequences persist with their current value (reference serializes
+    # SequenceCatalogEntry incl. counters, src/storage/serialization/)
+    meta["sequences"] = {k: dict(v) for k, v in cat.sequences.items()}
     tmp = os.path.join(path, "catalog.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=1)
@@ -226,6 +229,12 @@ def open_database(con, path: str):
                 if type(st).__name__ == "SelectStatement":
                     con.catalog.views[vname] = st
                     break
+        if meta.get("sequences"):
+            con.catalog.sequences = {k: dict(v)
+                                     for k, v in meta["sequences"].items()}
+            from duckdb_tpu.planner import functions_ext as _fx
+
+            _fx.ACTIVE_SEQUENCES = con.catalog.sequences
     # crash recovery: replay WAL statements
     wal = os.path.join(path, "wal.sql")
     if os.path.exists(wal):

@@ -104,3 +104,113 @@ def test_settings_set_reset():
     assert con.settings.get("threads") == 4
     with pytest.raises(Exception):
         con.sql("SET not_a_real_setting = 1")
+
+
+def test_rollback_undoes_dml():
+    """ROLLBACK must undo INSERT/UPDATE/DELETE, not only DDL (reference:
+    snapshot isolation via UndoBuffer, src/transaction/undo_buffer.cpp)."""
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE t (a INT, b VARCHAR)")
+    con.sql("INSERT INTO t VALUES (1,'x'),(2,'y')")
+    con.sql("BEGIN")
+    con.sql("INSERT INTO t VALUES (3,'z')")
+    con.sql("UPDATE t SET b = 'updated' WHERE a = 1")
+    con.sql("DELETE FROM t WHERE a = 2")
+    assert con.sql("SELECT count(*) FROM t").rows()[0][0] == 2
+    con.sql("ROLLBACK")
+    rows = con.sql("SELECT a, b FROM t ORDER BY a").rows()
+    assert rows == [(1, "x"), (2, "y")]
+
+
+def test_rollback_commit_dml():
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE t (a INT)")
+    con.sql("BEGIN")
+    con.sql("INSERT INTO t VALUES (1),(2)")
+    con.sql("COMMIT")
+    assert con.sql("SELECT count(*) FROM t").rows()[0][0] == 2
+
+
+def test_wal_not_resurrected_after_rollback(tmp_path):
+    """Statements inside a rolled-back transaction must NOT be in the WAL
+    (reference writes the WAL at commit time, wal_write_state.cpp)."""
+    db = str(tmp_path / "db")
+    con = _connect(db)
+    con.sql("CREATE TABLE t (a INT)")
+    con.sql("INSERT INTO t VALUES (1)")
+    con.sql("BEGIN")
+    con.sql("INSERT INTO t VALUES (99)")
+    con.sql("ROLLBACK")
+    # crash (no checkpoint): reopen replays WAL
+    con2 = _connect(db)
+    assert con2.sql("SELECT a FROM t ORDER BY a").rows() == [(1,)]
+
+
+def test_wal_commit_flushes(tmp_path):
+    db = str(tmp_path / "db")
+    con = _connect(db)
+    con.sql("CREATE TABLE t (a INT)")
+    con.sql("BEGIN")
+    con.sql("INSERT INTO t VALUES (7)")
+    con.sql("COMMIT")
+    con2 = _connect(db)
+    assert con2.sql("SELECT a FROM t").rows() == [(7,)]
+
+
+def test_alter_is_wal_logged(tmp_path):
+    """ALTER TABLE on a persistent DB must be WAL-logged so post-crash
+    replay of subsequent INSERTs sees the post-ALTER schema."""
+    db = str(tmp_path / "db")
+    con = _connect(db)
+    con.sql("CREATE TABLE t (a INT)")
+    con.sql("INSERT INTO t VALUES (1)")
+    con.sql("ALTER TABLE t ADD COLUMN b VARCHAR")
+    con.sql("INSERT INTO t VALUES (2, 'two')")
+    con2 = _connect(db)  # crash recovery
+    rows = con2.sql("SELECT a, b FROM t ORDER BY a").rows()
+    assert rows == [(1, None), (2, "two")]
+
+
+def test_sequences_persist(tmp_path):
+    db = str(tmp_path / "db")
+    con = _connect(db)
+    con.sql("CREATE SEQUENCE seq START 10")
+    assert con.sql("SELECT nextval('seq')").rows()[0][0] == 10
+    assert con.sql("SELECT nextval('seq')").rows()[0][0] == 11
+    con.close()
+    con2 = _connect(db)
+    assert con2.sql("SELECT nextval('seq')").rows()[0][0] == 12
+
+
+def test_csv_decimal_exact(tmp_path):
+    """DECIMAL wider than 15 digits must load exactly (no float64 trip)."""
+    import duckdb_tpu
+
+    p = str(tmp_path / "d.csv")
+    with open(p, "w") as f:
+        f.write("a\n12345678901234567.89\n-0.005\n")
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE t (a DECIMAL(19,2))")
+    con.sql(f"COPY t FROM '{p}' (HEADER)")
+    import decimal
+
+    rows = con.sql("SELECT a FROM t").rows()
+    assert rows[0][0] == decimal.Decimal("12345678901234567.89")
+    assert rows[1][0] == decimal.Decimal("-0.01")
+
+
+def test_parse_decimal_text_unit():
+    from duckdb_tpu.storage.csv import parse_decimal_text
+
+    assert parse_decimal_text("1.5", 2) == 150
+    assert parse_decimal_text("-1.5", 2) == -150
+    assert parse_decimal_text("12345678901234567.89", 2) == 1234567890123456789
+    assert parse_decimal_text(".5", 1) == 5
+    assert parse_decimal_text("3", 2) == 300
+    assert parse_decimal_text("0.005", 2) == 1  # round half up
+    assert parse_decimal_text("-0.005", 2) == -1
+    assert parse_decimal_text("1e2", 1) == 1000

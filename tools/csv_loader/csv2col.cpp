@@ -10,8 +10,12 @@
 // straight into padded device arrays.
 //
 // Usage: csv2col <input.csv> <outdir> <colspec> [--delim C] [--header 0|1]
-//   colspec: comma-separated name:kind pairs, kind ∈ i64,i32,f64,str,date
-//   date parses YYYY-MM-DD into int32 days since 1970-01-01.
+//   colspec: comma-separated name:kind pairs, kind ∈ i64,i32,f64,str,date,
+//   dec<scale> (e.g. dec2). date parses YYYY-MM-DD into int32 days since
+//   1970-01-01. dec<scale> parses decimal text EXACTLY in integer
+//   arithmetic into scaled int64 (no float64 round-trip — the reference
+//   parses decimals digit-by-digit too, src/common/operator/
+//   cast_operators; float64 loses exactness past 2^53).
 
 #include <cstdint>
 #include <cstdio>
@@ -30,6 +34,27 @@ struct ColSpec {
   std::string name;
   std::string kind;
 };
+
+// Exact decimal-text → scaled int64 (integer arithmetic only).
+int64_t parse_decimal_scaled(const char *s, int scale) {
+  bool neg = false;
+  if (*s == '+' || *s == '-') neg = (*s++ == '-');
+  int64_t v = 0;
+  while (*s >= '0' && *s <= '9') v = v * 10 + (*s++ - '0');
+  int frac_seen = 0;
+  if (*s == '.') {
+    ++s;
+    while (*s >= '0' && *s <= '9' && frac_seen < scale) {
+      v = v * 10 + (*s++ - '0');
+      ++frac_seen;
+    }
+    // round-half-up on the first excess digit, then skip the rest
+    if (*s >= '5' && *s <= '9') ++v;
+    while (*s >= '0' && *s <= '9') ++s;
+  }
+  for (; frac_seen < scale; ++frac_seen) v *= 10;
+  return neg ? -v : v;
+}
 
 int days_from_civil(int y, int m, int d) {
   y -= m <= 2;
@@ -99,6 +124,10 @@ void parse_range(const char *data, size_t begin, size_t end,
         out->i32[c].push_back(is_null ? 0 : (int32_t)strtol(field.c_str(), nullptr, 10));
       } else if (k == "f64") {
         out->f64[c].push_back(is_null ? 0.0 : strtod(field.c_str(), nullptr));
+      } else if (k.compare(0, 3, "dec") == 0) {
+        int scale = atoi(k.c_str() + 3);
+        out->i64[c].push_back(
+            is_null ? 0 : parse_decimal_scaled(field.c_str(), scale));
       } else if (k == "date") {
         int32_t v = 0;
         if (!is_null && field.size() >= 10) {
@@ -240,7 +269,7 @@ int main(int argc, char **argv) {
       }
       fclose(lf);
       fclose(bf);
-    } else if (k == "i64") {
+    } else if (k == "i64" || k.compare(0, 3, "dec") == 0) {
       FILE *f = fopen((base + ".i64").c_str(), "w");
       for (auto &s : shards) write_all(f, s.i64[c].data(), s.i64[c].size() * 8);
       fclose(f);
