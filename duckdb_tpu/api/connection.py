@@ -197,6 +197,18 @@ class Connection:
             f"statement {type(s).__name__} not supported yet"
         )
 
+    def _count_result(self, n: int) -> Result:
+        """DML statements return the changed-row count (reference: INSERT/
+        DELETE/UPDATE produce a single-row Count column,
+        src/execution/operator/persistent/)."""
+        from duckdb_tpu.types import BIGINT
+
+        res = Result(names=["Count"], types=[BIGINT],
+                     columns=[(np.array([n], dtype=np.int64), None, None)],
+                     nrows=1)
+        res._dml_count = True  # CLI suppresses printing (shell parity)
+        return res
+
     def _explain(self, s: N.ExplainStatement):
         from duckdb_tpu.execution.executor import Result
         from duckdb_tpu.planner.explain import render_plan
@@ -348,7 +360,7 @@ class Connection:
             rows = self._resolve_conflicts(entry, rows, s.columns,
                                            s.on_conflict)
         self._append_rows(entry, rows, s.columns)
-        return None
+        return self._count_result(len(rows))
 
     def _resolve_conflicts(self, entry, rows, columns, on_conflict):
         """ON CONFLICT upsert (reference: physical_insert.cpp OnConflict
@@ -716,7 +728,7 @@ class Connection:
                                   validity=None if valid is None else valid[keep],
                                   dict_values=dvals)
         entry.nrows = int(keep.sum())
-        return None
+        return self._count_result(int(mask.sum()))
 
     def _update(self, s: N.UpdateStatement):
         import jax.numpy as jnp
@@ -765,7 +777,7 @@ class Connection:
         for cname2, (vals_out, valid_out, dvals_out) in staged.items():
             entry.set_host_column(cname2, vals_out, validity=valid_out,
                                   dict_values=dvals_out)
-        return None
+        return self._count_result(int(mask.sum()))
 
     def _verify_update_constraints(self, entry, staged, mask):
         """Verify constraints against the post-UPDATE state before any
@@ -1199,7 +1211,7 @@ class Connection:
             n_new = len(first[0]) if first is not None else 0
         self._append_columns(entry, cols, n_new)
         self._plan_cache.clear()
-        return None
+        return self._count_result(n_new)
 
     def _append_columns(self, entry: TableEntry, cols, n_new: int):
         """Append parsed columnar data (same schema) to a table."""

@@ -89,7 +89,7 @@ class Shell:
             print(f"Error: {e}")
             return
         dt = time.perf_counter() - t0
-        if res is not None:
+        if res is not None and not getattr(res, "_dml_count", False):
             renderer = RENDERERS[self.mode]
             if self.mode == "box":
                 print(renderer(res.names, res.rows(), self.max_rows))

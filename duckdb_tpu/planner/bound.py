@@ -511,10 +511,16 @@ class BoundCase(BoundExpr):
                       dict_values=acc_dict)
 
 
-def _coerce_to(c: Column, t: LogicalType, env: EvalEnv) -> Column:
+def _coerce_to(c: Column, t: LogicalType, env: EvalEnv,
+               try_cast: bool = False) -> Column:
     """Cast an evaluated column to the target logical type's physical form."""
     if c.ltype == t:
         return c
+    if (c.ltype.id is TypeId.VARCHAR and t.id is not TypeId.VARCHAR
+            and t.id is not TypeId.SQLNULL):
+        # string source: parse per distinct value (must run before the
+        # numeric branches, which would otherwise cast the dict CODES)
+        return _cast_from_varchar(c, t, try_cast=try_cast)
     if t.id is TypeId.DOUBLE:
         return Column(data=_to_double(c), ltype=t, validity=c.validity)
     if t.id is TypeId.DECIMAL:
@@ -575,7 +581,140 @@ def _coerce_to(c: Column, t: LogicalType, env: EvalEnv) -> Column:
                           dict_values=np.array([""], dtype=object))
         return Column(data=jnp.zeros((n,), t.np_dtype), ltype=t,
                       validity=jnp.zeros((n,), jnp.bool_))
+    if t.id is TypeId.VARCHAR:
+        return _cast_to_varchar(c, env)
+    if c.ltype.id is TypeId.VARCHAR:
+        return _cast_from_varchar(c, t, try_cast=try_cast)
+    if t.id is TypeId.BOOLEAN:
+        return Column(data=c.data != 0, ltype=t, validity=c.validity)
+    if t.is_float:  # FLOAT target
+        return Column(data=_to_double(c).astype(t.np_dtype), ltype=t,
+                      validity=c.validity)
     raise BindError(f"unsupported coercion {c.ltype} → {t}")
+
+
+def format_varchar(v, t: LogicalType) -> str:
+    """Render one non-NULL python-ish value as duckdb's VARCHAR cast does
+    (reference: src/common/operator/string_cast.cpp)."""
+    import datetime
+    import decimal as pydec
+
+    if t.id is TypeId.BOOLEAN:
+        return "true" if v else "false"
+    if t.id is TypeId.DECIMAL:
+        return str(pydec.Decimal(int(v)).scaleb(-t.scale)) if t.scale \
+            else str(int(v))
+    if t.id is TypeId.DATE:
+        return (datetime.date(1970, 1, 1)
+                + datetime.timedelta(days=int(v))).isoformat()
+    if t.id is TypeId.TIMESTAMP:
+        dt = (datetime.datetime(1970, 1, 1)
+              + datetime.timedelta(microseconds=int(v)))
+        s = dt.strftime("%Y-%m-%d %H:%M:%S")
+        if dt.microsecond:
+            s += f".{dt.microsecond:06d}".rstrip("0")
+        return s
+    if t.id is TypeId.TIME:
+        us = int(v)
+        s = (f"{us // 3_600_000_000:02d}:{us // 60_000_000 % 60:02d}"
+             f":{us // 1_000_000 % 60:02d}")
+        if us % 1_000_000:
+            s += f".{us % 1_000_000:06d}".rstrip("0")
+        return s
+    if t.is_float:
+        f = float(v)
+        if f != f or f in (float("inf"), float("-inf")):
+            return {float("inf"): "inf", float("-inf"): "-inf"}.get(f, "nan")
+        if f == int(f) and abs(f) < 1e15:
+            return f"{f:.1f}"
+        return repr(f)
+    return str(int(v))
+
+
+def _cast_to_varchar(c: Column, env) -> Column:
+    """Non-VARCHAR → VARCHAR: host-side formatting + sorted dict encode.
+    Concretizes the column, so under jit this raises ConcretizationTypeError
+    and the caller's eager fallback runs (same contract as strftime)."""
+    data = np.asarray(jnp.broadcast_to(c.data, (env.plen,)))
+    valid = (np.asarray(jnp.broadcast_to(c.validity, (env.plen,)))
+             if c.validity is not None else None)
+    t = c.ltype
+    if t.is_integer and t.id is not TypeId.BOOLEAN:
+        strs = data.astype(np.int64).astype(str).astype(object)
+    else:
+        strs = np.array([format_varchar(v, t)
+                         if valid is None or valid[i] else ""
+                         for i, v in enumerate(data)], dtype=object)
+    uniq, codes = np.unique(strs.astype(str), return_inverse=True)
+    return Column(data=jnp.asarray(codes.astype(np.int32)),
+                  ltype=VARCHAR, validity=c.validity,
+                  dict_values=uniq.astype(object))
+
+
+def _cast_from_varchar(c: Column, t: LogicalType,
+                       try_cast: bool = False) -> Column:
+    """VARCHAR → numeric/date/etc: parse each DISTINCT value once into a
+    LUT, gather by code — dict_values are static at trace time so this
+    stays fully traceable (the per-distinct host-op idiom)."""
+    import datetime
+
+    from duckdb_tpu.storage.csv import parse_decimal_text
+
+    def parse(s):
+        s = str(s).strip()
+        if t.id is TypeId.DATE:
+            return (datetime.date.fromisoformat(s)
+                    - datetime.date(1970, 1, 1)).days
+        if t.id is TypeId.TIMESTAMP:
+            from duckdb_tpu.planner.binder import _parse_timestamp
+
+            return _parse_timestamp(s)
+        if t.id is TypeId.DECIMAL:
+            return parse_decimal_text(s, t.scale)
+        if t.id is TypeId.TIME:
+            from duckdb_tpu.planner.binder import _parse_time_micros
+
+            return _parse_time_micros(s)
+        if t.id is TypeId.INTERVAL:
+            raise ValueError(s)  # interval text parse: binder handles
+        if t.id is TypeId.BOOLEAN:
+            if s.lower() in ("true", "t", "1"):
+                return 1
+            if s.lower() in ("false", "f", "0"):
+                return 0
+            raise ValueError(s)
+        if t.is_float:
+            return float(s)
+        if s.lstrip("+-").isdigit():
+            return int(s)
+        import math as _m
+
+        f = float(s)  # duckdb accepts '1.5'::INT, rounding half away from 0
+        r = _m.floor(abs(f) + 0.5)
+        return r if f >= 0 else -r
+
+    ok = np.ones(max(1, len(c.dict_values)), dtype=bool)
+    vals = np.zeros(max(1, len(c.dict_values)),
+                    dtype=t.np_dtype if not t.is_float else np.float64)
+    bad = None
+    for i, s_ in enumerate(c.dict_values if c.dict_values is not None
+                           else []):
+        try:
+            vals[i] = parse(s_)
+        except (ValueError, OverflowError):
+            ok[i] = False
+            bad = str(s_)
+    if bad is not None and not try_cast:
+        raise BindError(
+            f"Conversion Error: Could not convert string '{bad}' to "
+            f"{t.id.name}")
+    lut = jnp.asarray(vals)
+    idx = jnp.clip(c.data, 0, len(vals) - 1)
+    validity = c.validity
+    if bad is not None:  # TRY_CAST: unparseable values become NULL
+        okv = jnp.asarray(ok)[idx]
+        validity = okv if validity is None else jnp.logical_and(validity, okv)
+    return Column(data=lut[idx], ltype=t, validity=validity)
 
 
 @dataclass
@@ -588,7 +727,8 @@ class BoundCast(BoundExpr):
         return [self.child]
 
     def eval(self, env):
-        return _coerce_to(self.child.eval(env), self.ltype, env)
+        return _coerce_to(self.child.eval(env), self.ltype, env,
+                          try_cast=self.try_cast)
 
     def is_const(self):
         return self.child.is_const()

@@ -240,6 +240,20 @@ class Planner:
         return n
 
     def _plan_base_table(self, ref: N.BaseTableRef, ctes):
+        """Resolve a table reference; `FROM t a(x, y)` alias column lists
+        rename the visible columns (reference: binder table alias handling,
+        src/planner/binder/tableref/bind_basetableref.cpp)."""
+        out = self._plan_base_table_inner(ref, ctes)
+        if ref.column_aliases:
+            plan, scope_adds, nrows = out
+            scope_adds = [
+                (a, ref.column_aliases[i] if i < len(ref.column_aliases)
+                 else c, k, t)
+                for i, (a, c, k, t) in enumerate(scope_adds)]
+            return plan, scope_adds, nrows
+        return out
+
+    def _plan_base_table_inner(self, ref: N.BaseTableRef, ctes):
         name = ref.name.lower()
         alias = (ref.alias or ref.name).lower()
         if name in ctes:

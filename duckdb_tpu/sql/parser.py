@@ -185,6 +185,9 @@ class Parser:
                 self.expect_op("(")
                 sub = self.parse_select_statement()
                 self.expect_op(")")
+                if any(c.name.lower() == name.lower() for c in ctes):
+                    raise ParserError(
+                        f'Binder Error: Duplicate CTE name "{name}"')
                 ctes.append(
                     N.CTE(name, sub, col_aliases, materialized, recursive=recursive)
                 )
@@ -1088,6 +1091,9 @@ class Parser:
             if self.accept_kw("distinct"):
                 distinct = True
             if self.peek().value == "*":
+                if distinct:
+                    raise ParserError(
+                        "Binder Error: DISTINCT is not implemented for *")
                 self.next()
                 is_star = True
             else:

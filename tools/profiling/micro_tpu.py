@@ -17,11 +17,18 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_enable_x64", True)
+import os
 
-N = 6_000_000          # Q1-scale row count
+_cache = os.path.expanduser("~/.cache/duckdb_tpu_xla")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+N = 6_000_640          # Q1-scale row count (multiple of BLK for reshapes)
 NSEG = 64              # dense slot count (Q1 domain)
 K = 12                 # aggregate columns
-BLK = 512              # block size for exact f32 limb matmul
+BLK = 256              # block size for exact f32 limb matmul
+                       # (256 * 65535 < 2^24: f32 block sums stay exact)
 
 
 def timed(fn, args, n=3, warmup=1):
@@ -126,6 +133,15 @@ def main():
         ok = np.array_equal(np.asarray(r), ref)
         report("one-hot limb matmul 12col", t, f"exact={ok}")
 
+        # negative values exactness (two's-complement limb recombination)
+        neg_np = rng.integers(-100_000, 100_000, (N, K)).astype(np.int64)
+        negv = jnp.asarray(neg_np)
+        _, r = timed(onehot_limb, (ids, negv), n=1)
+        ref = np.zeros((NSEG, K), np.int64)
+        np.add.at(ref, ids_np, neg_np)
+        print(f"   negative-value exact={np.array_equal(np.asarray(r), ref)}",
+              flush=True)
+
         @jax.jit
         def onehot_f32(ids, v):
             nb = N // BLK
@@ -157,6 +173,48 @@ def main():
         np.add.at(ref, ids_np, fvals_np)
         err = float(np.max(np.abs((np.asarray(r) - ref) / ref)))
         report("one-hot f64 hi/lo matmul", t, f"relerr={err:.2e}")
+
+        # f64-accumulating einsum: does XLA TPU support it, and at what cost?
+        @jax.jit
+        def onehot_f64acc(ids, fv):
+            nb = N // BLK
+            idb = ids.reshape(nb, BLK)
+            oh = jax.nn.one_hot(idb, NSEG, dtype=jnp.float32)
+            hi = fv.astype(jnp.float32)
+            lo = (fv - hi.astype(jnp.float64)).astype(jnp.float32)
+            ph = jnp.einsum("brs,br->bs", oh, hi.reshape(nb, BLK),
+                            preferred_element_type=jnp.float64)
+            pl = jnp.einsum("brs,br->bs", oh, lo.reshape(nb, BLK),
+                            preferred_element_type=jnp.float64)
+            return (ph + pl).sum(axis=0)
+
+        try:
+            t, r = timed(onehot_f64acc, (ids, fvals))
+            err = float(np.max(np.abs((np.asarray(r) - ref) / ref)))
+            report("one-hot f64-acc einsum", t, f"relerr={err:.2e}")
+        except Exception as e:  # noqa: BLE001
+            print(f"one-hot f64-acc einsum failed: {e}", flush=True)
+
+        # integer-limb decomposition of scaled f64: multiply by 2^26 and
+        # split into int limbs? Instead: 3-way f32 split (hi, mid, lo)
+        @jax.jit
+        def onehot_f64_3way(ids, fv):
+            nb = N // BLK
+            idb = ids.reshape(nb, BLK)
+            oh = jax.nn.one_hot(idb, NSEG, dtype=jnp.float32)
+            hi = fv.astype(jnp.float32)
+            rem = fv - hi.astype(jnp.float64)
+            mid = rem.astype(jnp.float32)
+            lo = (rem - mid.astype(jnp.float64)).astype(jnp.float32)
+            out = 0.0
+            for part in (hi, mid, lo):
+                p = jnp.einsum("brs,br->bs", oh, part.reshape(nb, BLK))
+                out = out + p.astype(jnp.float64).sum(axis=0)
+            return out
+
+        t, r = timed(onehot_f64_3way, (ids, fvals))
+        err = float(np.max(np.abs((np.asarray(r) - ref) / ref)))
+        report("one-hot f64 3-way matmul", t, f"relerr={err:.2e}")
 
     if "gather" in cases:
         lut = jnp.asarray(rng.integers(0, 1000, 1 << 22).astype(np.int32))
