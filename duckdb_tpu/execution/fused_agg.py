@@ -453,50 +453,22 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
                 off = jnp.clip(kd - lo + 1, 0, dom - 1)
             dense = dense * jnp.int64(dom) + off
         dense = jnp.where(live, dense, total).astype(jnp.int32)
-        nseg = total + 1
 
-        # Batch every sum-kind partial (plus occupancy) into ONE 2D
-        # segment_sum: on runtimes with high per-stage latency each scatter
-        # op is a serialized stage, so K scatters collapse to one (N, K)
-        # scatter (min/max partials keep their own ops).
-        requests = []  # (slot_index_in_flat, vector, kind)
-        flat_template = []
+        # All partials (plus occupancy) go through ops.grouped.grouped_reduce,
+        # which picks the TPU-friendly kernel per domain size (masked
+        # broadcast reduce for small slot counts — scatter lowers to a
+        # serialized row loop on TPU; see ops/grouped.py).
+        from duckdb_tpu.ops.grouped import grouped_reduce
+
+        vecs, kinds = [], []
         for agg in node.aggs:
-            parts = _slot_agg_partial_vectors(agg, env2, live, p)
-            for vec, kind in parts:
-                requests.append((len(flat_template), vec, kind))
-                flat_template.append(None)
-        int_sum_idx = [i for i, v, k in requests
-                       if k == "sum" and not jnp.issubdtype(v.dtype,
-                                                            jnp.floating)]
-        f64_sum_idx = [i for i, v, k in requests
-                       if k == "sum" and jnp.issubdtype(v.dtype,
-                                                        jnp.floating)]
-        req = {i: (v, k) for i, v, k in requests}
-        flat = list(flat_template)
-        if int_sum_idx:
-            mat = jnp.stack([req[i][0].astype(jnp.int64)
-                             for i in int_sum_idx]
-                            + [live.astype(jnp.int64)], axis=1)
-            sums = jax.ops.segment_sum(mat, dense, num_segments=nseg)[:-1]
-            for j, i in enumerate(int_sum_idx):
-                flat[i] = sums[:, j]
-            occ = sums[:, -1].astype(jnp.int32)
-        else:
-            occ = jax.ops.segment_sum(live.astype(jnp.int32), dense,
-                                      num_segments=nseg)[:-1]
-        if f64_sum_idx:
-            fmat = jnp.stack([req[i][0] for i in f64_sum_idx], axis=1)
-            fsums = jax.ops.segment_sum(fmat, dense, num_segments=nseg)[:-1]
-            for j, i in enumerate(f64_sum_idx):
-                flat[i] = fsums[:, j]
-        for i, (v, k) in req.items():
-            if k == "min":
-                flat[i] = jax.ops.segment_min(v, dense,
-                                              num_segments=nseg)[:-1]
-            elif k == "max":
-                flat[i] = jax.ops.segment_max(v, dense,
-                                              num_segments=nseg)[:-1]
+            for vec, kind in _slot_agg_partial_vectors(agg, env2, live, p):
+                vecs.append(vec)
+                kinds.append(kind)
+        vecs.append(live.astype(jnp.int32))
+        kinds.append("sum")
+        res = grouped_reduce(dense, vecs, kinds, total)
+        flat, occ = res[:-1], res[-1].astype(jnp.int32)
         return occ, flat
 
     def finalize(occ, flat):
@@ -707,55 +679,6 @@ def _slot_agg_partial_vectors(agg, env, live, plen):
     raise AssertionError(agg.func)
 
 
-def _slot_agg_partials(agg, env, dense, nseg, live, plen):
-    """Per-slot COMBINABLE partial state: list of (array, combine_kind).
-
-    combine_kind ∈ {sum,min,max}: how partials merge across shards — the
-    Combine phase of the reference's sink contract (physical_operator.hpp:
-    199-231) expressed as psum/pmin/pmax collectives.
-    """
-    def seg(x):
-        return jax.ops.segment_sum(x, dense, num_segments=nseg)[:-1]
-
-    if agg.func == "count_star":
-        return [(seg(live.astype(jnp.int64)), "sum")]
-    c = agg.args[0].eval(env)
-    data = jnp.broadcast_to(c.data, (plen,))
-    mask = live
-    if c.validity is not None:
-        mask = jnp.logical_and(mask, jnp.broadcast_to(c.validity, (plen,)))
-    cnt = seg(mask.astype(jnp.int64))
-    if agg.func == "count":
-        return [(cnt, "sum")]
-    if agg.func in ("sum", "avg", "mean"):
-        if c.ltype.is_float:
-            x = jnp.where(mask, data.astype(jnp.float64), 0.0)
-            return [(seg(x), "sum"), (cnt, "sum")]
-        x = jnp.where(mask, data.astype(jnp.int64), 0)
-        if (agg.func == "sum" and c.ltype.id is TypeId.DECIMAL
-                and agg.ltype.width > 18 and getattr(agg, "_wide", False)):
-            # exact >int64 sums: accumulate hi/lo 32-bit halves separately
-            # (each bounded by 2^62 for any row count ≤ 2^30); recombined
-            # into an exact 128-bit value at finalize
-            mask32 = jnp.int64((1 << 32) - 1)
-            lo = seg(x & mask32)
-            hi = seg(x >> 32)  # arithmetic shift: v = hi·2^32 + lo, lo ≥ 0
-            return [(hi, "sum"), (lo, "sum"), (cnt, "sum")]
-        return [(seg(x), "sum"), (cnt, "sum")]
-    if agg.func in ("min", "max"):
-        if c.ltype.is_float:
-            sent = jnp.inf if agg.func == "min" else -jnp.inf
-            x = jnp.where(mask, data.astype(jnp.float64), sent)
-        else:
-            sent = (np.iinfo(np.int64).max if agg.func == "min"
-                    else np.iinfo(np.int64).min)
-            x = jnp.where(mask, data.astype(jnp.int64), sent)
-        op = jax.ops.segment_min if agg.func == "min" else jax.ops.segment_max
-        d = op(x, dense, num_segments=nseg)[:-1]
-        return [(d, agg.func), (cnt, "sum")]
-    raise AssertionError(agg.func)
-
-
 def _slot_agg_finalize(agg, parts, arg_type):
     """Combined partials → (data, validity|None)."""
     if agg.func in ("count_star", "count"):
@@ -785,12 +708,6 @@ def _slot_agg_finalize(agg, parts, arg_type):
     if agg.func in ("min", "max"):
         return (parts[0].astype(arg_type.np_dtype), nonempty)
     raise AssertionError(agg.func)
-
-
-def _slot_agg(agg, env, dense, nseg, live, plen):
-    """Single-device path: partials + finalize fused in one trace."""
-    parts = _slot_agg_partials(agg, env, dense, nseg, live, plen)
-    return _slot_agg_finalize(agg, [p for p, _ in parts], _arg_type(agg, env))
 
 
 def _arg_type(agg, env):
