@@ -1,13 +1,16 @@
-"""Benchmark driver: TPC-H Q1 throughput on the default JAX device.
+"""Benchmark driver: TPC-H throughput on the default JAX device.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "secondary"}.
+Headline = Q1 rows/s (scan+filter+group-aggregate, the reference's own
+flagship shape, /root/reference/benchmark/tpch/sf1/q01.benchmark); secondary
+metrics cover Q3 (join+agg+topn), Q6 (filter+reduce), Q9 (5-way join+agg).
 
 Protocol mirrors the reference's benchmark_runner (1 warmup + 5 timed
 runs, /root/reference/benchmark/benchmark_runner.cpp): the warmup run
 pays XLA compilation; timed runs measure steady-state execution.
-vs_baseline compares rows/s against the measured reference DuckDB
-baseline on this machine when available (BASELINE_MEASURED.json),
-else null.
+vs_baseline compares against the measured reference DuckDB baseline on
+this machine (BASELINE_MEASURED.json): for the headline, ratio of rows/s;
+for secondaries, ratio of reference time to our time (>1 = faster).
 """
 
 import json
@@ -23,6 +26,7 @@ sys.path.insert(0, ROOT)
 SF = float(os.environ.get("BENCH_SF", "1"))
 DATA = os.path.join(ROOT, "data", f"sf{SF:g}")
 LINEITEM_ROWS = {0.01: 60175, 0.1: 600572, 1: 6001215, 10: 59986052}
+REF_QUERIES = "/root/reference/extension/tpch/dbgen/queries"
 
 Q1 = """
 SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
@@ -37,6 +41,8 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
 
+SECONDARY = ["q03", "q06", "q09"]
+
 
 def ensure_data():
     if os.path.isdir(os.path.join(DATA, "lineitem")):
@@ -49,36 +55,56 @@ def ensure_data():
                    stdout=subprocess.DEVNULL)
 
 
+def timed(con, sql, runs=5):
+    con.sql(sql)  # warmup: compile
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        con.sql(sql)
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
 def main():
     ensure_data()
     import duckdb_tpu
 
     con = duckdb_tpu.connect()
     con.load_tpch(DATA)
-    # warmup: compile + load columns to device
-    con.sql(Q1)
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        con.sql(Q1)
-        times.append(time.perf_counter() - t0)
-    t = statistics.median(times)
-    rows = LINEITEM_ROWS.get(SF, int(6_001_215 * SF))
-    rows_per_s = rows / t
 
-    vs = None
+    base = {}
     baseline_path = os.path.join(ROOT, "BASELINE_MEASURED.json")
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)
-        ref = base.get(f"q01_sf{SF:g}_rows_per_s")
-        if ref:
-            vs = rows_per_s / ref
+
+    t1 = timed(con, Q1)
+    rows = LINEITEM_ROWS.get(SF, int(6_001_215 * SF))
+    rows_per_s = rows / t1
+    ref = base.get(f"q01_sf{SF:g}_rows_per_s")
+    vs = rows_per_s / ref if ref else None
+
+    secondary = {f"q01_sf{SF:g}_s": round(t1, 4)}
+    for q in SECONDARY:
+        path = os.path.join(REF_QUERIES, f"{q}.sql")
+        if not os.path.exists(path):
+            continue
+        try:
+            t = timed(con, open(path).read(), runs=3)
+        except Exception as e:  # noqa: BLE001
+            secondary[f"{q}_sf{SF:g}_error"] = type(e).__name__
+            continue
+        secondary[f"{q}_sf{SF:g}_s"] = round(t, 4)
+        rt = base.get(f"{q}_sf{SF:g}_s")
+        if rt:
+            secondary[f"{q}_sf{SF:g}_vs_baseline"] = round(rt / t, 3)
+
     print(json.dumps({
         "metric": f"tpch_q1_sf{SF:g}_rows_per_s",
         "value": round(rows_per_s),
         "unit": "rows/s",
         "vs_baseline": round(vs, 3) if vs is not None else None,
+        "secondary": secondary,
     }))
 
 

@@ -293,6 +293,17 @@ def _compute_agg(agg: BoundAggregate, inp, gids, nseg, live, plen, key_data,
         d = jax.ops.segment_sum(mask.astype(jnp.int64), gids, num_segments=nseg)
         return Column(data=d[:-1], ltype=BIGINT)
 
+    from duckdb_tpu.execution.aggregate_stats import STAT_AGGS, compute_stat_agg
+    if f in STAT_AGGS:
+        return compute_stat_agg(agg, c, data, mask, gids, nseg, plen,
+                                n_groups, extra, key_data)
+    if f == "fsum":  # Kahan-style float sum: f64 accumulation is exact enough
+        x = jnp.where(mask, _float_of(c, data), 0.0)
+        d = jax.ops.segment_sum(x, gids, num_segments=nseg)[:-1]
+        cnt0 = jax.ops.segment_sum(mask.astype(jnp.int64), gids,
+                                   num_segments=nseg)[:-1]
+        return Column(data=d, ltype=DOUBLE, validity=cnt0 > 0)
+
     cnt = jax.ops.segment_sum(mask.astype(jnp.int64), gids, num_segments=nseg)[:-1]
     nonempty = cnt > 0
 

@@ -317,7 +317,7 @@ class Executor:
         proj, child = node, node.child
 
         fa = None
-        if isinstance(child, P.Aggregate) and child.groups:
+        if isinstance(child, P.Aggregate):
             try:
                 fa = build_fused_agg(self, child)
             except (KeyError, B.BindError):
@@ -958,10 +958,13 @@ class Executor:
         from duckdb_tpu.execution.aggregate_exec import execute_aggregate
         from duckdb_tpu.execution.fused_agg import try_fused_aggregate
 
-        if node.groups:
+        try:
             fused = try_fused_aggregate(self, node)
-            if fused is not None:
-                return fused
+        except (jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError):
+            fused = None  # host-only function in a filter/arg: general path
+        if fused is not None:
+            return fused
         child = self.execute(node.child)
         return execute_aggregate(self, child, node)
 

@@ -473,6 +473,10 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
 
     def finalize(occ, flat):
         """Replicated epilogue: decode group keys, finalize aggregates."""
+        if not node.groups:
+            # ungrouped aggregate: exactly one output row, live even when
+            # no input rows matched (SQL scalar-aggregate semantics)
+            occ = jnp.maximum(occ, 1)
         cols: Dict[str, Column] = {}
         slots = jnp.arange(total, dtype=jnp.int64)
         for (gkey, ref), lo, dom, st in zip(group_resolved, mins, domains,

@@ -45,6 +45,12 @@ AGGREGATE_NAMES = {
     "count_star", "arg_min", "arg_max", "median", "mode", "approx_count_distinct",
     "quantile", "quantile_cont", "quantile_disc", "approx_quantile",
     "group_concat", "listagg", "list", "array_agg", "histogram",
+    "corr", "covar_pop", "covar_samp", "regr_slope", "regr_intercept",
+    "regr_r2", "regr_count", "regr_avgx", "regr_avgy", "regr_sxx",
+    "regr_syy", "regr_sxy", "skewness", "kurtosis", "kurtosis_pop",
+    "entropy", "sem", "mad", "count_if", "countif", "arbitrary",
+    "argmax", "argmin", "max_by", "min_by", "favg", "fsum", "sumkahan",
+    "kahan_sum", "sum_no_overflow", "reservoir_quantile",
 }
 
 

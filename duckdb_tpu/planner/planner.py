@@ -1130,7 +1130,14 @@ class Planner:
             func = {"mean": "avg", "group_concat": "string_agg",
                     "listagg": "string_agg",
                     "quantile": "quantile_disc",
-                    "approx_quantile": "quantile_cont"}.get(name, name)
+                    "approx_quantile": "quantile_cont",
+                    "arbitrary": "first", "argmax": "arg_max",
+                    "argmin": "arg_min", "max_by": "arg_max",
+                    "min_by": "arg_min", "favg": "avg", "fsum": "fsum",
+                    "sumkahan": "fsum", "kahan_sum": "fsum",
+                    "sum_no_overflow": "sum",
+                    "reservoir_quantile": "quantile_disc",
+                    }.get(name, name)
             args = [binder.bind(a) for a in fc.args]
         t = _agg_result_type(func, args)
         order_b = [(binder.bind(it.expr), it.descending, it.nulls_first)
@@ -1427,8 +1434,15 @@ def _bound_eq(a: B.BoundExpr, b: B.BoundExpr) -> bool:
 
 
 def _agg_result_type(func: str, args) -> LogicalType:
+    from duckdb_tpu.execution.aggregate_stats import STAT_AGGS
     if func in ("count", "count_star", "approx_count_distinct"):
         return BIGINT
+    if func in STAT_AGGS:
+        if func in ("regr_count", "count_if", "countif"):
+            return BIGINT
+        return DOUBLE
+    if func == "fsum":
+        return DOUBLE
     t = args[0].ltype if args else SQLNULL
     if func == "sum":
         if t.id is TypeId.DECIMAL:
