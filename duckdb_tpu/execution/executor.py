@@ -242,6 +242,12 @@ class Result:
                     out.append(pydec.Decimal(int(v)).scaleb(-t.scale))
                 elif t.id is TypeId.HUGEINT:
                     out.append(int(v))
+                elif t.id is TypeId.INTERVAL:
+                    out.append(datetime.timedelta(microseconds=int(v)))
+                elif t.id is TypeId.BLOB:
+                    b = dvals[v]
+                    out.append(bytes(b) if not isinstance(b, str)
+                               else b.encode())
                 elif t.id is TypeId.DATE:
                     out.append(datetime.date(1970, 1, 1)
                                + datetime.timedelta(days=int(v)))
@@ -303,9 +309,11 @@ class Executor:
         from duckdb_tpu.execution.tracing import TraceEnv, run_jitted
         from duckdb_tpu.ops import sort as S
 
-        if any(t.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP)
+        if any(t.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP,
+                        TypeId.HUGEINT, TypeId.BLOB)
                for _, _, t in output):
-            return None  # nested outputs carry object dicts: general path
+            return None  # nested outputs carry object dicts (and HUGEINT a
+            # high plane) the packed tail would drop: general path
         node = plan
         limit_node = order_node = None
         if isinstance(node, P.Limit):

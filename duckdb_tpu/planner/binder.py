@@ -13,13 +13,18 @@ import datetime
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
 
+import jax.numpy as jnp
+
+from duckdb_tpu.blocks import Column
 from duckdb_tpu.sql import nodes as N
 from duckdb_tpu.planner import bound as B
 from duckdb_tpu.planner import functions as F
 from duckdb_tpu.planner import functions_ext as _Fext  # noqa: F401 (registry side effects)
 from duckdb_tpu.planner import functions_nested as _Fnest  # noqa: F401 (registry side effects)
+from duckdb_tpu.planner import functions_more as _Fmore  # noqa: F401 (registry side effects)
 from duckdb_tpu.storage import json_io as _Fjson  # noqa: F401 (registry side effects)
 from duckdb_tpu.types import (
+    BLOB,
     TIME,
     BIGINT,
     BOOLEAN,
@@ -169,6 +174,7 @@ _TYPE_NAMES = {
     "bpchar": VARCHAR,
     "date": DATE, "timestamp": TIMESTAMP, "datetime": TIMESTAMP,
     "time": TIME,
+    "blob": BLOB, "bytea": BLOB, "binary": BLOB, "varbinary": BLOB,
 }
 
 
@@ -370,11 +376,73 @@ class ExprBinder:
             except (ValueError, BindError):
                 pass
         if TypeId.INTERVAL in (left.ltype.id, right.ltype.id):
-            raise BindError("non-constant date ± interval not yet supported")
+            return self._bind_interval_arith(e.op, left, right)
         if t.id is TypeId.DATE:
             # date ± integer days stays int32 days
             node.ltype = DATE
         return node
+
+    def _bind_interval_arith(self, op: str, left: B.BoundExpr,
+                             right: B.BoundExpr) -> B.BoundExpr:
+        """Runtime temporal ± interval (device intervals are int64 micros).
+
+        Matches the reference's interval operators
+        (src/common/operator/add.cpp AddOperator for date_t + interval_t):
+        DATE ± INTERVAL and TIMESTAMP ± INTERVAL → TIMESTAMP, TIME wraps
+        mod 24h, INTERVAL ± INTERVAL → INTERVAL. Month-granularity interval
+        values require calendar arithmetic and stay bind-time-constant only.
+        """
+        from duckdb_tpu.planner.bound import _and_validity
+
+        if op not in ("+", "-"):
+            raise BindError(f"cannot apply {op} to interval operands")
+        if left.ltype.id is not TypeId.INTERVAL:
+            pass  # temporal ± interval
+        elif right.ltype.id is TypeId.INTERVAL:
+            pass  # interval ± interval
+        elif op == "+":
+            left, right = right, left  # interval + temporal → temporal + interval
+        else:
+            raise BindError("cannot subtract temporal from interval")
+
+        def norm(x: B.BoundExpr) -> B.BoundExpr:
+            # constant interval literals are (months, days, micros) tuples;
+            # flatten to pure micros for device arithmetic
+            if x.ltype.id is TypeId.INTERVAL and x.is_const():
+                v = x.const_value()
+                if isinstance(v, tuple):
+                    months, days, micros = v
+                    if months:
+                        raise BindError(
+                            "month-granularity interval with non-constant "
+                            "operand not supported")
+                    return B.BoundLiteral(
+                        days * 86_400_000_000 + micros, INTERVAL)
+            return x
+
+        left, right = norm(left), norm(right)
+        base = left.ltype.id
+        out_t = {TypeId.DATE: TIMESTAMP, TypeId.TIMESTAMP: TIMESTAMP,
+                 TypeId.TIME: TIME,
+                 TypeId.INTERVAL: INTERVAL}.get(base)
+        if out_t is None:
+            raise BindError(
+                f"cannot apply interval arithmetic to {left.ltype}")
+        us_day = 86_400_000_000
+
+        def impl(env, cols, node):
+            a, b = cols
+            x = a.data.astype(jnp.int64)
+            y = b.data.astype(jnp.int64)
+            if base is TypeId.DATE:
+                x = x * jnp.int64(us_day)
+            d = x + y if op == "+" else x - y
+            if base is TypeId.TIME:
+                d = jnp.mod(d, jnp.int64(us_day))
+            return Column(data=d, ltype=out_t,
+                          validity=_and_validity(a.validity, b.validity))
+
+        return B.BoundFunction(f"__interval_{op}", [left, right], out_t, impl)
 
     def _align_comparison(self, left: B.BoundExpr, right: B.BoundExpr):
         """Insert casts so comparisons see compatible physical types."""

@@ -516,6 +516,17 @@ def _coerce_to(c: Column, t: LogicalType, env: EvalEnv,
     """Cast an evaluated column to the target logical type's physical form."""
     if c.ltype == t:
         return c
+    if c.ltype.id is TypeId.VARCHAR and t.id is TypeId.BLOB:
+        # dict-encoded relabel: utf-8 encode each distinct value
+        dv = np.array([s if isinstance(s, bytes) else str(s).encode()
+                       for s in c.dict_values], dtype=object)
+        return Column(data=c.data, ltype=t, validity=c.validity,
+                      dict_values=dv)
+    if c.ltype.id is TypeId.BLOB and t.id is TypeId.VARCHAR:
+        dv = np.array([bytes(s).decode() if not isinstance(s, str) else s
+                       for s in c.dict_values], dtype=object)
+        return Column(data=c.data, ltype=t, validity=c.validity,
+                      dict_values=dv)
     if (c.ltype.id is TypeId.VARCHAR and t.id is not TypeId.VARCHAR
             and t.id is not TypeId.SQLNULL):
         # string source: parse per distinct value (must run before the

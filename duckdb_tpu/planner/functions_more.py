@@ -1,0 +1,1065 @@
+"""Scalar function registry, batch 3: string codecs, similarity metrics,
+date/time constructors, interval builders, and system introspection.
+
+Parity targets (names + semantics):
+/root/reference/src/function/function_list.cpp and
+/root/reference/extension/core_functions/function_list.cpp, with per-family
+references cited inline. All VARCHAR work follows the engine's dictionary
+model: host python per *distinct* value, device LUT gather per row.
+"""
+
+from __future__ import annotations
+
+import base64 as _b64
+import hashlib
+import math
+import re
+import unicodedata
+import urllib.parse
+
+import numpy as np
+import jax.numpy as jnp
+
+from duckdb_tpu.blocks import Column
+from duckdb_tpu.planner.bound import BindError, EvalEnv, _to_double
+from duckdb_tpu.planner.functions import (
+    REGISTRY,
+    register,
+    dict_transform,
+    dict_predicate,
+)
+from duckdb_tpu.types import (
+    BIGINT,
+    BLOB,
+    BOOLEAN,
+    DATE,
+    DOUBLE,
+    INTEGER,
+    INTERVAL,
+    TIME,
+    TIMESTAMP,
+    VARCHAR,
+    LogicalType,
+    TypeId,
+    list_of,
+)
+
+# hooks assigned by Connection at construction (like ACTIVE_SEQUENCES)
+ACTIVE_CONTEXT = {"database": "memory", "schema": "main",
+                  "settings_manager": None, "query": ""}
+
+
+# -- helpers -----------------------------------------------------------------
+def _dict_str(name, pyfn, ret=VARCHAR, aliases=()):
+    """Register a unary VARCHAR function computed per distinct value."""
+
+    def binder(arg_exprs):
+        if ret.id is TypeId.VARCHAR:
+            def impl(env, cols, node):
+                return dict_transform(cols[0], pyfn)
+        elif ret.id is TypeId.BOOLEAN:
+            def impl(env, cols, node):
+                return dict_predicate(cols[0], pyfn)
+        else:
+            def impl(env, cols, node):
+                c = cols[0]
+                lut = np.fromiter((pyfn(s) for s in c.dict_values),
+                                  dtype=ret.np_dtype,
+                                  count=len(c.dict_values))
+                d = jnp.asarray(lut)[jnp.clip(c.data, 0, len(lut) - 1)]
+                return Column(data=d, ltype=ret, validity=c.validity)
+        return ret, impl, arg_exprs
+
+    for n in (name, *aliases):
+        REGISTRY[n] = binder
+    return binder
+
+
+def _dict_str2(name, pyfn, ret=VARCHAR, aliases=()):
+    """Register a binary string function; second arg must be constant
+    (column-column string pairs would be O(rows) host work — the engine's
+    documented VARCHAR model is per-distinct host compute)."""
+
+    def binder(arg_exprs):
+        other = arg_exprs[1].const_value()
+
+        def impl(env, cols, node):
+            c = cols[0]
+            if ret.id is TypeId.VARCHAR:
+                return dict_transform(c, lambda s: pyfn(s, other))
+            lut = np.fromiter((pyfn(s, other) for s in c.dict_values),
+                              dtype=ret.np_dtype, count=len(c.dict_values))
+            d = jnp.asarray(lut)[jnp.clip(c.data, 0, len(lut) - 1)]
+            return Column(data=d, ltype=ret, validity=c.validity)
+
+        return ret, impl, arg_exprs[:1]
+
+    for n in (name, *aliases):
+        REGISTRY[n] = binder
+    return binder
+
+
+def _host_rowwise_str(impl_rows):
+    """Row-wise host string builder → dictionary-encoded VARCHAR column."""
+
+    def run(env, cols, make_row, validity=None):
+        strs = make_row()
+        uniq, codes = np.unique(np.array(strs, dtype=str),
+                                return_inverse=True)
+        return Column(data=jnp.asarray(codes.astype(np.int32)),
+                      ltype=VARCHAR, validity=validity,
+                      dict_values=uniq.astype(object))
+
+    return run
+
+
+def _col_host_values(c: Column, plen: int):
+    d = np.asarray(jnp.broadcast_to(c.data, (plen,)))
+    if c.ltype.id is TypeId.VARCHAR and c.dict_values is not None:
+        return c.dict_values[np.clip(d, 0, len(c.dict_values) - 1)]
+    if c.ltype.id is TypeId.DECIMAL:
+        return d / (10.0 ** c.ltype.scale)
+    return d
+
+
+def _merge_validity(cols, plen):
+    validity = None
+    for c in cols:
+        if c.validity is not None:
+            v = jnp.broadcast_to(c.validity, (plen,))
+            validity = v if validity is None else jnp.logical_and(validity, v)
+    return validity
+
+
+# -- math --------------------------------------------------------------------
+@register("acosh")
+def _bind_acosh(arg_exprs):
+    def impl(env, cols, node):
+        return Column(data=jnp.arccosh(_to_double(cols[0])), ltype=DOUBLE,
+                      validity=cols[0].validity)
+    return DOUBLE, impl, arg_exprs
+
+
+@register("asinh")
+def _bind_asinh(arg_exprs):
+    def impl(env, cols, node):
+        return Column(data=jnp.arcsinh(_to_double(cols[0])), ltype=DOUBLE,
+                      validity=cols[0].validity)
+    return DOUBLE, impl, arg_exprs
+
+
+@register("atanh")
+def _bind_atanh(arg_exprs):
+    def impl(env, cols, node):
+        return Column(data=jnp.arctanh(_to_double(cols[0])), ltype=DOUBLE,
+                      validity=cols[0].validity)
+    return DOUBLE, impl, arg_exprs
+
+
+@register("cot")
+def _bind_cot(arg_exprs):
+    def impl(env, cols, node):
+        return Column(data=1.0 / jnp.tan(_to_double(cols[0])), ltype=DOUBLE,
+                      validity=cols[0].validity)
+    return DOUBLE, impl, arg_exprs
+
+
+@register("signbit")
+def _bind_signbit(arg_exprs):
+    def impl(env, cols, node):
+        return Column(data=jnp.signbit(_to_double(cols[0])), ltype=BOOLEAN,
+                      validity=cols[0].validity)
+    return BOOLEAN, impl, arg_exprs
+
+
+@register("binom")
+def _bind_binom(arg_exprs):
+    """binom(n, k) — exact integer binomial via lgamma rounding is unsafe;
+    host compute over small domains is wrong for columns. Device: exp of
+    lgamma differences, rounded (reference math_fun binomial)."""
+    def impl(env, cols, node):
+        n = _to_double(cols[0])
+        k = _to_double(cols[1])
+        from jax.scipy.special import gammaln
+
+        v = jnp.exp(gammaln(n + 1) - gammaln(k + 1) - gammaln(n - k + 1))
+        ok = jnp.logical_and(k >= 0, k <= n)
+        d = jnp.where(ok, jnp.round(v), 0.0).astype(jnp.int64)
+        from duckdb_tpu.planner.bound import _and_validity
+        return Column(data=d, ltype=BIGINT,
+                      validity=_and_validity(cols[0].validity,
+                                             cols[1].validity))
+    return BIGINT, impl, arg_exprs
+
+
+@register("to_base")
+def _bind_to_base(arg_exprs):
+    radix = int(arg_exprs[1].const_value())
+
+    def impl(env, cols, node):
+        c = cols[0]
+        x = np.asarray(jnp.broadcast_to(c.data, (env.plen,))).astype(np.int64)
+        digits = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+        def conv(v):
+            if v == 0:
+                return "0"
+            neg = v < 0
+            v = abs(int(v))
+            out = []
+            while v:
+                out.append(digits[v % radix])
+                v //= radix
+            return ("-" if neg else "") + "".join(reversed(out))
+
+        strs = [conv(v) for v in x]
+        uniq, codes = np.unique(np.array(strs, dtype=str),
+                                return_inverse=True)
+        return Column(data=jnp.asarray(codes.astype(np.int32)),
+                      ltype=VARCHAR, validity=c.validity,
+                      dict_values=uniq.astype(object))
+
+    return VARCHAR, impl, arg_exprs[:1]
+
+
+# -- string length / codecs --------------------------------------------------
+REGISTRY["char_length"] = REGISTRY["length"]
+REGISTRY["character_length"] = REGISTRY["length"]
+def _as_bytes(s):
+    return bytes(s) if not isinstance(s, str) else s.encode()
+
+
+_dict_str("bit_length", lambda s: len(_as_bytes(s)) * 8, ret=BIGINT)
+_dict_str("octet_length", lambda s: len(_as_bytes(s)), ret=BIGINT)
+_dict_str("to_base64", lambda s: _b64.b64encode(_as_bytes(s)).decode(),
+          aliases=("base64",))
+_dict_str("from_base64", lambda s: _b64.b64decode(s).decode("utf-8",
+                                                            "surrogateescape"))
+_dict_str("sha1", lambda s: hashlib.sha1(s.encode()).hexdigest())
+_dict_str("sha256", lambda s: hashlib.sha256(s.encode()).hexdigest())
+_dict_str("nfc_normalize", lambda s: unicodedata.normalize("NFC", s))
+_dict_str("strip_accents",
+          lambda s: "".join(ch for ch in unicodedata.normalize("NFD", s)
+                            if not unicodedata.combining(ch)))
+_dict_str("url_encode", lambda s: urllib.parse.quote(s, safe=""))
+_dict_str("url_decode", lambda s: urllib.parse.unquote(s))
+_dict_str("regexp_escape", lambda s: re.escape(s))
+_dict_str("parse_filename", lambda s: s.replace("\\", "/").rstrip("/").rsplit(
+    "/", 1)[-1])
+_dict_str("parse_dirname", lambda s: (lambda parts: parts[0] if parts else "")(
+    [p for p in s.replace("\\", "/").split("/") if p]))
+_dict_str("parse_dirpath", lambda s: s.replace("\\", "/").rstrip("/").rsplit(
+    "/", 1)[0] if "/" in s.replace("\\", "/").rstrip("/") else "")
+
+
+@register("md5_number")
+def _bind_md5_number(arg_exprs):
+    """md5 digest as HUGEINT (int128, low/high planes; the reference returns
+    hugeint, src/include/duckdb/common/types/hugeint.hpp)."""
+    from duckdb_tpu.types import HUGEINT
+
+    def impl(env, cols, node):
+        c = cols[0]
+        los = np.empty(len(c.dict_values), dtype=np.int64)
+        his = np.empty(len(c.dict_values), dtype=np.int64)
+        for i, s in enumerate(c.dict_values):
+            n = int.from_bytes(hashlib.md5(str(s).encode()).digest(),
+                               "little")
+            los[i] = np.uint64(n & ((1 << 64) - 1)).astype(np.int64)
+            his[i] = np.uint64(n >> 64).astype(np.int64)
+        idx = jnp.clip(c.data, 0, max(len(c.dict_values) - 1, 0))
+        return Column(data=jnp.asarray(los)[idx], ltype=HUGEINT,
+                      validity=c.validity, data_hi=jnp.asarray(his)[idx])
+
+    return HUGEINT, impl, arg_exprs
+
+
+def _bin_of_int(v):
+    # the reference prints the 64-bit two's-complement pattern for negatives
+    v = int(v)
+    return bin(v)[2:] if v >= 0 else bin((1 << 64) + v)[2:]
+
+
+@register("bin")
+@register("to_binary")
+def _bind_bin(arg_exprs):
+    t = arg_exprs[0].ltype
+    if t.id is TypeId.VARCHAR:
+        def impl(env, cols, node):
+            return dict_transform(
+                cols[0],
+                lambda s: "".join(format(b, "08b") for b in s.encode()))
+        return VARCHAR, impl, arg_exprs
+
+    def impl(env, cols, node):
+        c = cols[0]
+        x = np.asarray(jnp.broadcast_to(c.data, (env.plen,))).astype(np.int64)
+        strs = [_bin_of_int(v) for v in x]
+        uniq, codes = np.unique(np.array(strs, dtype=str), return_inverse=True)
+        return Column(data=jnp.asarray(codes.astype(np.int32)), ltype=VARCHAR,
+                      validity=c.validity, dict_values=uniq.astype(object))
+    return VARCHAR, impl, arg_exprs
+
+
+def _blob_fn(name, pyfn, aliases=()):
+    """VARCHAR → BLOB per distinct value (BLOB = dict-encoded bytes)."""
+    from duckdb_tpu.planner.functions_nested import encode_objects
+
+    def binder(arg_exprs):
+        def impl(env, cols, node):
+            c = cols[0]
+            inv, dvals = encode_objects([pyfn(str(s))
+                                         for s in c.dict_values])
+            codes = jnp.asarray(inv)[jnp.clip(
+                c.data, 0, max(len(inv) - 1, 0))]
+            return Column(data=codes, ltype=BLOB, validity=c.validity,
+                          dict_values=dvals)
+        return BLOB, impl, arg_exprs
+
+    for n in (name, *aliases):
+        REGISTRY[n] = binder
+
+
+def _unbin_bytes(s):
+    pad = (8 - len(s) % 8) % 8
+    return int(s, 2).to_bytes((len(s) + pad) // 8 or 1, "big") if s else b""
+
+
+_blob_fn("unbin", _unbin_bytes, aliases=("from_binary",))
+_blob_fn("unhex", lambda s: bytes.fromhex(s), aliases=("from_hex",))
+_blob_fn("encode", lambda s: s.encode())
+_dict_str("decode", lambda s: s if isinstance(s, str) else bytes(s).decode())
+
+
+# -- LIKE-escape family ------------------------------------------------------
+def _like_to_re(pattern: str, escape: str) -> "re.Pattern":
+    out = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if escape and ch == escape and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return re.compile("^" + "".join(out) + "$", re.DOTALL)
+
+
+def _mk_like_escape(name, negate, fold):
+    def binder(arg_exprs):
+        pat = str(arg_exprs[1].const_value())
+        esc = str(arg_exprs[2].const_value()) if len(arg_exprs) > 2 else ""
+        rx = _like_to_re(pat.lower() if fold else pat, esc)
+
+        def impl(env, cols, node):
+            return dict_predicate(
+                cols[0],
+                lambda s: bool(rx.match(s.lower() if fold else s)) != negate)
+        return BOOLEAN, impl, arg_exprs[:1]
+
+    REGISTRY[name] = binder
+
+
+_mk_like_escape("like_escape", False, False)
+_mk_like_escape("not_like_escape", True, False)
+_mk_like_escape("ilike_escape", False, True)
+_mk_like_escape("not_ilike_escape", True, True)
+
+
+# -- grapheme functions ------------------------------------------------------
+def _graphemes(s: str):
+    """Extended grapheme clusters, approximated as base char + combining
+    marks (full UAX#29 segmentation lands with the ICU-equivalent work)."""
+    out = []
+    for ch in s:
+        if out and unicodedata.combining(ch):
+            out[-1] += ch
+        else:
+            out.append(ch)
+    return out
+
+
+_dict_str("length_grapheme", lambda s: len(_graphemes(s)), ret=BIGINT)
+_dict_str2("left_grapheme", lambda s, n: "".join(_graphemes(s)[:int(n)]))
+_dict_str2("right_grapheme",
+           lambda s, n: "".join(_graphemes(s)[-int(n):]) if int(n) else "")
+
+
+@register("substring_grapheme")
+def _bind_substring_grapheme(arg_exprs):
+    start = int(arg_exprs[1].const_value())
+    length = int(arg_exprs[2].const_value()) if len(arg_exprs) > 2 else None
+
+    def impl(env, cols, node):
+        s0 = start - 1
+
+        def f(s):
+            g = _graphemes(s)
+            return "".join(g[s0:] if length is None else g[s0:s0 + length])
+        return dict_transform(cols[0], f)
+
+    return VARCHAR, impl, arg_exprs[:1]
+
+
+# -- similarity metrics ------------------------------------------------------
+def _damerau(a: str, b: str) -> int:
+    la, lb = len(a), len(b)
+    d = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        d[i][0] = i
+    for j in range(lb + 1):
+        d[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                          d[i - 1][j - 1] + cost)
+            if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]):
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[la][lb]
+
+
+def _jaccard(a: str, b: str) -> float:
+    sa, sb = set(a), set(b)
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def _jaro(a: str, b: str) -> float:
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 1.0
+    if la == 0 or lb == 0:
+        return 0.0
+    match_dist = max(la, lb) // 2 - 1
+    a_matched = [False] * la
+    b_matched = [False] * lb
+    matches = 0
+    for i in range(la):
+        lo = max(0, i - match_dist)
+        hi = min(lb, i + match_dist + 1)
+        for j in range(lo, hi):
+            if not b_matched[j] and a[i] == b[j]:
+                a_matched[i] = b_matched[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if a_matched[i]:
+            while not b_matched[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / la + matches / lb + (matches - t) / matches) / 3.0
+
+
+def _jaro_winkler(a: str, b: str) -> float:
+    j = _jaro(a, b)
+    if j <= 0.7:
+        return j
+    prefix = 0
+    for x, y in zip(a, b):
+        if x != y or prefix == 4:
+            break
+        prefix += 1
+    return j + prefix * 0.1 * (1.0 - j)
+
+
+_dict_str2("damerau_levenshtein", lambda s, o: _damerau(s, str(o)),
+           ret=BIGINT)
+_dict_str2("jaccard", lambda s, o: _jaccard(s, str(o)), ret=DOUBLE)
+_dict_str2("jaro_similarity", lambda s, o: _jaro(s, str(o)), ret=DOUBLE)
+_dict_str2("jaro_winkler_similarity",
+           lambda s, o: _jaro_winkler(s, str(o)), ret=DOUBLE)
+
+
+@register("overlay")
+def _bind_overlay(arg_exprs):
+    """overlay(s PLACING replacement FROM pos [FOR len]) — parsed as
+    overlay(s, replacement, pos[, len])."""
+    repl = str(arg_exprs[1].const_value())
+    pos = int(arg_exprs[2].const_value())
+    ln = (int(arg_exprs[3].const_value()) if len(arg_exprs) > 3
+          else len(repl))
+
+    def impl(env, cols, node):
+        return dict_transform(
+            cols[0], lambda s: s[:pos - 1] + repl + s[pos - 1 + ln:])
+    return VARCHAR, impl, arg_exprs[:1]
+
+
+# -- regexp additions --------------------------------------------------------
+@register("regexp_full_match")
+def _bind_regexp_full_match(arg_exprs):
+    pat = str(arg_exprs[1].const_value())
+    rx = re.compile(pat)
+
+    def impl(env, cols, node):
+        return dict_predicate(cols[0], lambda s: rx.fullmatch(s) is not None)
+    return BOOLEAN, impl, arg_exprs[:1]
+
+
+@register("regexp_extract_all")
+def _bind_regexp_extract_all(arg_exprs):
+    from duckdb_tpu.planner.functions_nested import encode_objects
+
+    pat = str(arg_exprs[1].const_value())
+    group = int(arg_exprs[2].const_value()) if len(arg_exprs) > 2 else 0
+    rx = re.compile(pat)
+    lt = list_of(VARCHAR)
+
+    def impl(env, cols, node):
+        c = cols[0]
+        entries = []
+        for s in c.dict_values:
+            ms = [(m.group(group) or "") for m in rx.finditer(str(s))]
+            entries.append(tuple(ms))
+        inv, dvals = encode_objects(entries)
+        codes = jnp.asarray(inv)[jnp.clip(c.data, 0, max(len(inv) - 1, 0))]
+        return Column(data=codes, ltype=lt, validity=c.validity,
+                      dict_values=dvals)
+
+    return lt, impl, arg_exprs[:1]
+
+
+@register("regexp_split_to_array")
+@register("str_split_regex")
+@register("string_split_regex")
+def _bind_regexp_split(arg_exprs):
+    from duckdb_tpu.planner.functions_nested import encode_objects
+
+    pat = str(arg_exprs[1].const_value())
+    rx = re.compile(pat)
+    lt = list_of(VARCHAR)
+
+    def impl(env, cols, node):
+        c = cols[0]
+        entries = [tuple(rx.split(str(s))) for s in c.dict_values]
+        inv, dvals = encode_objects(entries)
+        codes = jnp.asarray(inv)[jnp.clip(c.data, 0, max(len(inv) - 1, 0))]
+        return Column(data=codes, ltype=lt, validity=c.validity,
+                      dict_values=dvals)
+
+    return lt, impl, arg_exprs[:1]
+
+
+@register("parse_path")
+def _bind_parse_path(arg_exprs):
+    from duckdb_tpu.planner.functions_nested import encode_objects
+
+    lt = list_of(VARCHAR)
+
+    def impl(env, cols, node):
+        c = cols[0]
+        entries = []
+        for s in c.dict_values:
+            p = str(s).replace("\\", "/")
+            parts = [x for x in p.split("/") if x]
+            if p.startswith("/"):
+                parts = ["/"] + parts
+            entries.append(tuple(parts))
+        inv, dvals = encode_objects(entries)
+        codes = jnp.asarray(inv)[jnp.clip(c.data, 0, max(len(inv) - 1, 0))]
+        return Column(data=codes, ltype=lt, validity=c.validity,
+                      dict_values=dvals)
+
+    return lt, impl, arg_exprs[:1]
+
+
+# -- readable byte sizes -----------------------------------------------------
+def _fmt_size(v, binary):
+    units = (["bytes", "KiB", "MiB", "GiB", "TiB", "PiB"] if binary
+             else ["bytes", "kB", "MB", "GB", "TB", "PB"])
+    step = 1024.0 if binary else 1000.0
+    x = float(v)
+    neg = x < 0
+    x = abs(x)
+    u = 0
+    while x >= step and u < len(units) - 1:
+        x /= step
+        u += 1
+    if u == 0:
+        s = f"{int(x)} bytes"
+    else:
+        s = f"{math.floor(x * 10) / 10:.1f} {units[u]}"  # truncate like ref
+    return ("-" + s) if neg else s
+
+
+def _mk_readable(name, binary):
+    def binder(arg_exprs):
+        def impl(env, cols, node):
+            c = cols[0]
+            x = np.asarray(jnp.broadcast_to(c.data, (env.plen,)))
+            strs = [_fmt_size(v, binary) for v in x]
+            uniq, codes = np.unique(np.array(strs, dtype=str),
+                                    return_inverse=True)
+            return Column(data=jnp.asarray(codes.astype(np.int32)),
+                          ltype=VARCHAR, validity=c.validity,
+                          dict_values=uniq.astype(object))
+        return VARCHAR, impl, arg_exprs
+
+    REGISTRY[name] = binder
+
+
+# binder lowercases names (SQL identifiers are case-insensitive)
+_mk_readable("formatreadablesize", True)
+_mk_readable("formatreadabledecimalsize", False)
+_dict_str("parse_formatted_bytes", lambda s: _parse_bytes(s), ret=BIGINT)
+
+
+def _parse_bytes(s: str) -> int:
+    m = re.match(r"\s*([\d.]+)\s*([A-Za-z]*)\s*$", s)
+    if not m:
+        raise BindError(f"cannot parse byte string {s!r}")
+    v = float(m.group(1))
+    unit = m.group(2)
+    mult = {"": 1, "B": 1, "BYTE": 1, "BYTES": 1,
+            "KB": 1000, "MB": 1000**2, "GB": 1000**3, "TB": 1000**4,
+            "PB": 1000**5, "KIB": 1024, "MIB": 1024**2, "GIB": 1024**3,
+            "TIB": 1024**4, "PIB": 1024**5}.get(unit.upper())
+    if mult is None:
+        raise BindError(f"unknown byte unit {unit!r}")
+    return int(v * mult)
+
+
+# -- date/time ---------------------------------------------------------------
+def _us_of(c: Column, plen) -> jnp.ndarray:
+    d = jnp.broadcast_to(c.data, (plen,)).astype(jnp.int64)
+    if c.ltype.id is TypeId.DATE:
+        return d * jnp.int64(86400_000_000)
+    return d
+
+
+def _mk_epoch(name, div):
+    def binder(arg_exprs):
+        def impl(env, cols, node):
+            us = _us_of(cols[0], env.plen)
+            if div >= 1:
+                out = jnp.where(us >= 0, us // div, -((-us) // div)) \
+                    if False else us // jnp.int64(div)
+            else:
+                out = us * jnp.int64(round(1 / div))
+            return Column(data=out, ltype=BIGINT, validity=cols[0].validity)
+        return BIGINT, impl, arg_exprs
+
+    REGISTRY[name] = binder
+
+
+_mk_epoch("epoch_us", 1)
+_mk_epoch("epoch_ms", 1000)
+_mk_epoch("epoch_ns", 1e-3)
+
+
+@register("to_timestamp")
+def _bind_to_timestamp(arg_exprs):
+    def impl(env, cols, node):
+        sec = _to_double(cols[0])
+        us = (sec * 1e6).astype(jnp.int64)
+        return Column(data=us, ltype=TIMESTAMP, validity=cols[0].validity)
+    return TIMESTAMP, impl, arg_exprs
+
+
+def _device_days_from_civil(y, m, d):
+    """Howard Hinnant's algorithm, vectorized (same as the host
+    days_from_civil in bound.py)."""
+    y = y.astype(jnp.int64)
+    m = m.astype(jnp.int64)
+    d = d.astype(jnp.int64)
+    y_adj = y - (m <= 2)
+    era = jnp.where(y_adj >= 0, y_adj, y_adj - 399) // 400
+    yoe = y_adj - era * 400
+    mp = (m + 9) % 12
+    doy = (153 * mp + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+@register("make_time")
+def _bind_make_time(arg_exprs):
+    def impl(env, cols, node):
+        h = jnp.broadcast_to(cols[0].data, (env.plen,)).astype(jnp.int64)
+        mi = jnp.broadcast_to(cols[1].data, (env.plen,)).astype(jnp.int64)
+        s = _to_double(cols[2])
+        us = (h * 3600 + mi * 60) * jnp.int64(1_000_000) \
+            + (s * 1e6).astype(jnp.int64)
+        return Column(data=us, ltype=TIME, validity=_merge_validity(
+            cols, env.plen))
+    return TIME, impl, arg_exprs
+
+
+@register("make_timestamp")
+def _bind_make_timestamp(arg_exprs):
+    if len(arg_exprs) == 1:
+        def impl(env, cols, node):
+            us = jnp.broadcast_to(cols[0].data, (env.plen,)).astype(jnp.int64)
+            return Column(data=us, ltype=TIMESTAMP, validity=cols[0].validity)
+        return TIMESTAMP, impl, arg_exprs
+
+    def impl(env, cols, node):
+        p = env.plen
+        y, m, d, h, mi = [jnp.broadcast_to(c.data, (p,)).astype(jnp.int64)
+                          for c in cols[:5]]
+        s = _to_double(cols[5])
+        days = _device_days_from_civil(y, m, d)
+        us = (days * 86400 + h * 3600 + mi * 60) * jnp.int64(1_000_000) \
+            + (s * 1e6).astype(jnp.int64)
+        return Column(data=us, ltype=TIMESTAMP,
+                      validity=_merge_validity(cols, p))
+    return TIMESTAMP, impl, arg_exprs
+
+
+def _mk_make_ts_scaled(name, mult):
+    def binder(arg_exprs):
+        def impl(env, cols, node):
+            x = jnp.broadcast_to(cols[0].data, (env.plen,)).astype(jnp.int64)
+            if mult >= 1:
+                us = x * jnp.int64(mult)
+            else:
+                us = x // jnp.int64(round(1 / mult))
+            return Column(data=us, ltype=TIMESTAMP, validity=cols[0].validity)
+        return TIMESTAMP, impl, arg_exprs
+
+    REGISTRY[name] = binder
+
+
+_mk_make_ts_scaled("make_timestamp_ms", 1000)
+_mk_make_ts_scaled("make_timestamp_ns", 1e-3)
+
+
+def _extract_like(name, fn):
+    """Register a date-part function computed from (y, m, d, days)."""
+    from duckdb_tpu.planner.bound import civil_from_days
+
+    def binder(arg_exprs):
+        def impl(env, cols, node):
+            c = cols[0]
+            if c.ltype.id is TypeId.TIMESTAMP:
+                days = jnp.broadcast_to(c.data, (env.plen,)) \
+                    // jnp.int64(86400_000_000)
+            else:
+                days = jnp.broadcast_to(c.data, (env.plen,)).astype(jnp.int64)
+            y, m, d = civil_from_days(days)
+            return Column(data=fn(y, m, d, days).astype(jnp.int64),
+                          ltype=BIGINT, validity=c.validity)
+        return BIGINT, impl, arg_exprs
+
+    REGISTRY[name] = binder
+
+
+_extract_like("era", lambda y, m, d, days: (y > 0).astype(jnp.int64))
+_extract_like("millennium", lambda y, m, d, days: jnp.where(
+    y > 0, (y + 999) // 1000, -((-y + 1000) // 1000) + 1))
+_extract_like("weekday", lambda y, m, d, days: jnp.mod(days + 4, 7))
+_extract_like("dayofmonth", lambda y, m, d, days: d)
+
+
+@register("julian")
+def _bind_julian(arg_exprs):
+    def impl(env, cols, node):
+        c = cols[0]
+        d = jnp.broadcast_to(c.data, (env.plen,)).astype(jnp.float64)
+        if c.ltype.id is TypeId.TIMESTAMP:
+            d = d / 86400e6
+        return Column(data=d + 2440588.0, ltype=DOUBLE, validity=c.validity)
+    return DOUBLE, impl, arg_exprs
+
+
+
+def _iso_year_week(y, m, d, days):
+    """ISO-8601 week-numbering (year, week) pair, vectorized."""
+    dow = jnp.mod(days + 3, 7)  # Monday=0
+    thursday = days - dow + 3
+    from duckdb_tpu.planner.bound import civil_from_days
+
+    ty, _, _ = civil_from_days(thursday)
+    jan1 = _device_days_from_civil(ty, jnp.ones_like(ty), jnp.ones_like(ty))
+    week = (thursday - jan1) // 7 + 1
+    return ty, week
+
+
+_extract_like("isoyear", lambda y, m, d, days: _iso_year_week(
+    y, m, d, days)[0])
+_extract_like("yearweek", lambda y, m, d, days: (
+    lambda ty, wk: ty * 100 + wk)(*_iso_year_week(y, m, d, days)))
+REGISTRY["datepart"] = REGISTRY["date_part"]
+
+
+@register("date_sub")
+@register("datesub")
+def _bind_date_sub(arg_exprs):
+    """date_sub(part, start, end): complete part-intervals between
+    (reference: src/function/scalar/date/date_sub.cpp)."""
+    part = str(arg_exprs[0].const_value()).lower()
+
+    def impl(env, cols, node):
+        a = _us_of(cols[0], env.plen)
+        b = _us_of(cols[1], env.plen)
+        us = {"second": 1_000_000, "minute": 60_000_000,
+              "hour": 3_600_000_000, "day": 86_400_000_000,
+              "millisecond": 1000, "microsecond": 1,
+              "week": 7 * 86_400_000_000}.get(part)
+        if us is None:
+            raise BindError(f"date_sub part {part} not supported")
+        diff = b - a
+        out = jnp.where(diff >= 0, diff // us, -((-diff) // us))
+        return Column(data=out, ltype=BIGINT,
+                      validity=_merge_validity(cols, env.plen))
+
+    return BIGINT, impl, arg_exprs[1:]
+
+
+def _mk_to_interval(name, us_per):
+    def binder(arg_exprs):
+        def impl(env, cols, node):
+            x = jnp.broadcast_to(cols[0].data, (env.plen,)).astype(jnp.int64)
+            return Column(data=x * jnp.int64(us_per), ltype=INTERVAL,
+                          validity=cols[0].validity)
+        return INTERVAL, impl, arg_exprs
+
+    REGISTRY[name] = binder
+
+
+_mk_to_interval("to_microseconds", 1)
+_mk_to_interval("to_milliseconds", 1000)
+_mk_to_interval("to_seconds", 1_000_000)
+_mk_to_interval("to_minutes", 60_000_000)
+_mk_to_interval("to_hours", 3_600_000_000)
+_mk_to_interval("to_days", 86_400_000_000)
+_mk_to_interval("to_weeks", 7 * 86_400_000_000)
+
+
+@register("try_strptime")
+def _bind_try_strptime(arg_exprs):
+    import datetime as _dt
+
+    fmt = str(arg_exprs[1].const_value())
+    pyfmt = fmt  # duckdb strptime uses C-style codes, same as python's
+
+    def impl(env, cols, node):
+        c = cols[0]
+        us = np.empty(len(c.dict_values), dtype=np.int64)
+        ok = np.empty(len(c.dict_values), dtype=np.bool_)
+        epoch = _dt.datetime(1970, 1, 1)
+        for i, s in enumerate(c.dict_values):
+            try:
+                t = _dt.datetime.strptime(str(s), pyfmt)
+                us[i] = int((t - epoch).total_seconds() * 1e6)
+                ok[i] = True
+            except ValueError:
+                us[i] = 0
+                ok[i] = False
+        idx = jnp.clip(c.data, 0, max(len(c.dict_values) - 1, 0))
+        valid = jnp.asarray(ok)[idx]
+        if c.validity is not None:
+            valid = jnp.logical_and(valid, c.validity)
+        return Column(data=jnp.asarray(us)[idx], ltype=TIMESTAMP,
+                      validity=valid)
+
+    return TIMESTAMP, impl, arg_exprs[:1]
+
+
+@register("timezone")
+def _bind_timezone(arg_exprs):
+    # naive timestamps: timezone(ts) = 0 offset (the ICU extension owns
+    # real timezone arithmetic in the reference)
+    def impl(env, cols, node):
+        c = cols[-1]
+        return Column(data=jnp.broadcast_to(c.data, (env.plen,)),
+                      ltype=c.ltype, validity=c.validity)
+    return arg_exprs[-1].ltype, impl, arg_exprs
+
+
+def _mk_tz_part(name):
+    def binder(arg_exprs):
+        def impl(env, cols, node):
+            return Column(data=jnp.zeros((env.plen,), jnp.int64),
+                          ltype=BIGINT, validity=cols[0].validity)
+        return BIGINT, impl, arg_exprs
+    REGISTRY[name] = binder
+
+
+_mk_tz_part("timezone_hour")
+_mk_tz_part("timezone_minute")
+
+
+# -- system / introspection --------------------------------------------------
+def _const_varchar(name, value_fn):
+    def binder(arg_exprs):
+        def impl(env, cols, node):
+            vals = np.array([str(value_fn())], dtype=object)
+            return Column(data=jnp.zeros((env.plen,), jnp.int32),
+                          ltype=VARCHAR, dict_values=vals)
+        return VARCHAR, impl, []
+
+    REGISTRY[name] = binder
+
+
+_const_varchar("current_database", lambda: ACTIVE_CONTEXT["database"])
+_const_varchar("current_schema", lambda: ACTIVE_CONTEXT["schema"])
+_const_varchar("current_query", lambda: ACTIVE_CONTEXT["query"])
+_const_varchar("version", lambda: "v1.4.4-tpu")
+
+
+@register("current_schemas")
+def _bind_current_schemas(arg_exprs):
+    lt = list_of(VARCHAR)
+
+    def impl(env, cols, node):
+        from duckdb_tpu.planner.functions_nested import obj_array
+
+        vals = obj_array([("main",)])
+        return Column(data=jnp.zeros((env.plen,), jnp.int32), ltype=lt,
+                      dict_values=vals)
+    return lt, impl, []
+
+
+@register("current_setting")
+def _bind_current_setting(arg_exprs):
+    name = str(arg_exprs[0].const_value()).lower()
+
+    def impl(env, cols, node):
+        mgr = ACTIVE_CONTEXT.get("settings_manager")
+        v = mgr.get(name, "") if mgr is not None else ""
+        vals = np.array([str(v)], dtype=object)
+        return Column(data=jnp.zeros((env.plen,), jnp.int32), ltype=VARCHAR,
+                      dict_values=vals)
+    return VARCHAR, impl, []
+
+
+def _mk_int_const(name, fn):
+    def binder(arg_exprs):
+        def impl(env, cols, node):
+            return Column(data=jnp.full((env.plen,), fn(), jnp.int64),
+                          ltype=BIGINT)
+        return BIGINT, impl, []
+    REGISTRY[name] = binder
+
+
+_TXN_COUNTER = [1000]
+
+
+def _next_txid():
+    _TXN_COUNTER[0] += 1
+    return _TXN_COUNTER[0]
+
+
+_mk_int_const("txid_current", _next_txid)
+_mk_int_const("current_transaction_id", _next_txid)
+_mk_int_const("current_connection_id", lambda: 1)
+
+
+@register("getenv")
+def _bind_getenv(arg_exprs):
+    import os
+
+    name = str(arg_exprs[0].const_value())
+
+    def impl(env, cols, node):
+        v = os.environ.get(name, "")
+        vals = np.array([v], dtype=object)
+        return Column(data=jnp.zeros((env.plen,), jnp.int32), ltype=VARCHAR,
+                      dict_values=vals)
+    return VARCHAR, impl, []
+
+
+@register("setseed")
+def _bind_setseed(arg_exprs):
+    seed = float(arg_exprs[0].const_value())
+
+    def impl(env, cols, node):
+        from duckdb_tpu.planner import functions_ext as _fx
+
+        _fx._RANDOM_SEED[0] = int(abs(seed) * (2**31)) or 42
+        return Column(data=jnp.zeros((env.plen,), jnp.int32),
+                      ltype=LogicalType(TypeId.SQLNULL),
+                      validity=jnp.zeros((env.plen,), jnp.bool_))
+    return LogicalType(TypeId.SQLNULL), impl, []
+
+
+@register("error")
+def _bind_error(arg_exprs):
+    msg = str(arg_exprs[0].const_value())
+
+    def impl(env, cols, node):
+        raise BindError(msg)
+    return LogicalType(TypeId.SQLNULL), impl, []
+
+
+@register("constant_or_null")
+def _bind_constant_or_null(arg_exprs):
+    t = arg_exprs[0].ltype
+
+    def impl(env, cols, node):
+        c0 = cols[0]
+        data = jnp.broadcast_to(c0.data, (env.plen,))
+        valid = _merge_validity(cols[1:], env.plen)
+        if c0.validity is not None:
+            v0 = jnp.broadcast_to(c0.validity, (env.plen,))
+            valid = v0 if valid is None else jnp.logical_and(valid, v0)
+        return Column(data=data, ltype=t, validity=valid,
+                      dict_values=c0.dict_values)
+    return t, impl, arg_exprs
+
+
+@register("can_cast_implicitly")
+def _bind_can_cast_implicitly(arg_exprs):
+    from duckdb_tpu.types import max_logical_type
+
+    try:
+        t = max_logical_type(arg_exprs[0].ltype, arg_exprs[1].ltype)
+        ok = t.id == arg_exprs[1].ltype.id
+    except Exception:  # noqa: BLE001
+        ok = False
+
+    def impl(env, cols, node):
+        return Column(data=jnp.full((env.plen,), ok, jnp.bool_),
+                      ltype=BOOLEAN)
+    return BOOLEAN, impl, []
+
+
+@register("alias")
+def _bind_alias(arg_exprs):
+    name = getattr(arg_exprs[0], "name", None) or "expr"
+
+    def impl(env, cols, node):
+        vals = np.array([str(name)], dtype=object)
+        return Column(data=jnp.zeros((env.plen,), jnp.int32), ltype=VARCHAR,
+                      dict_values=vals)
+    return VARCHAR, impl, []
+
+
+@register("uuidv4")
+def _bind_uuidv4(arg_exprs):
+    return REGISTRY["uuid"](arg_exprs)
+
+
+@register("uuidv7")
+def _bind_uuidv7(arg_exprs):
+    import time as _time
+    import uuid as _uuid
+
+    def impl(env, cols, node):
+        strs = []
+        for _ in range(env.plen):
+            ms = int(_time.time() * 1000)
+            rand = _uuid.uuid4().int & ((1 << 74) - 1)
+            v = (ms << 80) | (7 << 76) | rand
+            strs.append(str(_uuid.UUID(int=v & ((1 << 128) - 1))))
+        uniq, codes = np.unique(np.array(strs, dtype=str),
+                                return_inverse=True)
+        return Column(data=jnp.asarray(codes.astype(np.int32)),
+                      ltype=VARCHAR, dict_values=uniq.astype(object))
+    return VARCHAR, impl, []

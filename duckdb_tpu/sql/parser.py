@@ -1043,6 +1043,21 @@ class Parser:
                 args.append(self.parse_expr())
             self.expect_op(")")
             return N.FunctionCall("substring", args)
+        if k == "overlay" and self.peek(1).value == "(":
+            # overlay(x PLACING y FROM a [FOR b]) — standard SQL form only
+            self.next()
+            self.expect_op("(")
+            x = self.parse_expr()
+            self.expect_kw("placing")
+            y = self.parse_expr()
+            self.expect_kw("from")
+            a = self.parse_expr()
+            b = None
+            if self.accept_kw("for"):
+                b = self.parse_expr()
+            self.expect_op(")")
+            args = [x, y, a] + ([b] if b is not None else [])
+            return N.FunctionCall("overlay", args)
         if k == "exists" and self.peek(1).value == "(":
             self.next()
             self.next()
