@@ -892,7 +892,7 @@ class Connection:
         ex = Executor(self.catalog)
         tb = ex.execute(tplan)
         sb = ex.execute(splan)
-        pkv, pv, bkv, bv, size = ex._pack_keys(tb, sb, pk, bk)
+        pkv, pv, bkv, bv, size, _ = ex._pack_keys(tb, sb, pk, bk)
         build_live = jnp.logical_and(sb.live, bv)
         from duckdb_tpu.ops import join as J
 

@@ -123,6 +123,9 @@ class TableEntry:
         if self._device.pop(name, None) is not None:
             POOL.release(self, name)
         self._compute_stats(name)
+        # invalidate version-keyed caches (join build tables, composite
+        # uniqueness) on any column mutation
+        self.version = getattr(self, "version", 0) + 1
 
     def set_lazy_column(self, name, loader: Callable[[], Tuple]):
         """loader() -> (values, validity, dict_values)"""
@@ -198,6 +201,22 @@ class TableEntry:
             live = values if validity is None else values[validity]
             st.n_unique = int(len(np.unique(live)))
         return st.n_unique
+
+    def composite_unique(self, names: Tuple[str, ...]) -> bool:
+        """True if the column tuple is row-unique (composite-PK analog).
+
+        Computed host-side once per (columns, nrows) and cached — lets
+        multi-key joins against a composite-key table skip runtime
+        duplicate checks (the mid-join host syncs). Invalidation rides on
+        nrows, matching the engine's other per-version caches."""
+        key = (tuple(sorted(names)), self.nrows, getattr(self, "version", 0))
+        cache = self.__dict__.setdefault("_composite_unique", {})
+        if key not in cache:
+            cols = [self.host_column(n)[0][:self.nrows] for n in names]
+            arr = np.rec.fromarrays(cols) if cols else None
+            cache[key] = (arr is not None
+                          and len(np.unique(arr)) == self.nrows)
+        return cache[key]
 
 
 class Catalog:

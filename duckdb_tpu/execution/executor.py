@@ -161,6 +161,10 @@ class Batch:
     src: ColSource
     plen: int
     live: jnp.ndarray  # (P,) bool
+    # True only for an unfiltered base-table scan: its live mask and key
+    # columns are deterministic given (table, version), so join build state
+    # over it may be cached on the TableEntry
+    pristine: bool = False
 
     def env(self) -> EvalEnv:
         return EvalEnv(cols=self.src, plen=self.plen, live=self.live)
@@ -276,6 +280,10 @@ class Executor:
 
     # -- entry ---------------------------------------------------------------
     def run(self, plan: P.PlanNode, output: List[Tuple[str, str, LogicalType]]) -> Result:
+        # per-run plan-node memo: the fused-tail attempt may execute a
+        # subtree and then fall back, and DAG plans share subtrees — never
+        # execute the same node twice in one run
+        self._batch_memo = {}
         res = self._run_fused_tail(plan, output)
         if res is not None:
             return res
@@ -469,7 +477,14 @@ class Executor:
                       types=[t for _, _, t in output], columns=columns, nrows=n)
 
     def execute(self, node: P.PlanNode) -> Batch:
-        return getattr(self, "_exec_" + type(node).__name__)(node)
+        memo = getattr(self, "_batch_memo", None)
+        if memo is None:
+            memo = self._batch_memo = {}
+        b = memo.get(id(node))
+        if b is None:
+            b = getattr(self, "_exec_" + type(node).__name__)(node)
+            memo[id(node)] = b
+        return b
 
     # -- scans / filters / projections ---------------------------------------
     def _exec_Scan(self, node: P.Scan) -> Batch:
@@ -481,7 +496,8 @@ class Executor:
             cache.clear()
             cache[(plen, entry.nrows)] = jnp.arange(plen) < entry.nrows
         live = cache[(plen, entry.nrows)]
-        return Batch(src=TableCols(entry, keymap, plen), plen=plen, live=live)
+        return Batch(src=TableCols(entry, keymap, plen), plen=plen, live=live,
+                     pristine=True)
 
     def _exec_Filter(self, node: P.Filter) -> Batch:
         from duckdb_tpu.execution.tracing import run_jitted
@@ -551,6 +567,7 @@ class Executor:
         packed_p = jnp.zeros((probe_b.plen,), jnp.int64)
         packed_b = jnp.zeros((build_b.plen,), jnp.int64)
         dense_size = 1  # Π (rng_i + 1) — direct-address table size
+        key_sizes: List[int] = []  # per-key digit radix (rng_i + 1)
         for i, ((pc, _), (bc, _)) in enumerate(zip(p_arrs, b_arrs)):
             if pc.ltype.id is TypeId.VARCHAR:
                 from duckdb_tpu.planner.bound import _varchar_rank_luts
@@ -575,9 +592,10 @@ class Executor:
             packed_p = packed_p * jnp.int64(rng + 1) + jnp.clip(pd - lo, -1, rng)
             packed_b = packed_b * jnp.int64(rng + 1) + jnp.clip(bd - lo, -1, rng)
             dense_size *= rng + 1
+            key_sizes.append(rng + 1)
             # probe values outside [lo,hi] clip to -1/rng sentinels per key
             # column, which cannot collide with any in-range packed build key.
-        return packed_p, p_valid, packed_b, b_valid, dense_size
+        return packed_p, p_valid, packed_b, b_valid, dense_size, key_sizes
 
     # direct-address join table cap: 2^24 int32 slots = 64 MiB
     DENSE_JOIN_LIMIT = 1 << 24
@@ -585,7 +603,7 @@ class Executor:
     def _exec_Join(self, node: P.Join) -> Batch:
         probe_b = self.execute(node.probe)
         build_b = self.execute(node.build)
-        pk, p_valid, bk, b_valid, dense_size = self._pack_keys(
+        pk, p_valid, bk, b_valid, dense_size, key_sizes = self._pack_keys(
             probe_b, build_b, node.probe_keys, node.build_keys
         )
         build_live = jnp.logical_and(build_b.live, b_valid)
@@ -598,43 +616,65 @@ class Executor:
             out = self._try_semi_neq(node, probe_b, build_b)
             if out is not None:
                 return out
+        unique = self._build_known_unique(node, build_b)
+        n_shards = self._join_shards()
+        if n_shards > 1 and unique:
+            mgr = self.catalog.settings_manager
+            thresh = int(mgr.get("exchange_join_threshold", 1 << 24))
+            if dense_size > thresh:
+                out = self._exchange_join(node, probe_b, build_b, pk, bk,
+                                          probe_live, build_live, n_shards)
+                if out is not None:
+                    return out
         if dense_size <= self.DENSE_JOIN_LIMIT:
-            unique = self._build_known_unique(node, build_b)
             out = self._dense_join(node, probe_b, build_b, pk, bk,
                                    probe_live, build_live, dense_size,
                                    known_unique=unique)
             if out is not None:
                 return out
+        out = self._bucket_join(node, probe_b, build_b, pk, bk,
+                                probe_live, build_live, key_sizes,
+                                known_unique=unique)
+        if out is not None:
+            return out
         return self._sorted_join(node, probe_b, build_b, pk, bk,
                                  probe_live, build_live)
 
     def _build_known_unique(self, node, build_b) -> bool:
-        """True if catalog stats prove the (single) build key is unique —
-        skips the runtime occupancy check (a mid-join host sync)."""
+        """True if catalog stats prove the build key (single column or
+        composite, all from one table) is row-unique — skips runtime
+        duplicate/occupancy checks (mid-join host syncs)."""
         from duckdb_tpu.planner.bound import BoundColumnRef
 
-        if len(node.build_keys) != 1:
+        if not node.build_keys or not all(
+                isinstance(e, BoundColumnRef) for e in node.build_keys):
             return False
-        e = node.build_keys[0]
-        if not isinstance(e, BoundColumnRef):
-            return False
-        src = build_b.src
-        # walk chain sources to a TableCols owner of this key
-        stack = [src]
-        while stack:
+        keys = [e.key for e in node.build_keys]
+        # walk chain sources to the single TableCols owning ALL keys.
+        # GatherCols is OPAQUE: a gather may duplicate rows (join expansion,
+        # dim-side gathers), which destroys key uniqueness even when the
+        # underlying table column is unique.
+        cols, entry = [], None
+        stack = [build_b.src]
+        while stack and len(cols) < len(keys):
             s_ = stack.pop()
             if isinstance(s_, ChainCols):
                 stack.extend(s_.sources)
-            elif isinstance(s_, GatherCols):
-                stack.append(s_.parent)
-            elif isinstance(s_, TableCols) and e.key in s_.keymap:
-                col = s_.keymap[e.key]
-                entry = s_.entry
-                try:
-                    return entry.distinct_count(col) == entry.nrows
-                except Exception:  # noqa: BLE001
-                    return False
-        return False
+            elif isinstance(s_, TableCols):
+                owned = [k for k in keys if k in s_.keymap]
+                if owned:
+                    if entry is not None and s_.entry is not entry:
+                        return False  # keys span two tables
+                    entry = s_.entry
+                    cols.extend(s_.keymap[k] for k in owned)
+        if entry is None or len(cols) != len(keys):
+            return False
+        try:
+            if len(cols) == 1:
+                return entry.distinct_count(cols[0]) == entry.nrows
+            return entry.composite_unique(tuple(cols))
+        except Exception:  # noqa: BLE001
+            return False
 
     def _dense_join(self, node, probe_b, build_b, pk, bk, probe_live,
                     build_live, size, known_unique=False):
@@ -657,6 +697,14 @@ class Executor:
             jnp.where(build_live, rows, -1), mode="drop")
         brow, matched = self._probe_dense(node, slots, size, pk, probe_live,
                                           probe_b.plen)
+        return self._one_match_tail(node, probe_b, build_b, brow, matched,
+                                    probe_live, build_live)
+
+    def _one_match_tail(self, node, probe_b, build_b, brow, matched,
+                        probe_live, build_live):
+        """Join result when each probe row has ≤1 build match: the output
+        keeps the PROBE block shape (mask + gather, no expansion, zero
+        cardinality syncs). Shared by the dense and bucket paths."""
         brow_c = jnp.clip(brow, 0, build_b.plen - 1)
 
         if node.extra is not None:
@@ -692,6 +740,273 @@ class Executor:
             ])
             return Batch(src=src, plen=probe_b.plen, live=probe_b.live)
         return None  # full outer → sorted path
+
+    def _log(self, level: str, log_type: str, msg: str):
+        lm = getattr(self.catalog, "log_manager", None)
+        if lm is not None:
+            lm.log(level, log_type, msg)
+
+    def _join_shards(self) -> int:
+        """Shard count for distributed joins; logs when a requested shard
+        count silently degrades (sharding observability)."""
+        import jax as _jax
+
+        mgr = getattr(self.catalog, "settings_manager", None)
+        n = int(mgr.get("num_shards", 1)) if mgr else 1
+        if n <= 1:
+            return 1
+        nd = len(_jax.devices())
+        if nd < n:
+            self._log("WARN", "sharding",
+                      f"num_shards={n} requested but only {nd} devices "
+                      "visible; join runs single-chip")
+            return 1
+        return n
+
+    # exchange send-buffer slack over the uniform-hash expectation
+    EXCHANGE_SLACK = 2
+
+    def _exchange_join(self, node, probe_b, build_b, pk, bk, probe_live,
+                       build_live, n):
+        """Distributed join via all_to_all hash repartitioning: both sides'
+        rows route to their key's owner chip; each chip joins its partition
+        locally, entirely on-device (one compiled program, two all_to_all
+        collectives). Unique-build joins only (planner-proven); send-bucket
+        overflow is detected via a psum'd drop counter and falls back.
+
+        Reference analog: radix-partitioned hash join repartitioning,
+        /root/reference/src/execution/radix_partitioned_hashtable.cpp:531-691.
+        """
+        if node.jtype not in ("inner", "left", "single", "semi", "anti"):
+            return None
+        import math
+
+        from duckdb_tpu.parallel.shard import get_exchange_join
+
+        plen, blen = probe_b.plen, build_b.plen
+        plen2 = plen + ((-plen) % n)
+        blen2 = blen + ((-blen) % n)
+        r_p, r_b = plen2 // n, blen2 // n
+        cap_p = max(64, math.ceil(r_p / n * self.EXCHANGE_SLACK))
+        cap_b = max(64, math.ceil(r_b / n * self.EXCHANGE_SLACK))
+        step = get_exchange_join(n, cap_p, cap_b)
+
+        def pad(x, m, fill):
+            extra = m - x.shape[0]
+            if extra == 0:
+                return x
+            return jnp.concatenate(
+                [x, jnp.full((extra,), fill, x.dtype)])
+
+        # left/single must route ALL live probe rows (NULL-key rows emit a
+        # NULL-padded output row); their keys are replaced with a negative
+        # sentinel — live build packed keys are always ≥ 0 (in-stats digits)
+        route_live = (probe_b.live if node.jtype in ("left", "single")
+                      else probe_live)
+        pk_send = jnp.where(probe_live, pk, jnp.int64(-2))
+        rp, br, overflow = step(
+            pad(pk_send, plen2, 0), pad(route_live, plen2, False),
+            jnp.arange(plen2, dtype=jnp.int32),
+            pad(bk, blen2, 0), pad(build_live, blen2, False),
+            jnp.arange(blen2, dtype=jnp.int32))
+        if int(overflow) > 0:  # host sync (also forces the program)
+            self._log("WARN", "exchange_join",
+                      f"send bucket overflow ({int(overflow)} rows) at "
+                      f"num_shards={n}; falling back to single-chip join")
+            return None
+        self._log("INFO", "exchange_join",
+                  f"join repartitioned over {n} shards "
+                  f"(cap_p={cap_p}, cap_b={cap_b})")
+        out_plen = rp.shape[0]
+        matched = br >= 0
+        routed = rp >= 0
+        rp_c = jnp.clip(rp, 0, plen - 1)
+        br_c = jnp.clip(br, 0, blen - 1)
+
+        if node.extra is not None:
+            pair_src = ChainCols([
+                GatherCols(probe_b.src, rp_c),
+                GatherCols(build_b.src, br_c, null_rows=~matched),
+            ])
+            env = EvalEnv(cols=pair_src, plen=out_plen,
+                          live=jnp.logical_and(routed, matched))
+            c = node.extra.eval(env)
+            em = jnp.logical_and(c.data.astype(jnp.bool_),
+                                 _full_valid(c, out_plen))
+            matched = jnp.logical_and(matched,
+                                      jnp.broadcast_to(em, (out_plen,)))
+
+        if node.jtype in ("semi", "anti"):
+            # scatter match flags back to the probe block shape
+            m = jnp.zeros((plen2 + 1,), jnp.bool_).at[
+                jnp.where(routed, rp, plen2)].max(matched, mode="drop")[:plen]
+            if node.jtype == "semi":
+                live = jnp.logical_and(probe_b.live, m)
+            else:
+                live = jnp.logical_and(probe_b.live, ~m)
+                if node.null_aware:
+                    live = self._null_aware_anti(live, probe_b, build_b,
+                                                 probe_live, build_live)
+            return Batch(src=probe_b.src, plen=plen, live=live)
+        if node.jtype == "inner":
+            src = ChainCols([
+                GatherCols(probe_b.src, rp_c),
+                GatherCols(build_b.src, br_c),
+            ])
+            return Batch(src=src, plen=out_plen,
+                         live=jnp.logical_and(routed, matched))
+        # left / single: every routed probe row emits one output row
+        src = ChainCols([
+            GatherCols(probe_b.src, rp_c),
+            GatherCols(build_b.src, br_c, null_rows=~matched),
+        ])
+        return Batch(src=src, plen=out_plen, live=routed)
+
+    # bucket table width cap: gathers materialize (plen, B) candidate
+    # matrices, so bound B by a memory budget over the probe block
+    BUCKET_MEM_BUDGET = 256 << 20
+
+    def _bucket_join(self, node, probe_b, build_b, pk, bk, probe_live,
+                     build_live, key_sizes, known_unique=False):
+        """Dense-bucket join: direct-address on a PREFIX of the packed key,
+        with up to B duplicate build rows per slot.
+
+        The TPU answer to the reference's radix-partitioned hash table
+        (src/execution/join_hashtable.cpp chains / radix_partitioned_
+        hashtable.cpp): where duckdb chases per-bucket row chains, we gather
+        a fixed-width (plen, B) candidate matrix and resolve matches with
+        one vectorized compare against the full packed key — no sort of the
+        probe side, no searchsorted scan stages. Covers (a) multi-key joins
+        whose combined domain exceeds the dense limit but whose leading
+        key(s) fit (e.g. TPC-H partsupp's composite PK), and (b) single-key
+        joins with duplicate build keys (fact-side builds).
+        """
+        total = 1
+        for r in key_sizes:
+            total *= r
+        if total >= (1 << 62):
+            return None  # packed key would overflow int64: unsafe compare
+        # bucket on the contiguous packed-digit RUN with the largest domain
+        # ≤ the dense limit (maximal slots → fewest duplicates per bucket);
+        # a run [i, j) is extracted as (packed // Π sizes[j:]) % Π sizes[i:j]
+        best = (0, 1, 1)  # (run_domain, run_prod, below_prod)
+        nk = len(key_sizes)
+        for i in range(nk):
+            run = 1
+            for j in range(i + 1, nk + 1):
+                run *= key_sizes[j - 1]
+                if run > self.DENSE_JOIN_LIMIT:
+                    break
+                below = 1
+                for r in key_sizes[j:]:
+                    below *= r
+                if run > best[0]:
+                    best = (run, run, below)
+        if best[0] == 0:
+            return None  # every single key alone too wide → sorted path
+        S, below = best[1], best[2]
+        blen = build_b.plen
+        plen = probe_b.plen
+
+        # build: sort rows by bucket slot, position-in-bucket via segmented
+        # iota (one lax.sort + one scan — no scatter chain)
+        def to_slot(packed):
+            # floor-mod maps sentinel digits into [0, S) — harmless aliasing,
+            # the full-packed-key compare decides actual matches
+            s = packed // below if below > 1 else packed
+            return s % S
+
+        bcap = max(4, min(64, self.BUCKET_MEM_BUDGET // (8 * max(plen, 1))))
+        sentinel = jnp.int64(-(1 << 62))  # outside any packed-key value
+
+        # build state over a pristine base-table scan is deterministic given
+        # (table, version): cache it on the entry (the duckdb-index analog —
+        # repeated joins against the same build table skip the build sort +
+        # occupancy sync entirely)
+        cache_key = jc = None
+        from duckdb_tpu.planner.bound import BoundColumnRef
+
+        if (build_b.pristine and isinstance(build_b.src, TableCols)
+                and all(isinstance(e, BoundColumnRef)
+                        and e.ltype.id is not TypeId.VARCHAR
+                        and e.key in build_b.src.keymap
+                        for e in node.build_keys)):
+            ent = build_b.src.entry
+            cache_key = (
+                tuple(build_b.src.keymap[e.key] for e in node.build_keys),
+                S, below, ent.nrows, getattr(ent, "version", 0))
+            jc = ent.__dict__.setdefault("_join_build_cache", {})
+        cached = jc.get(cache_key) if jc is not None else None
+
+        if cached is not None:
+            Bc, table, bk_pad = cached
+            if Bc > bcap:
+                return None  # hot bucket for this probe size → sorted path
+        else:
+            slot_b = jnp.where(build_live, to_slot(bk), S).astype(jnp.int32)
+            iota = jnp.arange(blen, dtype=jnp.int32)
+            sorted_slot, perm_s = jax.lax.sort([slot_b, iota], num_keys=1,
+                                               is_stable=False)
+            idx32 = jnp.arange(blen, dtype=jnp.int32)
+            boundary = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                        sorted_slot[1:] != sorted_slot[:-1]])
+            starts = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(boundary, idx32, 0))
+            pos = idx32 - starts
+            live_sorted = sorted_slot < S
+            bmax = int(jnp.max(jnp.where(live_sorted, pos, 0))) + 1  # sync
+            if bmax > bcap:
+                return None  # hot bucket → sorted path
+            Bc = bmax
+            flat_idx = jnp.where(live_sorted, sorted_slot * Bc + pos, S * Bc)
+            table = jnp.full((S * Bc + 1,), -1, jnp.int32).at[flat_idx].set(
+                jnp.where(live_sorted, perm_s, -1), mode="drop")[:-1]
+            bk_pad = jnp.where(build_live, bk, sentinel)
+            if jc is not None:
+                if len(jc) >= 4:  # bound cached device memory per table
+                    jc.pop(next(iter(jc)))
+                jc[cache_key] = (Bc, table, bk_pad)
+
+        # probe: one gather of B candidates + full-packed-key compare
+        slot_p = to_slot(pk).astype(jnp.int32)
+        cand = table.reshape(S, Bc)[slot_p]  # (plen, Bc)
+        ck = bk_pad[jnp.clip(cand, 0, blen - 1)]
+        eq = jnp.logical_and(
+            jnp.logical_and(cand >= 0, ck == pk[:, None]),
+            probe_live[:, None])
+        counts = jnp.sum(eq, axis=1).astype(jnp.int32)
+
+        if node.jtype in ("semi", "anti") and node.extra is None:
+            matched = counts > 0
+            live = jnp.logical_and(
+                probe_b.live, matched if node.jtype == "semi" else ~matched)
+            if node.jtype == "anti" and node.null_aware:
+                live = self._null_aware_anti(live, probe_b, build_b,
+                                             probe_live, build_live)
+            return Batch(src=probe_b.src, plen=plen, live=live)
+
+        # unique build keys ⇒ ≤1 match per probe row, no sync needed
+        maxc = 1 if known_unique else (
+            int(jnp.max(counts)) if plen else 0)  # host sync
+        if maxc <= 1 and node.jtype != "full":
+            brow = jnp.max(jnp.where(eq, cand, -1), axis=1)
+            matched = counts > 0
+            out = self._one_match_tail(node, probe_b, build_b, brow, matched,
+                                       probe_live, build_live)
+            if out is not None:
+                return out
+
+        # general expansion: per-probe-row match list, row-major in a
+        # (plen, Bc) matrix → reuse the shared expansion tail with
+        # lo[row] = row * Bc
+        eqc = jnp.cumsum(eq, axis=1).astype(jnp.int32)
+        kpos = jnp.where(eq, eqc - 1, Bc)
+        jmat = jnp.full((plen, Bc + 1), -1, jnp.int32).at[
+            jnp.arange(plen)[:, None], kpos].set(cand, mode="drop")
+        perm = jmat[:, :Bc].reshape(-1)
+        lo = (jnp.arange(plen, dtype=jnp.int64) * Bc).astype(jnp.int32)
+        return self._expand_tail(node, probe_b, build_b, counts, lo, perm,
+                                 probe_live, build_live)
 
     def _asof_join(self, node, probe_b, build_b, pk, bk, probe_live,
                    build_live):
@@ -749,7 +1064,8 @@ class Executor:
         iota = jnp.arange(build_b.plen, dtype=jnp.int32)
         sorted_k, perm = jax.lax.sort([kb, iota], num_keys=1, is_stable=True)
         pos = jnp.searchsorted(sorted_k, jnp.where(
-            probe_live, combined_p, _I64_MIN), side="right") - 1
+            probe_live, combined_p, _I64_MIN), side="right",
+            method="sort") - 1
         posc = jnp.clip(pos, 0, build_b.plen - 1)
         cand_k = sorted_k[posc]
         same_group = (cand_k // base) == pk  # candidate in the same eq group
@@ -791,9 +1107,9 @@ class Executor:
         else:
             return None
 
-        pk1, p1v, bk1, b1v, _ = self._pack_keys(
+        pk1, p1v, bk1, b1v, _, _ = self._pack_keys(
             probe_b, build_b, node.probe_keys, node.build_keys)
-        pk2, p2v, bk2, b2v, _ = self._pack_keys(
+        pk2, p2v, bk2, b2v, _, _ = self._pack_keys(
             probe_b, build_b, node.probe_keys + [e_probe],
             node.build_keys + [e_build])
         # counts over key alone, build restricted to rows where the residual
@@ -863,7 +1179,15 @@ class Executor:
                      build_live):
         table = J.build_sorted(bk, build_live)
         counts, lo, hi = J.probe_counts(table, pk, probe_live)
+        return self._expand_tail(node, probe_b, build_b, counts, lo,
+                                 table.perm, probe_live, build_live)
 
+    def _expand_tail(self, node, probe_b, build_b, counts, lo, perm,
+                     probe_live, build_live):
+        """Join result via pair expansion. `perm` maps candidate position
+        lo[row] + k (k < counts[row]) to a build row index. Shared by the
+        sorted-build path (perm = sort permutation) and the bucket path
+        (perm = per-probe-row match matrix, row-major)."""
         if node.jtype in ("semi", "anti") and node.extra is None:
             matched = counts > 0
             live = jnp.logical_and(
@@ -877,7 +1201,7 @@ class Executor:
         # expand candidate pairs
         total = int(jnp.sum(counts))
         cap = max(128, pad_bucket(total))
-        pr, br, out_live = J.expand_matches(counts, lo, table.perm, cap)
+        pr, br, out_live = J.expand_matches(counts, lo, perm, cap)
         pair_src = ChainCols([
             GatherCols(probe_b.src, pr),
             GatherCols(build_b.src, br),

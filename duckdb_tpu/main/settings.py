@@ -49,6 +49,10 @@ SETTINGS = [
             "WAL size that triggers automatic checkpoint"),
     Setting("enable_object_cache", True, "BOOLEAN", "GLOBAL",
             "Cache compiled query programs"),
+    Setting("exchange_join_threshold", 1 << 24, "BIGINT", "GLOBAL",
+            "Dense-table size above which multi-shard joins repartition "
+            "via all_to_all exchange instead of replicating the build "
+            "(0 = always exchange when num_shards > 1)"),
     Setting("experimental_join_fusion", False, "BOOLEAN", "GLOBAL",
             "Fuse dense unique inner joins into aggregate programs "
             "(constant-capture prototype; see fused_agg._JoinPrep)"),

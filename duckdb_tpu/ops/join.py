@@ -38,8 +38,14 @@ class SortedBuildTable:
     num_rows: jnp.ndarray  # scalar: live build rows
 
     def probe_ranges(self, probe_keys: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        lo = jnp.searchsorted(self.sorted_keys, probe_keys, side="left")
-        hi = jnp.searchsorted(self.sorted_keys, probe_keys, side="right")
+        # method='sort' lowers to sort+scatter (a couple of parallel stages)
+        # instead of the default binary-search while-loop, whose log2(B)
+        # dependent iterations each pay the runtime's serialized-stage
+        # latency (measured 14s on a 6M-row probe vs <1s for the sorts)
+        lo = jnp.searchsorted(self.sorted_keys, probe_keys, side="left",
+                              method="sort")
+        hi = jnp.searchsorted(self.sorted_keys, probe_keys, side="right",
+                              method="sort")
         return lo.astype(jnp.int32), hi.astype(jnp.int32)
 
 

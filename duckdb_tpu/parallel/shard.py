@@ -84,59 +84,119 @@ def make_sharded_join_probe(mesh: Mesh, axis: str = "dp"):
     )
     def probe(sorted_build_keys, probe_keys, probe_live):
         k = jnp.where(probe_live, probe_keys, jnp.iinfo(jnp.int64).max - 1)
-        lo = jnp.searchsorted(sorted_build_keys, k, side="left")
-        hi = jnp.searchsorted(sorted_build_keys, k, side="right")
+        lo = jnp.searchsorted(sorted_build_keys, k, side="left",
+                              method="sort")
+        hi = jnp.searchsorted(sorted_build_keys, k, side="right",
+                              method="sort")
         counts = jnp.where(probe_live, hi - lo, 0).astype(jnp.int32)
         return counts, lo.astype(jnp.int32)
 
     return jax.jit(probe)
 
 
-def make_radix_exchange(mesh: Mesh, axis: str = "dp"):
-    """all_to_all radix exchange: route each row to the chip owning its
-    hash partition (the distributed analog of PartitionedTupleData
-    repartitioning, /root/reference/src/common/radix_partitioning.cpp).
+_SPLITMIX_1 = 0xBF58476D1CE4E5B9
+_SPLITMIX_2 = 0x94D049BB133111EB
 
-    Each chip buckets its local rows by destination chip into fixed-size
-    per-destination buffers, then one all_to_all swaps the buffers.
-    Returns (exchanged values, exchanged live mask).
+
+def _hash_dest(keys: jnp.ndarray, n: int) -> jnp.ndarray:
+    """splitmix64 finalizer → owning chip for a join key (both sides must
+    agree, the distributed analog of radix_partitioning.cpp's hash bits)."""
+    h = keys.astype(jnp.uint64)
+    h = (h ^ (h >> 30)) * jnp.uint64(_SPLITMIX_1)
+    h = (h ^ (h >> 27)) * jnp.uint64(_SPLITMIX_2)
+    return ((h ^ (h >> 31)) % jnp.uint64(n)).astype(jnp.int32)
+
+
+def _bucketize(keys, live, rows, n: int, cap: int, key_sentinel):
+    """Scatter local rows into (n, cap) per-destination send buffers.
+
+    Slot assignment is sort-based (one lax.sort + a segmented-iota scan +
+    one scatter) — O(r log r) fully parallel work, replacing the round-1
+    one-hot cumsum which was O(r × n) compute and memory. Rows beyond a
+    destination's capacity are counted in `dropped` (the caller syncs the
+    psum and falls back / retries with a bigger cap — bounded buffers
+    instead of the round-1 cap=r worst-case blowup)."""
+    r = keys.shape[0]
+    dest = jnp.where(live, _hash_dest(keys, n), n)
+    iota = jnp.arange(r, dtype=jnp.int32)
+    sd, perm = jax.lax.sort([dest, iota], num_keys=1, is_stable=False)
+    boundary = jnp.concatenate([jnp.ones((1,), jnp.bool_), sd[1:] != sd[:-1]])
+    starts = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(boundary, iota, 0))
+    pos = iota - starts
+    ok = jnp.logical_and(sd < n, pos < cap)
+    flat = jnp.where(ok, sd * cap + pos, n * cap)
+    k_s, r_s = keys[perm], rows[perm]
+    send_k = jnp.full((n * cap + 1,), key_sentinel, keys.dtype).at[flat].set(
+        jnp.where(ok, k_s, key_sentinel), mode="drop")[:-1]
+    send_r = jnp.full((n * cap + 1,), -1, jnp.int32).at[flat].set(
+        jnp.where(ok, r_s, -1), mode="drop")[:-1]
+    dropped = jnp.sum(jnp.logical_and(sd < n, ~ok).astype(jnp.int32))
+    return (send_k.reshape(n, cap), send_r.reshape(n, cap), dropped)
+
+
+_EXCHANGE_CACHE: dict = {}
+
+
+def get_exchange_join(n: int, cap_p: int, cap_b: int):
+    """Process-cached compiled exchange-join program (executors are
+    per-query; caching here preserves jax.jit's in-memory compile cache
+    across queries)."""
+    import numpy as _np
+
+    devs = jax.devices()[:n]
+    key = (n, cap_p, cap_b, tuple(d.id for d in devs))
+    if key not in _EXCHANGE_CACHE:
+        mesh = Mesh(_np.array(devs), ("dp",))
+        _EXCHANGE_CACHE[key] = make_exchange_join(mesh, n, cap_p, cap_b)
+    return _EXCHANGE_CACHE[key]
+
+
+def make_exchange_join(mesh: Mesh, n: int, cap_p: int, cap_b: int,
+                       axis: str = "dp"):
+    """One compiled program: hash-repartition probe AND build rows across
+    the mesh, then join locally per chip (unique-build fast path).
+
+    The distributed analog of the reference's radix-partitioned hash join
+    (/root/reference/src/execution/radix_partitioned_hashtable.cpp:531-691
+    repartitioning + physical_hash_join.cpp probe): rows of both sides
+    route to hash-owner chips via one all_to_all each, and each chip
+    resolves its partition with a local sorted-key lookup. Requires a
+    row-unique build key set (each probe row has ≤1 match), which the
+    planner proves from catalog stats before choosing this path.
+
+    Inputs (sharded over `axis`): packed keys, live masks, global row ids
+    for both sides. Outputs (sharded): for every routed probe row its
+    global probe row id, matched build global row id (-1 = no match), and
+    a replicated overflow count (>0 ⇒ a send bucket overflowed: results
+    incomplete, caller must fall back).
     """
-    n = mesh.shape[axis]
+    sent_b = jnp.iinfo(jnp.int64).max  # sorts to the end
+    sent_p = jnp.iinfo(jnp.int64).max - 1  # never equals a build sentinel
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis), P(axis)),
-        out_specs=(P(axis), P(axis)),
+        in_specs=(P(axis),) * 6,
+        out_specs=(P(axis), P(axis), P()),
     )
-    def exchange(vals, live):
-        # vals: (rows_per_chip,) int64; destination = hash % n
-        r = vals.shape[0]
-        cap = r  # per-destination buffer capacity (worst case all → one)
-        h = vals.astype(jnp.uint64)
-        h = (h ^ (h >> 30)) * jnp.uint64(0xBF58476D1CE4E5B9)
-        h = (h ^ (h >> 27)) * jnp.uint64(0x94D049BB133111EB)
-        dest = (h ^ (h >> 31)) % jnp.uint64(n)
-        dest = jnp.where(live, dest.astype(jnp.int32), n)  # dead → no bucket
-        # slot within destination bucket: running count per destination
-        onehot = (dest[:, None] == jnp.arange(n)[None, :])
-        slot = jnp.cumsum(onehot, axis=0) - onehot
-        slot = jnp.sum(slot * onehot, axis=1)
-        # scatter rows into (n, cap) send buffers
-        send = jnp.zeros((n, cap), vals.dtype)
-        send_live = jnp.zeros((n, cap), jnp.bool_)
-        ok = jnp.logical_and(live, slot < cap)
-        d_idx = jnp.where(ok, dest, 0)
-        s_idx = jnp.where(ok, slot, 0)
-        send = send.at[d_idx, s_idx].set(jnp.where(ok, vals, send[0, 0]),
-                                         mode="drop")
-        send_live = send_live.at[d_idx, s_idx].set(ok, mode="drop")
-        # swap: chip i's buffer j → chip j's slot i
-        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0,
-                                  tiled=False)
-        recv_live = jax.lax.all_to_all(send_live, axis, split_axis=0,
-                                       concat_axis=0, tiled=False)
-        # per-chip output: n buckets × cap slots of rows now owned here
-        return recv.reshape(-1), recv_live.reshape(-1)
+    def step(pk, p_live, p_rows, bk, b_live, b_rows):
+        ps_k, ps_r, p_drop = _bucketize(pk, p_live, p_rows, n, cap_p, sent_p)
+        bs_k, bs_r, b_drop = _bucketize(bk, b_live, b_rows, n, cap_b, sent_b)
+        rp_k = jax.lax.all_to_all(ps_k, axis, 0, 0, tiled=False).reshape(-1)
+        rp_r = jax.lax.all_to_all(ps_r, axis, 0, 0, tiled=False).reshape(-1)
+        rb_k = jax.lax.all_to_all(bs_k, axis, 0, 0, tiled=False).reshape(-1)
+        rb_r = jax.lax.all_to_all(bs_r, axis, 0, 0, tiled=False).reshape(-1)
+        # local unique-build join: sort build partition, one searchsorted
+        nb = rb_k.shape[0]
+        iota_b = jnp.arange(nb, dtype=jnp.int32)
+        sk, sperm = jax.lax.sort([rb_k, iota_b], num_keys=1, is_stable=False)
+        srows = rb_r[sperm]
+        lo = jnp.searchsorted(sk, rp_k, side="left", method="sort")
+        loc = jnp.clip(lo, 0, nb - 1)
+        hit = jnp.logical_and(sk[loc] == rp_k, rp_r >= 0)
+        brow = jnp.where(hit, srows[loc], -1)
+        overflow = jax.lax.psum(p_drop + b_drop, axis)
+        return rp_r, brow, overflow
 
-    return jax.jit(exchange)
+    return jax.jit(step)

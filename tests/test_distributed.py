@@ -45,6 +45,53 @@ def test_sharded_join_q3(data_dir):
     assert single == sharded
 
 
+def _run_exchange(sql, data_dir, threshold=0):
+    """Run single-chip vs 8-shard with the exchange join FORCED (threshold
+    0 routes every eligible unique-build join through all_to_all
+    repartitioning, not the dense-PK replicated shortcut)."""
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.load_tpch(data_dir)
+    single = con.sql(sql).rows()
+    con.sql("SET num_shards = 8")
+    con.sql(f"SET exchange_join_threshold = {threshold}")
+    con._plan_cache.clear()
+    sharded = con.sql(sql).rows()
+    logs = con.sql("SELECT count(*) FROM duckdb_logs() "
+                   "WHERE type = 'exchange_join' "
+                   "AND message LIKE 'join repartitioned%'").rows()[0][0]
+    return single, sharded, logs
+
+
+def test_exchange_join_q3(data_dir):
+    single, sharded, n_exchanged = _run_exchange(
+        open(f"{QD}/q03.sql").read(), data_dir)
+    assert single == sharded
+    assert n_exchanged >= 1  # the path actually ran, not a silent fallback
+
+
+def test_exchange_join_q9(data_dir):
+    single, sharded, n_exchanged = _run_exchange(
+        open(f"{QD}/q09.sql").read(), data_dir)
+    assert single == sharded
+    assert n_exchanged >= 1
+
+
+def test_exchange_join_left_and_semi(data_dir):
+    for sql in [
+        "SELECT count(*), sum(o_totalprice) FROM orders "
+        "LEFT JOIN customer ON o_custkey = c_custkey",
+        "SELECT count(*) FROM orders WHERE EXISTS "
+        "(SELECT 1 FROM customer WHERE c_custkey = o_custkey)",
+        "SELECT count(*) FROM orders WHERE o_custkey NOT IN "
+        "(SELECT c_custkey FROM customer WHERE c_acctbal > 0)",
+    ]:
+        single, sharded, n_exchanged = _run_exchange(sql, data_dir)
+        assert single == sharded, sql
+        assert n_exchanged >= 1, sql
+
+
 def test_sharded_minmax(data_dir):
     sql = ("SELECT l_returnflag, min(l_quantity), max(l_extendedprice), "
            "avg(l_discount) FROM lineitem GROUP BY l_returnflag "
