@@ -123,7 +123,9 @@ class Connection:
             else:
                 planner = Planner(self.catalog)
                 plan, output = planner.plan_select(s)
-                if key:
+                # plans that snapshot state at plan time (system table
+                # functions) must not be replayed from cache
+                if key and not getattr(planner, "uncacheable", False):
                     self._plan_cache[key] = (plan, output)
             t0 = _time.perf_counter()
             res = Executor(self.catalog).run(plan, output)

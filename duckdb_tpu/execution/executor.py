@@ -278,8 +278,21 @@ class Executor:
     def __init__(self, catalog: Catalog, scalar_sub_results: Optional[dict] = None):
         self.catalog = catalog
 
+    def _get_table(self, name: str):
+        """Table resolution with per-run overrides — the out-of-core driver
+        (execution/chunked.py) substitutes row-sliced TableEntry views."""
+        ov = getattr(self, "_scan_overrides", None)
+        if ov is not None and name in ov:
+            return ov[name]
+        return self.catalog.get_table(name)
+
     # -- entry ---------------------------------------------------------------
     def run(self, plan: P.PlanNode, output: List[Tuple[str, str, LogicalType]]) -> Result:
+        if not getattr(self, "_in_chunked", False):
+            from duckdb_tpu.execution.chunked import try_chunked
+            res = try_chunked(self, plan, output)
+            if res is not None:
+                return res
         # per-run plan-node memo: the fused-tail attempt may execute a
         # subtree and then fall back, and DAG plans share subtrees — never
         # execute the same node twice in one run
@@ -488,7 +501,7 @@ class Executor:
 
     # -- scans / filters / projections ---------------------------------------
     def _exec_Scan(self, node: P.Scan) -> Batch:
-        entry = self.catalog.get_table(node.table)
+        entry = self._get_table(node.table)
         plen = max(128, pad_bucket(entry.nrows))
         keymap = {key: col for col, key, _ in node.cols}
         cache = entry.__dict__.setdefault("_live_cache", {})

@@ -271,7 +271,7 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
     # 3. base batch + needed columns
     base_batch = executor.execute(base)
     plen = base_batch.plen
-    entry = executor.catalog.get_table(base.table)
+    entry = executor._get_table(base.table)
     key2col = {key: col for col, key, _ in base.cols}
 
     needed: List[str] = []

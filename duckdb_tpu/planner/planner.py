@@ -640,7 +640,12 @@ class Planner:
         return P.Scan(tname, alias, cols), scope_adds, entry.nrows, tname
 
     def _system_table_function(self, name: str, args) -> str:
-        """Catalog introspection TFs (reference: src/function/table/system/)."""
+        """Catalog introspection TFs (reference: src/function/table/system/).
+
+        Snapshots catalog/log/settings state into a ``__sys_*`` table at
+        plan time — so plans containing one must never be reused from the
+        plan cache (a cached plan would replay the stale snapshot)."""
+        self.uncacheable = True
         import numpy as np
         from duckdb_tpu.catalog.catalog import ColumnDef, TableEntry
         from duckdb_tpu.types import VARCHAR as VC, BIGINT as BI, BOOLEAN as BO
