@@ -70,7 +70,7 @@ class Appender:
                 phys = np.array([0 if v is None else v for v in vals],
                                 dtype=t.np_dtype)
                 cols[cd.name] = (phys, None if valid.all() else valid, None)
-        self._con._append_columns(entry, cols, len(rows))
+        self._con._appender_flush(entry, cols, len(rows))
         self._con._plan_cache.clear()
 
     def close(self):

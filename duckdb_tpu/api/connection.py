@@ -12,7 +12,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from duckdb_tpu.catalog.catalog import Catalog, ColumnDef, TableEntry
+from duckdb_tpu.catalog.catalog import POOL, Catalog, ColumnDef, TableEntry
 from duckdb_tpu.execution.executor import Executor, Result
 from duckdb_tpu.planner.binder import ExprBinder, Scope, resolve_type_name
 from duckdb_tpu.planner.planner import Planner
@@ -25,28 +25,128 @@ class ConnectionException(Exception):
     pass
 
 
+class TransactionException(ConnectionException):
+    pass
+
+
+class Database:
+    """Shared per-database state: the published catalog and the commit lock.
+
+    The reference's DatabaseInstance + TransactionManager
+    (/root/reference/src/main/database.cpp,
+    src/transaction/duck_transaction_manager.cpp). Multiple connections to
+    the same instance share this object; transactions snapshot `catalog`
+    at BEGIN and publish copy-on-write table versions at COMMIT under
+    `lock` with first-committer-wins conflict detection."""
+
+    def __init__(self, path: str):
+        import threading
+
+        self.path = path
+        self.catalog = Catalog()
+        self.lock = threading.RLock()
+
+
+# same-process registry: opening the same database file twice yields the
+# same instance (reference: DatabaseManager keeps one DatabaseInstance per
+# path; a second in-process open attaches to it)
+_OPEN_DBS: dict = {}
+
+
+def _abspath(database: str) -> str:
+    import os
+
+    return os.path.abspath(database)
+
+
+class _Txn:
+    """Snapshot-isolation transaction state (one per connection).
+
+    `catalog` is a private snapshot whose TableEntry objects are shallow
+    clones — host planes are copy-on-write, so uncommitted DML is invisible
+    to other connections. `base_refs` pins the published entry objects at
+    BEGIN for commit-time conflict detection; `base_versions` fingerprints
+    the clones so COMMIT publishes only tables the transaction wrote.
+
+    Granularity note (deliberate design, diverging from the reference's
+    row-level undo buffers): this engine's DML rewrites whole column planes
+    (immutable-array columnar model), so versioning and write-write
+    conflict detection happen at TABLE granularity — coarser aborts, same
+    isolation guarantees, zero per-row bookkeeping."""
+
+    __slots__ = ("catalog", "base_refs", "base_versions", "begin_views",
+                 "wal", "implicit")
+
+    def __init__(self, shared: Catalog, implicit: bool = False):
+        snap = Catalog()
+        snap.tables = {k: e.clone() for k, e in shared.tables.items()}
+        snap.views = dict(shared.views)
+        snap.sequences = {k: dict(v) for k, v in shared.sequences.items()}
+        snap._file_tables = shared._file_tables
+        snap.settings_manager = getattr(shared, "settings_manager", None)
+        snap.log_manager = getattr(shared, "log_manager", None)
+        self.catalog = snap
+        self.base_refs = dict(shared.tables)
+        self.base_versions = {k: getattr(e, "version", 0)
+                              for k, e in snap.tables.items()}
+        self.begin_views = dict(shared.views)
+        self.wal = []
+        self.implicit = implicit
+
+    def written_tables(self):
+        w = {k for k, e in self.catalog.tables.items()
+             if k not in self.base_versions
+             or getattr(e, "version", 0) != self.base_versions[k]}
+        dropped = set(self.base_refs) - set(self.catalog.tables)
+        return w, dropped
+
+
 class Connection:
-    def __init__(self, database: str = ":memory:"):
+    def __init__(self, database: str = ":memory:", _db: Optional[Database] = None):
         from duckdb_tpu.main.settings import SettingsManager
 
         from duckdb_tpu.main.logging import LogManager
 
         self.database = database
-        self.catalog = Catalog()
-        self.settings = SettingsManager()
-        self.catalog.settings_manager = self.settings
-        self.log = LogManager()
-        self.catalog.log_manager = self.log
+        attached = _db is not None or (
+            database not in (":memory:", "")
+            and _abspath(database) in _OPEN_DBS)
+        if _db is not None:
+            self._db = _db
+        elif attached:
+            self._db = _OPEN_DBS[_abspath(database)]
+        else:
+            self._db = Database(database)
+        self.settings = (getattr(self._db.catalog, "settings_manager", None)
+                         or SettingsManager())
+        self._db.catalog.settings_manager = self.settings
+        self.log = (getattr(self._db.catalog, "log_manager", None)
+                    or LogManager())
+        self._db.catalog.log_manager = self.log
         # plan cache: SQL text → (plan, output), invalidated on DDL/DML
         self._plan_cache = {}
         self._catalog_version = 0
         self.last_profile = None
-        self._txn_snapshot = None
-        self._txn_wal = []
-        if database not in (":memory:", ""):
+        self._txn: Optional[_Txn] = None
+        if database not in (":memory:", "") and not attached:
             from duckdb_tpu.storage.persist import open_database
 
+            _OPEN_DBS[_abspath(database)] = self._db
             open_database(self, database)
+
+    @property
+    def catalog(self) -> Catalog:
+        """Active catalog: the transaction snapshot inside BEGIN/COMMIT,
+        the shared published catalog otherwise."""
+        return self._txn.catalog if self._txn is not None else self._db.catalog
+
+    def cursor(self) -> "Connection":
+        """A second connection to the same database instance (reference:
+        Connection objects sharing one DatabaseInstance). Transactions on
+        cursors are isolated from each other via MVCC snapshots."""
+        return Connection(self.database, _db=self._db)
+
+    duplicate = cursor
 
     _MUTATING = (N.CreateTable, N.CreateView, N.DropStatement,
                  N.InsertStatement, N.DeleteStatement, N.UpdateStatement,
@@ -64,19 +164,33 @@ class Connection:
         for s in stmts:
             if not isinstance(s, N.SelectStatement):
                 self._plan_cache.clear()  # DDL/DML invalidates cached plans
-            if isinstance(s, self._MUTATING) or (
-                    isinstance(s, N.CopyStatement) and s.direction == "from"):
-                mutated = True
+            is_mut = isinstance(s, self._MUTATING) or (
+                isinstance(s, N.CopyStatement) and s.direction == "from")
+            mutated = mutated or is_mut
             if isinstance(s, N.CreateView):
                 s._sql_text = query  # persisted view definition
-            res = self._execute_statement(s)
+            if is_mut and self._txn is None:
+                # auto-commit: run the statement inside an implicit
+                # statement-level transaction — copy-on-write snapshots give
+                # statement atomicity and keep concurrent transactions'
+                # snapshots intact (published entries are never mutated in
+                # place; reference: auto-commit in client_context.cpp)
+                self._txn = _Txn(self._db.catalog, implicit=True)
+                try:
+                    res = self._execute_statement(s)
+                except BaseException:
+                    self._txn = None
+                    raise
+                self._commit_txn()
+            else:
+                res = self._execute_statement(s)
         if (mutated and self.database not in (":memory:", "")
                 and not getattr(self, "_replaying", False)):
-            if getattr(self, "_txn_snapshot", None) is not None:
+            if self._txn is not None:
                 # inside a transaction: buffer WAL entries; COMMIT flushes,
                 # ROLLBACK discards (the reference writes the WAL at commit
                 # time, src/transaction/wal_write_state.cpp)
-                self._txn_wal.append(query)
+                self._txn.wal.append(query)
             else:
                 self._wal_write(query)
         return res
@@ -104,13 +218,19 @@ class Connection:
             self._replaying = False
 
     def close(self):
-        if getattr(self, "_txn_snapshot", None) is not None:
+        if self._txn is not None:
             # uncommitted transaction aborts on close (reference semantics)
             self._transaction(N.TransactionStatement("rollback"))
         if self.database not in (":memory:", ""):
             from duckdb_tpu.storage.persist import checkpoint
 
             checkpoint(self, self.database)
+            # detach from the same-process registry so a later open replays
+            # from disk (a concurrent sibling connection re-registers lazily
+            # through its own _db handle; crash recovery is simulated by
+            # dropping a connection WITHOUT close())
+            if _OPEN_DBS.get(_abspath(self.database)) is self._db:
+                del _OPEN_DBS[_abspath(self.database)]
 
     def _execute_statement(self, s):
         if isinstance(s, N.SelectStatement):
@@ -254,55 +374,98 @@ class Connection:
         return None
 
     def _transaction(self, s: N.TransactionStatement):
-        """BEGIN/COMMIT/ROLLBACK. The snapshot clones every TableEntry
-        (shallow copy-on-write — host arrays are immutable by convention),
-        so ROLLBACK undoes DML, not just DDL, and buffered WAL entries are
-        flushed only on COMMIT (reference: commit-time WAL write,
-        src/transaction/wal_write_state.cpp; undo via undo_buffer.cpp)."""
+        """BEGIN/COMMIT/ROLLBACK under MVCC snapshot isolation.
+
+        BEGIN snapshots the shared catalog into txn-private shallow clones
+        (copy-on-write — host arrays are immutable by convention), so
+        uncommitted DML is invisible to other connections and ROLLBACK is a
+        discard. COMMIT publishes written tables under the database lock
+        with first-committer-wins write-write conflict detection, and
+        flushes buffered WAL entries (reference: commit-time WAL write
+        src/transaction/wal_write_state.cpp, undo via undo_buffer.cpp,
+        conflicts via duck_transaction_manager.cpp)."""
         from duckdb_tpu.storage.persist import checkpoint
 
         a = s.action
         if a == "begin":
-            if getattr(self, "_txn_snapshot", None) is not None:
+            if self._txn is not None:
                 raise ConnectionException(
                     "TransactionContext Error: cannot start a transaction "
                     "within a transaction")
-            self._txn_snapshot = (
-                {k: e.clone() for k, e in self.catalog.tables.items()},
-                dict(self.catalog.views),
-                {k: dict(v) for k, v in self.catalog.sequences.items()})
-            self._txn_wal = []
+            with self._db.lock:
+                self._txn = _Txn(self._db.catalog)
+            from duckdb_tpu.planner import functions_ext as _fx
+
+            # in-txn nextval mutates the snapshot's sequence states; COMMIT
+            # publishes them, ROLLBACK restores the shared states
+            _fx.ACTIVE_SEQUENCES = self._txn.catalog.sequences
         elif a == "rollback":
-            snap = getattr(self, "_txn_snapshot", None)
-            if snap is None:
+            if self._txn is None:
                 raise ConnectionException(
                     "TransactionContext Error: cannot rollback - "
                     "no transaction is active")
-            self.catalog.tables = dict(snap[0])
-            self.catalog.views = dict(snap[1])
-            self.catalog.sequences = {k: dict(v) for k, v in snap[2].items()}
+            self._txn = None
             from duckdb_tpu.planner import functions_ext as _fx
 
-            _fx.ACTIVE_SEQUENCES = self.catalog.sequences
-            self._txn_snapshot = None
-            self._txn_wal = []
+            _fx.ACTIVE_SEQUENCES = self._db.catalog.sequences
             self._plan_cache.clear()
         elif a == "commit":
-            if getattr(self, "_txn_snapshot", None) is None:
+            if self._txn is None:
                 raise ConnectionException(
                     "TransactionContext Error: cannot commit - "
                     "no transaction is active")
-            self._txn_snapshot = None
-            if (self.database not in (":memory:", "")
-                    and not getattr(self, "_replaying", False)):
-                for q in self._txn_wal:
-                    self._wal_write(q)
-            self._txn_wal = []
+            self._commit_txn()
         elif a == "checkpoint":
             if self.database not in (":memory:", ""):
                 checkpoint(self, self.database)
                 self.log.info("Checkpoint",
                               f"checkpoint written to {self.database}")
+
+    def _commit_txn(self):
+        """Publish a transaction's copy-on-write state to the shared
+        catalog. First committer wins: if another connection published a
+        new version of any table this transaction wrote (or dropped, or
+        created under the same name), the commit aborts with a
+        TransactionException and the transaction rolls back."""
+        txn, self._txn = self._txn, None
+        shared = self._db.catalog
+        with self._db.lock:
+            written, dropped = txn.written_tables()
+            for k in written | dropped:
+                cur = shared.tables.get(k)
+                origin = txn.base_refs.get(k)
+                if cur is not origin:
+                    self._plan_cache.clear()
+                    from duckdb_tpu.planner import functions_ext as _fx
+
+                    _fx.ACTIVE_SEQUENCES = shared.sequences
+                    raise TransactionException(
+                        "TransactionContext Error: Failed to commit: "
+                        f'write-write conflict on table "{k}" — another '
+                        "transaction committed a conflicting change")
+            for k in written:
+                shared.tables[k] = txn.catalog.tables[k]
+            for k in dropped:
+                gone = shared.tables.pop(k, None)
+                if gone is not None:
+                    for col in list(gone._device):
+                        POOL.release(gone, col)
+            if txn.catalog.views != txn.begin_views:
+                # per-key merge so concurrent view DDL on other names survives
+                for k in set(txn.begin_views) - set(txn.catalog.views):
+                    shared.views.pop(k, None)
+                for k, v in txn.catalog.views.items():
+                    if txn.begin_views.get(k) is not v:
+                        shared.views[k] = v
+            shared.sequences.clear()
+            shared.sequences.update(txn.catalog.sequences)
+        from duckdb_tpu.planner import functions_ext as _fx
+
+        _fx.ACTIVE_SEQUENCES = shared.sequences
+        if (txn.wal and self.database not in (":memory:", "")
+                and not getattr(self, "_replaying", False)):
+            for q in txn.wal:
+                self._wal_write(q)
         return None
 
     # -- DDL / DML ------------------------------------------------------------
@@ -1082,6 +1245,9 @@ class Connection:
             entry.name = s.new_name
             self.catalog.tables[s.new_name.lower()] = entry
             del self.catalog.tables[key]
+        # schema mutations that bypass set_host_column (drop/rename column)
+        # must still bump the version so MVCC commit detects the write
+        entry.version = getattr(entry, "version", 0) + 1
         return None
 
     def _pivot(self, s: N.PivotStatement):
@@ -1243,6 +1409,24 @@ class Connection:
                     validity=_concat_valid(old_valid, valid, len(old_vals),
                                            n_new))
         entry.nrows += n_new
+
+    def _appender_flush(self, entry: TableEntry, cols, n_new: int):
+        """Appender flush with MVCC publication: inside a transaction the
+        held entry is already a txn-private clone; in auto-commit the flush
+        clones the current published entry and publishes the new version
+        atomically (published entries are never mutated in place)."""
+        if self._txn is not None:
+            self._append_columns(entry, cols, n_new)
+            return
+        name = entry.name.lower()
+        with self._db.lock:
+            cur = self._db.catalog.tables.get(name)
+            if cur is None:
+                raise ConnectionException(
+                    f'table "{entry.name}" was dropped during append')
+            clone = cur.clone()
+            self._append_columns(clone, cols, n_new)
+            self._db.catalog.tables[name] = clone
 
     def appender(self, table: str):
         from duckdb_tpu.api.appender import Appender

@@ -99,11 +99,12 @@ class TableEntry:
         self.constraints: List[tuple] = []
 
     def clone(self) -> "TableEntry":
-        """Snapshot copy for transaction rollback (the reference's analog is
-        the UndoBuffer + versioned CatalogSet, src/transaction/undo_buffer.cpp).
-        Host arrays are immutable by convention (every DML path builds new
-        arrays and calls set_host_column), so a shallow dict copy suffices —
-        copy-on-write at zero array cost."""
+        """Snapshot copy for transaction versioning (the reference's analog
+        is the UndoBuffer + versioned CatalogSet,
+        src/transaction/undo_buffer.cpp). Host arrays are immutable by
+        convention (every DML path builds new arrays and calls
+        set_host_column), so a shallow dict copy suffices — copy-on-write at
+        zero array cost."""
         new = TableEntry(self.name,
                          [ColumnDef(c.name, c.ltype) for c in self.columns])
         new.nrows = self.nrows
@@ -111,10 +112,14 @@ class TableEntry:
         new._loaders = dict(self._loaders)
         new.stats = dict(self.stats)
         new.constraints = list(self.constraints)
-        # share the device cache: DML invalidates per-column via
-        # set_host_column, so untouched columns stay HBM-resident across a
-        # rollback instead of re-uploading
-        new._device = self._device
+        # own device dict, shared Column objects: untouched columns stay
+        # HBM-resident (one allocation, two refs) while a set_host_column on
+        # either side invalidates only that side's cache — sharing the dict
+        # itself would let one side re-promote stale planes into the other
+        new._device = dict(self._device)
+        # carry the mutation counter so version-keyed caches stay coherent
+        # across snapshot publication
+        new.version = getattr(self, "version", 0)
         return new
 
     # -- population -----------------------------------------------------------

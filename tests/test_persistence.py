@@ -12,13 +12,23 @@ def _connect(path):
     return duckdb_tpu.connect(path)
 
 
+def _crash():
+    """Simulate a process crash: drop the same-process database registry so
+    the next connect() replays catalog + WAL from disk (in-process, a second
+    connect to the same path attaches to the live shared instance)."""
+    from duckdb_tpu.api.connection import _OPEN_DBS
+
+    _OPEN_DBS.clear()
+
+
 def test_wal_replay(tmp_path):
     db = str(tmp_path / "db")
     con = _connect(db)
     con.sql("CREATE TABLE t (a INT, b VARCHAR, c DECIMAL(10,2))")
     con.sql("INSERT INTO t VALUES (1,'x',1.50),(2,NULL,2.25),(3,'z',NULL)")
     assert os.path.exists(os.path.join(db, "wal.sql"))
-    # "crash" (no checkpoint) → second connection replays the WAL
+    # "crash" (no checkpoint) → reopen after process death replays the WAL
+    _crash()
     con2 = _connect(db)
     rows = con2.sql("SELECT * FROM t ORDER BY a").rows()
     assert rows[0] == (1, "x", __import__("decimal").Decimal("1.50"))
@@ -33,6 +43,7 @@ def test_checkpoint_truncates_wal(tmp_path):
     con.sql("INSERT INTO t VALUES (42)")
     con.sql("CHECKPOINT")
     assert not os.path.exists(os.path.join(db, "wal.sql"))
+    _crash()
     con2 = _connect(db)
     assert con2.sql("SELECT a FROM t").rows() == [(42,)]
 
@@ -44,6 +55,7 @@ def test_checkpoint_plus_wal(tmp_path):
     con.sql("INSERT INTO t VALUES (1)")
     con.sql("CHECKPOINT")
     con.sql("INSERT INTO t VALUES (2)")
+    _crash()
     con2 = _connect(db)
     assert con2.sql("SELECT count(*) FROM t").rows() == [(2,)]
 
@@ -55,6 +67,7 @@ def test_views_persist(tmp_path):
     con.sql("INSERT INTO t VALUES (5)")
     con.sql("CREATE VIEW v AS SELECT a*2 AS a2 FROM t")
     con.sql("CHECKPOINT")
+    _crash()
     con2 = _connect(db)
     assert con2.sql("SELECT a2 FROM v").rows() == [(10,)]
 
@@ -146,6 +159,7 @@ def test_wal_not_resurrected_after_rollback(tmp_path):
     con.sql("INSERT INTO t VALUES (99)")
     con.sql("ROLLBACK")
     # crash (no checkpoint): reopen replays WAL
+    _crash()
     con2 = _connect(db)
     assert con2.sql("SELECT a FROM t ORDER BY a").rows() == [(1,)]
 
@@ -157,6 +171,7 @@ def test_wal_commit_flushes(tmp_path):
     con.sql("BEGIN")
     con.sql("INSERT INTO t VALUES (7)")
     con.sql("COMMIT")
+    _crash()
     con2 = _connect(db)
     assert con2.sql("SELECT a FROM t").rows() == [(7,)]
 
@@ -170,6 +185,7 @@ def test_alter_is_wal_logged(tmp_path):
     con.sql("INSERT INTO t VALUES (1)")
     con.sql("ALTER TABLE t ADD COLUMN b VARCHAR")
     con.sql("INSERT INTO t VALUES (2, 'two')")
+    _crash()
     con2 = _connect(db)  # crash recovery
     rows = con2.sql("SELECT a, b FROM t ORDER BY a").rows()
     assert rows == [(1, None), (2, "two")]
