@@ -156,6 +156,23 @@ class GatherCols(ColSource):
         return self.parent.stats_range(key)
 
 
+def gather_source(src: ColSource, idx: jnp.ndarray) -> ColSource:
+    """Compose a row selection into a lazy source WITHOUT materializing
+    parent-length columns: gather(gather(T, brow), idx) = gather(T,
+    brow[idx]). This is the engine's late materialization — a filter that
+    keeps 0.5% of a 6M-row join output shrinks every downstream build-column
+    gather from O(6M) to O(live) (reference analog: SelectionVector
+    chaining through DataChunk slices)."""
+    if isinstance(src, GatherCols):
+        rows = src.rows[jnp.clip(idx, 0, src.rows.shape[0] - 1)]
+        nulls = (src.null_rows[jnp.clip(idx, 0, src.null_rows.shape[0] - 1)]
+                 if src.null_rows is not None else None)
+        return GatherCols(src.parent, rows, nulls)
+    if isinstance(src, ChainCols):
+        return ChainCols([gather_source(s, idx) for s in src.sources])
+    return GatherCols(src, idx)
+
+
 @dataclass
 class Batch:
     src: ColSource
@@ -412,7 +429,13 @@ class Executor:
                     norm.append(S.orderable_int64(data, c.validity, desc, nf2))
                 perm = S.sort_permutation(norm, live)
             else:
-                (perm,) = jnp.nonzero(live, size=plen2, fill_value=plen2 - 1)
+                # int32 compaction (jnp.nonzero under x64 emits an emulated
+                # int64 scatter — ~434 ms flat on v5e; see ops/compact.py)
+                from duckdb_tpu.ops.compact import compact_indices
+
+                perm, _ = compact_indices(live, plen2)
+                perm = jnp.where(jnp.arange(plen2, dtype=jnp.int32)
+                                 < jnp.sum(live), perm, plen2 - 1)
             n_live = jnp.sum(live)
             n_out = n_live - off
             if limit_node is not None and limit_node.n is not None:

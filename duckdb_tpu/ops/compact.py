@@ -17,11 +17,21 @@ import jax.numpy as jnp
 def compact_indices(mask: jnp.ndarray, out_size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Packed indices of true mask positions.
 
-    out_size: static output capacity (>= true count, host-synced/bucketed).
+    out_size: static output capacity (>= true count, host-synced/bucketed
+    or speculative — truncates past capacity, caller detects via count).
     Returns (indices int32 (out_size,), out_live bool (out_size,)).
     Slots past the true count point at row 0 with out_live False.
+
+    Hand-rolled int32 cumsum+scatter instead of jnp.nonzero(size=...):
+    under x64, nonzero emits int64 index arithmetic whose emulated
+    (u32,u32) scatter serializes on TPU — measured 434 ms FLAT vs ~10 ms
+    for this formulation at 6.3M rows on v5e.
     """
-    (idx,) = jnp.nonzero(mask, size=out_size, fill_value=0)
-    count = jnp.sum(mask)
-    out_live = jnp.arange(out_size) < count
-    return idx.astype(jnp.int32), out_live
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dest = jnp.where(mask, pos, out_size)  # dead rows → dropped slot
+    idx = jnp.zeros((out_size,), jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    count = pos[-1] + 1
+    out_live = jnp.arange(out_size, dtype=jnp.int32) < count
+    return idx, out_live

@@ -4,7 +4,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from duckdb_tpu.ops import hash as h
-from duckdb_tpu.ops import aggregate as agg
 from duckdb_tpu.ops import join as j
 from duckdb_tpu.ops import sort as s
 from duckdb_tpu.ops import compact as c
@@ -16,27 +15,41 @@ def test_hash64_distinct():
     assert len(np.unique(hv)) == 1000
 
 
-def test_perfect_group_ids():
-    k1 = jnp.array([0, 1, 0, 1, 2, 0], dtype=jnp.int32)
-    k2 = jnp.array([1, 1, 0, 0, 1, 1], dtype=jnp.int32)
-    live = jnp.array([True, True, True, True, True, False])
-    gid, n = agg.perfect_group_ids([k1, k2], [3, 2], live)
-    assert n == 6
-    np.testing.assert_array_equal(np.asarray(gid), [1, 3, 0, 2, 5, 6])
+def test_grouped_reduce_masked_and_scatter():
+    """grouped_reduce must agree across its masked-bcast and scatter paths,
+    including the int64 limb decomposition (exact, wrap-compatible)."""
+    from duckdb_tpu.ops import grouped as g
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    gid = jnp.asarray(rng.integers(0, 300, n).astype(np.int32))
+    vi = jnp.asarray(rng.integers(-(10**17), 10**17, n))
+    vf = jnp.asarray(rng.standard_normal(n))
+    for nseg in (300, 64):  # 300 → scatter path, 64 → masked path
+        d = jnp.where(gid < nseg, gid, nseg)
+        res = g.grouped_reduce(d, [vi, vf, vi], ["sum", "sum", "max"], nseg)
+        gi, gf, mi = (np.asarray(r) for r in res)
+        gid_np = np.asarray(d)
+        for s_ in (0, 1, nseg - 1):
+            sel = gid_np == s_
+            assert gi[s_] == np.asarray(vi)[sel].sum(), (nseg, s_)
+            np.testing.assert_allclose(gf[s_], np.asarray(vf)[sel].sum(),
+                                       rtol=1e-12)
+            assert mi[s_] == np.asarray(vi)[sel].max()
 
 
-def test_sort_group_ids_and_segment_sum():
-    keys = jnp.array([5, 3, 5, 3, 9, 0, 0, 0], dtype=jnp.int64)
-    live = jnp.array([True] * 5 + [False] * 3)
-    vals = jnp.array([1.0, 2.0, 3.0, 4.0, 5.0, 100.0, 100.0, 100.0])
-    perm, gid_sorted, ng = agg.sort_group_ids([keys], live)
-    assert int(ng) == 3
-    sums = agg.segment_sum(vals[perm], gid_sorted, num_segments=9, sorted_ids=True)
-    # groups sorted by key: 3 → 6.0, 5 → 4.0, 9 → 5.0
-    np.testing.assert_allclose(np.asarray(sums)[:3], [6.0, 4.0, 5.0])
-    # trash group (dead rows) must not pollute real groups
-    keys_sorted = keys[perm]
-    assert int(keys_sorted[0]) == 3
+def test_seg_sum_int64_limbs_exact():
+    """_seg_sum's 22-bit-limb f64 route must match int64 exactly, including
+    negative values and large magnitudes."""
+    from duckdb_tpu.execution.aggregate_exec import _seg_sum
+
+    rng = np.random.default_rng(3)
+    data = jnp.asarray(rng.integers(-(2**62), 2**62, 4096) // 3)
+    ids = jnp.asarray(rng.integers(0, 17, 4096).astype(np.int32))
+    got = np.asarray(_seg_sum(data, ids, 17))
+    dn, idn = np.asarray(data), np.asarray(ids)
+    for s_ in range(17):
+        assert got[s_] == dn[idn == s_].sum(), s_
 
 
 def test_sorted_join_inner_expansion():
