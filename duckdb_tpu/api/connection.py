@@ -108,9 +108,14 @@ class Connection:
         from duckdb_tpu.main.logging import LogManager
 
         self.database = database
+        import os
+
         attached = _db is not None or (
             database not in (":memory:", "")
-            and _abspath(database) in _OPEN_DBS)
+            and _abspath(database) in _OPEN_DBS
+            # a deleted-on-disk database invalidates its live registry entry
+            # (sqllogictest `load` rmtrees and reopens fresh)
+            and os.path.exists(_abspath(database)))
         if _db is not None:
             self._db = _db
         elif attached:
@@ -717,8 +722,10 @@ class Connection:
                 phys = np.array([0 if v is None else v for v in vals],
                                 dtype=t.np_dtype)
             new_cols[cname] = (phys, None if valid.all() else valid)
+        advance_indexes = None
         if entry.constraints:
-            self._verify_append_constraints(entry, new_cols, n_new)
+            advance_indexes = self._verify_append_constraints(
+                entry, new_cols, n_new)
         # merge with existing data
         for cd in entry.columns:
             old_vals, old_valid, old_dict = entry.host_column(cd.name)
@@ -758,12 +765,29 @@ class Connection:
                 new_valid = _concat_valid(old_valid, valid, len(old_vals), n_new)
                 entry.set_host_column(cd.name, merged, validity=new_valid)
         entry.nrows += n_new
+        if advance_indexes is not None:
+            advance_indexes()
 
     def _verify_append_constraints(self, entry, new_cols, n_new):
         """NOT NULL / PRIMARY KEY / UNIQUE / CHECK verification before any
         mutation (reference: VerifyAppendConstraints,
         src/storage/table/row_group_collection.cpp). Raises with the
         reference's "Constraint Error" phrasing and nothing is appended."""
+
+        post_append = []
+
+        def new_col_strings(name):
+            """Logical values of column `name` for the NEW rows only, as a
+            comparable string array plus validity (the O(delta) fast path)."""
+            cd = next(c for c in entry.columns if c.name == name)
+            if name in new_cols:
+                phys, valid = new_cols[name]
+            else:
+                phys = np.zeros(n_new, dtype=cd.ltype.np_dtype)
+                valid = np.zeros(n_new, dtype=bool)
+            if valid is None:
+                valid = np.ones(n_new, dtype=bool)
+            return phys.astype(str), valid
 
         def col_strings(name):
             """Logical values of column `name` across old rows + new rows as a
@@ -804,23 +828,58 @@ class Connection:
                         f"{entry.name}.{cname}")
             elif kind in ("primary_key", "unique"):
                 cols = con_[1]
-                parts = [col_strings(c) for c in cols]
-                key = parts[0][0]
-                for vs, _ in parts[1:]:
-                    key = np.char.add(np.char.add(key, "\x1f"), vs)
-                all_valid = parts[0][1]
-                for _, va in parts[1:]:
-                    all_valid = np.logical_and(all_valid, va)
-                live = key[all_valid]  # SQL: NULL keys never collide
-                if len(live) and len(np.unique(live)) < len(live):
-                    label = ("PRIMARY KEY" if kind == "primary_key"
-                             else "UNIQUE")
-                    raise ConnectionException(
-                        f"Constraint Error: duplicate key violates "
-                        f"{label} constraint on {entry.name}"
-                        f"({', '.join(cols)})")
+                label = ("PRIMARY KEY" if kind == "primary_key" else "UNIQUE")
+                err = ConnectionException(
+                    f"Constraint Error: duplicate key violates "
+                    f"{label} constraint on {entry.name}"
+                    f"({', '.join(cols)})")
+                # persistent key index (the reference's ART analog,
+                # src/execution/index/art/art.hpp): a version-validated set
+                # of live key strings, shared by reference through MVCC
+                # clones and advanced in place after a successful append —
+                # so steady-state inserts verify in O(new rows), not
+                # O(table). A stale version (rollback, update, concurrent
+                # publish) falls back to the full scan and rebuilds.
+                store = entry.__dict__.setdefault("_uniq_indexes", {})
+                idx = store.get(tuple(cols))
+                new_parts = [new_col_strings(c) for c in cols]
+                nkey = new_parts[0][0]
+                for vs, _ in new_parts[1:]:
+                    nkey = np.char.add(np.char.add(nkey, "\x1f"), vs)
+                nvalid = new_parts[0][1]
+                for _, va in new_parts[1:]:
+                    nvalid = np.logical_and(nvalid, va)
+                new_live = nkey[nvalid].tolist()
+                if (idx is not None
+                        and idx["version"] == getattr(entry, "version", 0)):
+                    if len(set(new_live)) < len(new_live):
+                        raise err
+                    if any(k in idx["set"] for k in new_live):
+                        raise err
+                    merged = idx["set"] | set(new_live)
+                else:
+                    parts = [col_strings(c) for c in cols]
+                    key = parts[0][0]
+                    for vs, _ in parts[1:]:
+                        key = np.char.add(np.char.add(key, "\x1f"), vs)
+                    all_valid = parts[0][1]
+                    for _, va in parts[1:]:
+                        all_valid = np.logical_and(all_valid, va)
+                    live = key[all_valid]  # SQL: NULL keys never collide
+                    if len(live) and len(np.unique(live)) < len(live):
+                        raise err
+                    merged = set(live.tolist())
+                post_append.append((tuple(cols), merged))
             elif kind == "check":
                 self._verify_check(entry, new_cols, n_new, con_[1])
+        if post_append:
+            def advance_indexes():
+                store = entry.__dict__.setdefault("_uniq_indexes", {})
+                v = getattr(entry, "version", 0)
+                for cols_t, merged in post_append:
+                    store[cols_t] = {"version": v, "set": merged}
+            return advance_indexes
+        return None
 
     def _verify_check(self, entry, new_cols, n_new, check_sql):
         """Run the CHECK expression over the staged rows through the normal

@@ -120,6 +120,12 @@ class TableEntry:
         # carry the mutation counter so version-keyed caches stay coherent
         # across snapshot publication
         new.version = getattr(self, "version", 0)
+        # the persistent unique-key index (ART analog) is shared BY
+        # REFERENCE and version-validated: a successful append on the clone
+        # advances it in place, transferring it to the newest version; any
+        # other lineage sees a version mismatch and rebuilds
+        if "_uniq_indexes" in self.__dict__:
+            new._uniq_indexes = self.__dict__["_uniq_indexes"]
         return new
 
     # -- population -----------------------------------------------------------

@@ -766,14 +766,26 @@ class BoundLike(BoundExpr):
     def eval(self, env: EvalEnv) -> Column:
         c = self.child.eval(env)
         assert c.ltype.id is TypeId.VARCHAR and c.dict_values is not None
-        rx = like_to_regex(self.pattern)
-        flags = re.IGNORECASE if self.case_insensitive else 0
-        prog = re.compile(rx, flags)
-        lut = np.fromiter(
-            (prog.match(s) is not None for s in c.dict_values),
-            dtype=np.bool_,
-            count=len(c.dict_values),
-        )
+        lut = None
+        if len(c.dict_values) >= 1:
+            from duckdb_tpu.ops.strings import (DEVICE_LIKE_MIN_DICT,
+                                                device_like_lut)
+
+            if len(c.dict_values) >= DEVICE_LIKE_MIN_DICT:
+                # near-unique columns: vectorized device matching over the
+                # packed dictionary byte plane instead of a Python loop per
+                # distinct value (ops/strings.py)
+                lut = device_like_lut(c.dict_values, self.pattern,
+                                      self.case_insensitive)
+        if lut is None:
+            rx = like_to_regex(self.pattern)
+            flags = re.IGNORECASE if self.case_insensitive else 0
+            prog = re.compile(rx, flags)
+            lut = np.fromiter(
+                (prog.match(s) is not None for s in c.dict_values),
+                dtype=np.bool_,
+                count=len(c.dict_values),
+            )
         if self.negated:
             lut = ~lut
         d = jnp.asarray(lut)[jnp.clip(c.data, 0, len(lut) - 1)]

@@ -811,6 +811,53 @@ class Planner:
             else:
                 multi.append(p)
 
+        # snowflake collapse: pre-join fanout-1 dimension chains into their
+        # parent atom, bottom-up, so the fact spine probes each chain ONCE.
+        # A left-deep spine probes every dimension at FACT length (probe-
+        # preserving direct-address joins cost O(probe rows) each); joining
+        # customer into orders first costs O(orders) instead of O(lineitem)
+        # — measured 54 ms per fact-length probe chain link at SF1 on v5e.
+        # The reference reaches the same shapes through DP join ordering
+        # (src/optimizer/join_order/); this is the bushy special case that
+        # matters for star/snowflake schemas (TPC-H Q3/Q5/Q7-Q10).
+        if len(by_id) > 2:
+            spine_id = max(by_id.values(), key=lambda a: a.rows).id
+            changed = True
+            while changed and len(by_id) > 2:
+                changed = False
+                for a in sorted(by_id.values(), key=lambda x: x.rows):
+                    if a.id == spine_id:
+                        continue
+                    for b in sorted(by_id.values(), key=lambda x: x.rows):
+                        if b.id in (a.id, spine_id) or b.rows > a.rows:
+                            continue
+                        edges = self._edges_between(multi, a.keys, b.keys)
+                        if not edges or self._fanout_estimate(b, edges) > 1.01:
+                            continue
+                        pk = [e[1] for e in edges]
+                        bk = [e[2] for e in edges]
+                        used = [e[0] for e in edges]
+                        multi = [p for p in multi
+                                 if not any(p is u for u in used)]
+                        a.plan = P.Join(a.plan, b.plan, "inner", pk, bk, None)
+                        a.keys = set(a.keys) | set(b.keys)
+                        a.col_of.update(b.col_of)
+                        del by_id[b.id]
+                        for k in b.keys:
+                            key2atom[k] = a.id
+                        # predicates now fully inside the merged atom
+                        rest = []
+                        for p in multi:
+                            if self._keys_of(p) <= a.keys:
+                                a.plan = P.Filter(a.plan, p)
+                            else:
+                                rest.append(p)
+                        multi = rest
+                        changed = True
+                        break
+                    if changed:
+                        break
+
         remaining = dict(by_id)
         # start from the largest atom (fact-table probe spine)
         cur = max(remaining.values(), key=lambda a: a.rows)

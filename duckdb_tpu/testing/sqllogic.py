@@ -369,9 +369,13 @@ class SqlLogicRunner:
             text = re.sub(rf"\b{re.escape(k)}\b", v, text) if k in ("i",) \
                 else text
         if ctx is not None and ("__TEST_DIR__" in text
-                                or "{TEST_DIR}" in text):
+                                or "{TEST_DIR}" in text
+                                or "{TEMP_DIR}" in text):
             text = text.replace("__TEST_DIR__", ctx.get_test_dir())
             text = text.replace("{TEST_DIR}", ctx.get_test_dir())
+            # the reference harness injects TEMP_DIR via --temp-dir-root
+            # (test/sqlite/sqllogic_test_runner.cpp:155); same per-run dir
+            text = text.replace("{TEMP_DIR}", ctx.get_test_dir())
         if "__WORKING_DIRECTORY__" in text:
             text = text.replace("__WORKING_DIRECTORY__", os.getcwd())
         return text

@@ -113,3 +113,29 @@ def test_on_conflict_upsert():
     con.sql("INSERT INTO t VALUES (3, 0, 'k') "
             "ON CONFLICT (id) DO UPDATE SET s = 'fixed'")
     assert con.sql("SELECT s FROM t WHERE id = 3").rows() == [("fixed",)]
+
+
+def test_unique_index_advances_in_place():
+    """The persistent key index (ART analog) must advance across inserts
+    (O(delta) verification) and survive the MVCC publish of each statement."""
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE t (a INT PRIMARY KEY)")
+    con.sql("INSERT INTO t VALUES (1), (2)")
+    con.sql("INSERT INTO t VALUES (3)")
+    entry = con.catalog.get_table("t")
+    idx = entry.__dict__["_uniq_indexes"][("a",)]
+    assert idx["version"] == getattr(entry, "version", 0)
+    assert idx["set"] == {"1", "2", "3"}
+    # rollback leaves a stale index; the next insert must rebuild, not
+    # wrongly reject/accept
+    con.sql("BEGIN")
+    con.sql("INSERT INTO t VALUES (4)")
+    con.sql("ROLLBACK")
+    con.sql("INSERT INTO t VALUES (4)")  # must succeed (4 was rolled back)
+    import pytest
+
+    with pytest.raises(Exception, match="PRIMARY KEY"):
+        con.sql("INSERT INTO t VALUES (2)")
+    assert con.sql("SELECT count(*) FROM t").rows() == [(4,)]
