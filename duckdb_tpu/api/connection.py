@@ -166,12 +166,50 @@ class Connection:
             stmts[0]._sql_text = query
         res = None
         mutated = False
-        for s in stmts:
+        muts = [isinstance(s, self._MUTATING)
+                or (isinstance(s, N.CopyStatement) and s.direction == "from")
+                for s in stmts]
+        persistent = (self.database not in (":memory:", "")
+                      and not getattr(self, "_replaying", False))
+        wal_meta = None
+        if persistent and any(muts):
+            # pin statement entropy so the WAL entry replays to the exact
+            # values this execution stores: now()/current_date read the
+            # logged time, random()/uuid() draw from the logged seed
+            # (reference logs typed row images instead, wal_replay.cpp;
+            # we log the entropy)
+            import random as _random
+            import time as _time
+
+            from duckdb_tpu.planner import functions_ext as _fx
+
+            wal_meta = {"t": int(_time.time() * 1e6),
+                        "seed": _random.getrandbits(63)}
+            _fx.REPLAY_TIME_MICROS = wal_meta["t"]
+            _fx.REPLAY_RNG = _random.Random(wal_meta["seed"])
+        try:
+            res = self._sql_statements(stmts, muts, query)
+        finally:
+            if wal_meta is not None:
+                from duckdb_tpu.planner import functions_ext as _fx
+
+                _fx.REPLAY_TIME_MICROS = None
+                _fx.REPLAY_RNG = None
+        if any(muts) and persistent:
+            if self._txn is not None:
+                # inside a transaction: buffer WAL entries; COMMIT flushes,
+                # ROLLBACK discards (the reference writes the WAL at commit
+                # time, src/transaction/wal_write_state.cpp)
+                self._txn.wal.append((query, wal_meta))
+            else:
+                self._wal_write(query, wal_meta)
+        return res
+
+    def _sql_statements(self, stmts, muts, query):
+        res = None
+        for s, is_mut in zip(stmts, muts):
             if not isinstance(s, N.SelectStatement):
                 self._plan_cache.clear()  # DDL/DML invalidates cached plans
-            is_mut = isinstance(s, self._MUTATING) or (
-                isinstance(s, N.CopyStatement) and s.direction == "from")
-            mutated = mutated or is_mut
             if isinstance(s, N.CreateView):
                 s._sql_text = query  # persisted view definition
             if is_mut and self._txn is None:
@@ -189,22 +227,13 @@ class Connection:
                 self._commit_txn()
             else:
                 res = self._execute_statement(s)
-        if (mutated and self.database not in (":memory:", "")
-                and not getattr(self, "_replaying", False)):
-            if self._txn is not None:
-                # inside a transaction: buffer WAL entries; COMMIT flushes,
-                # ROLLBACK discards (the reference writes the WAL at commit
-                # time, src/transaction/wal_write_state.cpp)
-                self._txn.wal.append(query)
-            else:
-                self._wal_write(query)
         return res
 
-    def _wal_write(self, query: str):
+    def _wal_write(self, query: str, meta=None):
         from duckdb_tpu.storage.persist import checkpoint, wal_append
         import os
 
-        wal_append(self.database, query)
+        wal_append(self.database, query, meta)
         wal_path = os.path.join(self.database, "wal.sql")
         threshold = 16 << 20
         if (os.path.exists(wal_path)
@@ -469,8 +498,8 @@ class Connection:
         _fx.ACTIVE_SEQUENCES = shared.sequences
         if (txn.wal and self.database not in (":memory:", "")
                 and not getattr(self, "_replaying", False)):
-            for q in txn.wal:
-                self._wal_write(q)
+            for q, meta in txn.wal:
+                self._wal_write(q, meta)
         return None
 
     # -- DDL / DML ------------------------------------------------------------
@@ -520,9 +549,17 @@ class Connection:
         src = s.source
         if src is None:
             raise ConnectionException("INSERT without source")
+        rows = None
         if isinstance(src.node, N.ValuesNode):
-            rows = self._eval_values(src.node, entry, s.columns)
-        else:
+            from duckdb_tpu.planner.bound import BindError
+
+            try:
+                rows = self._eval_values(src.node, entry, s.columns)
+            except BindError:
+                # non-constant cells (now(), random(), scalar exprs):
+                # plan the VALUES node through the normal query path
+                rows = None
+        if rows is None:
             plan, output = planner.plan_select(src)
             res = Executor(self.catalog).run(plan, output)
             rows = res.rows()
@@ -717,6 +754,16 @@ class Connection:
                                 * 1_000_000 + v.microsecond)
                     return int(v)
                 phys = np.array([0 if v is None else _tmicros(v)
+                                 for v in vals], dtype=t.np_dtype)
+            elif t.id is TypeId.TIMESTAMP:
+                def _tsmicros(v):
+                    if isinstance(v, str):
+                        v = datetime.datetime.fromisoformat(v)
+                    if isinstance(v, datetime.datetime):
+                        return int((v - datetime.datetime(1970, 1, 1))
+                                   .total_seconds() * 1e6)
+                    return int(v)
+                phys = np.array([0 if v is None else _tsmicros(v)
                                  for v in vals], dtype=t.np_dtype)
             else:
                 phys = np.array([0 if v is None else v for v in vals],

@@ -558,7 +558,17 @@ def _num_shards(executor, fa) -> int:
     n = int(mgr.get("num_shards", 1)) if mgr else 1
     if n <= 1:
         return 1
-    if len(jax.devices()) < n or fa.base_batch.plen % n != 0:
+    if len(jax.devices()) < n:
+        executor._log("WARN", "sharding",
+                      f"num_shards={n} requested but only "
+                      f"{len(jax.devices())} devices visible; aggregate "
+                      "runs single-chip")
+        return 1
+    if fa.base_batch.plen % n != 0:
+        executor._log("WARN", "sharding",
+                      f"num_shards={n}: padded block {fa.base_batch.plen} "
+                      "not divisible by shard count; aggregate runs "
+                      "single-chip")
         return 1
     return n
 

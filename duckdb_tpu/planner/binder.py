@@ -466,46 +466,7 @@ class ExprBinder:
         right = self.bind(e.right)
 
         def impl(env, cols, node):
-            import jax.numpy as jnp
-            import numpy as np
-
-            a, b = cols
-            if a.dict_values is None or b.dict_values is None:
-                raise BindError("|| expects VARCHAR operands")
-            valid = B._and_validity(a.validity, b.validity)
-            na, nb = len(a.dict_values), len(b.dict_values)
-            if nb == 1 and b.validity is None:
-                c = F.dict_transform(a, lambda s: s + b.dict_values[0])
-                return B.Column(data=c.data, ltype=c.ltype, validity=valid,
-                                dict_values=c.dict_values)
-            if na == 1 and a.validity is None:
-                c = F.dict_transform(b, lambda s: a.dict_values[0] + s)
-                return B.Column(data=c.data, ltype=c.ltype, validity=valid,
-                                dict_values=c.dict_values)
-            if na * nb <= (1 << 18):
-                # cross-product dictionary: no row materialization, no host
-                # sync — safe inside traced pipelines
-                prod = np.array([x + y for x in a.dict_values
-                                 for y in b.dict_values], dtype=object)
-                uniq, inv = np.unique(prod.astype(str), return_inverse=True)
-                lut = jnp.asarray(inv.astype(np.int32))
-                code = (jnp.clip(a.data, 0, na - 1).astype(jnp.int32)
-                        * jnp.int32(nb)
-                        + jnp.clip(b.data, 0, nb - 1).astype(jnp.int32))
-                return B.Column(data=lut[code], ltype=VARCHAR, validity=valid,
-                                dict_values=uniq.astype(object))
-            # near-unique dictionaries: row-wise host concat (eager only —
-            # inside a trace np.asarray raises ConcretizationTypeError and
-            # the pipeline falls back to eager execution)
-            ac = np.asarray(jnp.broadcast_to(a.data, (env.plen,)))
-            bc = np.asarray(jnp.broadcast_to(b.data, (env.plen,)))
-            strs = np.char.add(
-                a.dict_values[np.clip(ac, 0, na - 1)].astype(str),
-                b.dict_values[np.clip(bc, 0, nb - 1)].astype(str))
-            uniq, inv = np.unique(strs, return_inverse=True)
-            return B.Column(data=jnp.asarray(inv.astype(np.int32)),
-                            ltype=VARCHAR, validity=valid,
-                            dict_values=uniq.astype(object))
+            return concat_pair(env, cols[0], cols[1])
 
         return B.BoundFunction("concat", [left, right], VARCHAR, impl)
 
@@ -637,3 +598,45 @@ class ExprBinder:
         if self.subquery_binder is None:
             raise BindError("subqueries not supported in this context")
         return self.subquery_binder(e, self)
+
+
+def concat_pair(env, a, b):
+    """VARCHAR || VARCHAR kernel: cross-product dictionary remap when the
+    dictionary product is small (device-only, trace-safe), row-wise host
+    concat for near-unique dictionaries (eager only — inside a trace
+    np.asarray raises ConcretizationTypeError and the pipeline falls back
+    to eager execution). NULL propagates (SQL || semantics)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    if a.dict_values is None or b.dict_values is None:
+        raise BindError("|| expects VARCHAR operands")
+    valid = B._and_validity(a.validity, b.validity)
+    na, nb = len(a.dict_values), len(b.dict_values)
+    if nb == 1 and b.validity is None:
+        c = F.dict_transform(a, lambda s: s + b.dict_values[0])
+        return B.Column(data=c.data, ltype=c.ltype, validity=valid,
+                        dict_values=c.dict_values)
+    if na == 1 and a.validity is None:
+        c = F.dict_transform(b, lambda s: a.dict_values[0] + s)
+        return B.Column(data=c.data, ltype=c.ltype, validity=valid,
+                        dict_values=c.dict_values)
+    if na * nb <= (1 << 18):
+        prod = np.array([x + y for x in a.dict_values
+                         for y in b.dict_values], dtype=object)
+        uniq, inv = np.unique(prod.astype(str), return_inverse=True)
+        lut = jnp.asarray(inv.astype(np.int32))
+        code = (jnp.clip(a.data, 0, na - 1).astype(jnp.int32)
+                * jnp.int32(nb)
+                + jnp.clip(b.data, 0, nb - 1).astype(jnp.int32))
+        return B.Column(data=lut[code], ltype=VARCHAR, validity=valid,
+                        dict_values=uniq.astype(object))
+    ac = np.asarray(jnp.broadcast_to(a.data, (env.plen,)))
+    bc = np.asarray(jnp.broadcast_to(b.data, (env.plen,)))
+    strs = np.char.add(
+        a.dict_values[np.clip(ac, 0, na - 1)].astype(str),
+        b.dict_values[np.clip(bc, 0, nb - 1)].astype(str))
+    uniq, inv = np.unique(strs, return_inverse=True)
+    return B.Column(data=jnp.asarray(inv.astype(np.int32)),
+                    ltype=VARCHAR, validity=valid,
+                    dict_values=uniq.astype(object))

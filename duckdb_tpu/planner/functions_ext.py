@@ -489,7 +489,11 @@ def _bind_monthname(arg_exprs):
 def _bind_current_date(arg_exprs):
     import datetime
 
-    days = (datetime.date.today() - datetime.date(1970, 1, 1)).days
+    _mark_nondeterministic()
+    if REPLAY_TIME_MICROS is not None:
+        days = int(REPLAY_TIME_MICROS // 86_400_000_000)
+    else:
+        days = (datetime.date.today() - datetime.date(1970, 1, 1)).days
 
     def impl(env, cols, node):
         return Column(data=jnp.full((env.plen,), days, jnp.int32), ltype=DATE)
@@ -503,8 +507,11 @@ def _bind_current_date(arg_exprs):
 def _bind_now(arg_exprs):
     import datetime
 
-    micros = int((datetime.datetime.now()
-                  - datetime.datetime(1970, 1, 1)).total_seconds() * 1e6)
+    _mark_nondeterministic()
+    micros = (REPLAY_TIME_MICROS if REPLAY_TIME_MICROS is not None
+              else int((datetime.datetime.now()
+                        - datetime.datetime(1970, 1, 1))
+                       .total_seconds() * 1e6))
 
     def impl(env, cols, node):
         return Column(data=jnp.full((env.plen,), micros, jnp.int64),
@@ -860,10 +867,13 @@ def _bind_time_bucket(arg_exprs):
 
 @register("random")
 def _bind_random(arg_exprs):
+    _mark_nondeterministic()
+
     def impl(env, cols, node):
         import random as _random
 
-        key = jax.random.PRNGKey(_random.getrandbits(31))
+        rng = REPLAY_RNG if REPLAY_RNG is not None else _random
+        key = jax.random.PRNGKey(rng.getrandbits(31))
         return Column(data=jax.random.uniform(key, (env.plen,),
                                               dtype=jnp.float64),
                       ltype=DOUBLE)
@@ -873,10 +883,16 @@ def _bind_random(arg_exprs):
 @register("uuid")
 @register("gen_random_uuid")
 def _bind_uuid(arg_exprs):
+    _mark_nondeterministic()
+
     def impl(env, cols, node):
         import uuid as _uuid
 
-        vals = np.array([str(_uuid.uuid4())], dtype=object)
+        if REPLAY_RNG is not None:
+            u = _uuid.UUID(int=REPLAY_RNG.getrandbits(128), version=4)
+        else:
+            u = _uuid.uuid4()
+        vals = np.array([str(u)], dtype=object)
         return Column(data=jnp.zeros((env.plen,), jnp.int32), ltype=VARCHAR,
                       dict_values=vals)
     return VARCHAR, impl, []
@@ -968,6 +984,24 @@ REGISTRY["printf"] = _format_like(lambda f, a: f % tuple(a))
 # reference's catalog sequence entries
 ACTIVE_SEQUENCES = {}
 
+# -- determinism pinning ------------------------------------------------------
+# WAL replay (and the original execution of WAL-logged statements) pins
+# now()/current_date to the logged statement time and seeds random()/uuid()
+# from the logged seed, so crash recovery reproduces the exact values the
+# original execution stored (the reference sidesteps this by logging typed
+# ROW images, src/storage/wal_replay.cpp; we log the entropy instead).
+REPLAY_TIME_MICROS = None
+REPLAY_RNG = None
+# set during binding whenever a non-deterministic function is bound; the
+# planner marks such plans uncacheable (a cached plan would freeze the
+# bind-time now()) and the connection WAL-logs the pinned entropy
+NONDET_BOUND = False
+
+
+def _mark_nondeterministic():
+    global NONDET_BOUND
+    NONDET_BOUND = True
+
 
 @register("nextval")
 def _bind_nextval(arg_exprs):
@@ -1003,3 +1037,41 @@ def _bind_currval(arg_exprs):
                                     jnp.int64), ltype=BIGINT)
 
     return BIGINT, impl, []
+
+
+@register("concat")
+def _bind_concat_nary(arg_exprs):
+    """n-ary concat: NULL arguments become '' (reference semantics differ
+    from || which propagates NULL — core_functions concat.cpp). Non-VARCHAR
+    args cast to VARCHAR; the pairwise combine reuses the || kernel
+    (cross-product dictionary remap / row-wise host fallback)."""
+    from duckdb_tpu.planner.bound import BoundCast
+
+    wrapped = [a if a.ltype.id is TypeId.VARCHAR
+               else BoundCast(a, VARCHAR) for a in arg_exprs]
+
+    def null_to_empty(c):
+        if c.validity is None:
+            return c
+        dvals = (c.dict_values if c.dict_values is not None
+                 else np.empty(0, object))
+        ext = np.concatenate([dvals.astype(object),
+                              np.array([""], dtype=object)])
+        uniq, inv = np.unique(ext.astype(str), return_inverse=True)
+        lut = jnp.asarray(inv[:-1].astype(np.int32)) if len(dvals) else None
+        empty_code = int(inv[-1])
+        codes = (lut[jnp.clip(c.data, 0, len(dvals) - 1)]
+                 if lut is not None else jnp.zeros_like(c.data))
+        data = jnp.where(c.validity, codes, empty_code)
+        return Column(data=data, ltype=VARCHAR,
+                      dict_values=uniq.astype(object))
+
+    def impl(env, cols, node):
+        from duckdb_tpu.planner.binder import concat_pair
+
+        acc = null_to_empty(cols[0])
+        for c in cols[1:]:
+            acc = concat_pair(env, acc, null_to_empty(c))
+        return acc
+
+    return VARCHAR, impl, wrapped

@@ -593,3 +593,18 @@ def map_element(arg_exprs):
 
 
 REGISTRY["element_at"] = map_element
+
+
+@register("row")
+@register("struct_pack")
+def _bind_row(arg_exprs):
+    """Positional STRUCT constructor (reference names fields v1..vn,
+    core_functions struct_pack.cpp / row())."""
+    fields = []
+    vals = []
+    for i, a in enumerate(arg_exprs):
+        v, t = _const_py(a)
+        fields.append((getattr(a, "alias", None) or f"v{i + 1}", t))
+        vals.append(v)
+    lt = struct_of(*fields)
+    return lt, _const_column(tuple(vals), lt), []

@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Set, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from duckdb_tpu.sql import nodes as N
 from duckdb_tpu.planner import bound as B
@@ -38,6 +39,7 @@ from duckdb_tpu.types import (
     BIGINT,
     BOOLEAN,
     DOUBLE,
+    VARCHAR,
     LogicalType,
     SQLNULL,
     TypeId,
@@ -115,6 +117,115 @@ class BoundScalarSubquery(B.BoundExpr):
         return self._value
 
 
+class BoundMarkSubquery(B.BoundExpr):
+    """MARK join as an expression: `x IN (subquery)` / `EXISTS (subquery)`
+    in ANY expression position (SELECT list, CASE, arithmetic), not just
+    WHERE conjuncts the flattener rewrites to semi/anti joins.
+
+    Reference: MARK joins in join_hashtable.cpp ScanKeyMatches — the mark
+    column is TRUE on a match, FALSE on no match against a NULL-free build,
+    NULL when unmatched against a build containing NULLs or when the probe
+    key is NULL (and the build is non-empty). Uncorrelated only: the build
+    executes once on first eval; the membership test runs on device."""
+
+    def __init__(self, planner, expr: Optional[B.BoundExpr], plan, out_key,
+                 out_type, negated: bool):
+        self.planner = planner
+        self.expr = expr  # None = EXISTS (pure emptiness test)
+        self.plan = plan
+        self.out_key = out_key
+        self.out_type = out_type
+        self.negated = negated
+        self.ltype = BOOLEAN
+
+    def children(self):
+        return [self.expr] if self.expr is not None else []
+
+    def _build(self):
+        if not hasattr(self, "_vals"):
+            from duckdb_tpu.execution.executor import Executor
+
+            ex = Executor(self.planner.catalog)
+            res = ex.run(self.plan, [("v", self.out_key, self.out_type)])
+            vals, valid, dvals = (res.columns[0] if res.columns
+                                  else (np.empty(0), None, None))
+            vals = np.asarray(vals)[:res.nrows]
+            live_valid = (np.asarray(valid)[:res.nrows]
+                          if valid is not None else None)
+            has_null = bool(live_valid is not None and not live_valid.all())
+            if live_valid is not None:
+                vals = vals[live_valid]
+            self._vals = vals
+            self._dvals = dvals
+            self._has_null = has_null
+            self._empty = res.nrows == 0
+        return self._vals, self._dvals, self._has_null, self._empty
+
+    def eval(self, env):
+        import jax
+        import jax.numpy as jnp
+
+        # the subplan executes through the ordinary (host-driving) executor;
+        # under tracing that would leak tracers into scan caches — raise the
+        # concretization error the fused pipelines catch to fall back to
+        # eager execution, where this eval re-runs safely
+        probe = (env.live if self.expr is None
+                 else self.expr.eval(env).data)
+        if isinstance(probe, jax.core.Tracer):
+            raise jax.errors.ConcretizationTypeError(
+                probe, "MARK subquery executes its build host-side")
+
+        vals, dvals, has_null, empty = self._build()
+        if self.expr is None:  # EXISTS
+            r = (not empty) != self.negated
+            return B.Column(data=jnp.full((env.plen,), r, jnp.bool_),
+                            ltype=BOOLEAN)
+        c = self.expr.eval(env)
+        x = jnp.broadcast_to(c.data, (env.plen,))
+        if c.ltype.id is TypeId.VARCHAR:
+            # compare through the probe dictionary: membership of each
+            # distinct probe string in the build's string set
+            probe_d = c.dict_values if c.dict_values is not None else np.empty(0, object)
+            bset = (set() if dvals is None or len(vals) == 0
+                    else set(np.asarray(dvals)[vals].astype(str).tolist()))
+            lut = np.fromiter((str(s) in bset for s in probe_d),
+                              dtype=np.bool_, count=len(probe_d))
+            match = jnp.asarray(lut)[jnp.clip(x, 0, max(len(probe_d) - 1, 0))]
+        elif c.ltype.is_float or self.out_type.is_float:
+            s1 = c.ltype.scale if c.ltype.id is TypeId.DECIMAL else 0
+            s2 = (self.out_type.scale
+                  if self.out_type.id is TypeId.DECIMAL else 0)
+            xf = x.astype(jnp.float64) / (10.0 ** s1)
+            bv = np.unique(vals.astype(np.float64) / (10.0 ** s2))
+            match = (jnp.isin(xf, jnp.asarray(bv)) if len(bv)
+                     else jnp.zeros((env.plen,), jnp.bool_))
+        else:
+            # integer families: rescale DECIMALs to the common scale (exact)
+            s1 = c.ltype.scale if c.ltype.id is TypeId.DECIMAL else 0
+            s2 = (self.out_type.scale
+                  if self.out_type.id is TypeId.DECIMAL else 0)
+            smax = max(s1, s2)
+            xi = x.astype(jnp.int64) * jnp.int64(10 ** (smax - s1))
+            bv = np.unique(vals.astype(np.int64) * 10 ** (smax - s2))
+            match = (jnp.isin(xi, jnp.asarray(bv)) if len(bv)
+                     else jnp.zeros((env.plen,), jnp.bool_))
+        x_null = (jnp.logical_not(jnp.broadcast_to(c.validity, (env.plen,)))
+                  if c.validity is not None
+                  else jnp.zeros((env.plen,), jnp.bool_))
+        if empty and not (len(vals) or has_null):
+            # IN over an empty set: FALSE for every row, even NULL probes
+            data = jnp.full((env.plen,), self.negated, jnp.bool_)
+            return B.Column(data=data, ltype=BOOLEAN)
+        unknown = jnp.logical_and(jnp.logical_not(match),
+                                  jnp.logical_or(x_null, has_null))
+        data = jnp.logical_xor(match, self.negated)
+        return B.Column(data=data, ltype=BOOLEAN,
+                        validity=jnp.logical_not(unknown))
+
+    def is_const(self):
+        return False
+
+
 @dataclass
 class Atom:
     id: int
@@ -149,6 +260,13 @@ class Planner:
     def plan_select(self, stmt: N.SelectStatement, outer_scope=None,
                     cte_scope: Optional[dict] = None):
         """→ (plan, output [(name, key, ltype)])."""
+        from duckdb_tpu.planner import functions_ext as _fx
+
+        if outer_scope is None and cte_scope is None:
+            # top-level plan: track non-deterministic binds (now()/random())
+            # — such plans must not be served from the plan cache (the
+            # bind-time timestamp would freeze)
+            _fx.NONDET_BOUND = False
         ctes = dict(cte_scope or {})
         if not hasattr(self, "_cte_use_count"):
             self._cte_use_count = {}
@@ -168,6 +286,8 @@ class Planner:
             off = (int(ExprBinder(Scope()).bind(stmt.offset).const_value())
                    if stmt.offset is not None else 0)
             plan = P.Limit(plan, n, off)
+        if _fx.NONDET_BOUND:
+            self.uncacheable = True
         return plan, output
 
     def plan_query_node(self, node, outer_scope, ctes):
@@ -603,8 +723,27 @@ class Planner:
         args = [binder.bind(a).const_value() for a in ref.args]
         alias = (ref.alias or name).lower()
         if name in ("read_csv", "read_csv_auto", "read_parquet",
-                    "read_json", "read_json_auto", "read_ndjson", "__file_scan"):
+                    "parquet_scan", "read_json", "read_json_auto",
+                    "read_ndjson", "__file_scan"):
             tname = self.catalog.ensure_file_table(str(args[0]))
+        elif name == "repeat":
+            # repeat(value, count) table function (reference:
+            # src/function/table/repeat.cpp)
+            v, cnt = args[0], int(args[1])
+            tname = f"__repeat_{self.fresh('tf')}".replace("#", "_").lower()
+            if isinstance(v, str):
+                entry = TableEntry(tname, [ColumnDef("repeat", VARCHAR)])
+                entry.nrows = cnt
+                entry.set_host_column(
+                    "repeat", np.zeros(cnt, np.int32),
+                    dict_values=np.array([v], dtype=object))
+            else:
+                lt = DOUBLE if isinstance(v, float) else BIGINT
+                entry = TableEntry(tname, [ColumnDef("repeat", lt)])
+                entry.nrows = cnt
+                entry.set_host_column(
+                    "repeat", np.full(cnt, v, dtype=lt.np_dtype))
+            self.catalog.create_table(entry, or_replace=True)
         elif name in ("range", "generate_series"):
             if len(args) == 1:
                 lo, hi, step = 0, int(args[0]), 1
@@ -786,6 +925,16 @@ class Planner:
             plan, output = self.plan_select(e.subquery, None, ctes)
             name, key, t = output[0]
             return BoundScalarSubquery(self, plan, key, t)
+        if isinstance(e, N.InSubquery):
+            # MARK join: IN in a general expression position (uncorrelated)
+            child = binder.bind(e.expr)
+            plan, output = self.plan_select(e.subquery, None, ctes)
+            name, key, t = output[0]
+            return BoundMarkSubquery(self, child, plan, key, t, e.negated)
+        if isinstance(e, N.Exists):
+            plan, output = self.plan_select(e.subquery, None, ctes)
+            name, key, t = output[0]
+            return BoundMarkSubquery(self, None, plan, key, t, e.negated)
         raise BindError(
             f"{type(e).__name__} subquery only supported as a top-level WHERE conjunct"
         )

@@ -26,6 +26,7 @@ from typing import Dict
 import numpy as np
 
 from duckdb_tpu.catalog.catalog import Catalog, ColumnDef, TableEntry
+from duckdb_tpu.storage import compression as _comp
 from duckdb_tpu.types import LogicalType, TypeId, decimal as make_decimal
 
 
@@ -111,29 +112,30 @@ def checkpoint(con, path: str):
                                default=_nested_json_default)
                 kind = "listdict"
             elif cd.ltype.id is TypeId.VARCHAR:
-                strs = (dvals[vals] if dvals is not None and len(vals)
-                        else np.empty(0, object))
-                lens = np.array([len(s.encode()) for s in strs],
-                                dtype=np.uint32)
-                lens.tofile(base + ".len")
-                with open(base + ".bytes", "wb") as f:
-                    for s in strs:
-                        f.write(s.encode())
-                kind = "str"
+                # dictionary persisted AS a dictionary (compression.py):
+                # unique strings zstd'd once, codes FOR-bitpacked; open
+                # restores both without re-uniquing
+                m, payload = _comp.compress_strings(np.asarray(vals), dvals)
+                enc = _comp.write_column(base, m, payload)
+                kind = "z"
             else:
                 arr = np.asarray(vals)
-                kind = _KIND.get(arr.dtype, "i64")
-                if kind == "i64":
-                    arr.astype(np.int64).tofile(base + ".i64")
-                elif kind == "f64":
-                    arr.astype(np.float64).tofile(base + ".f64")
+                if _KIND.get(arr.dtype, "i64") == "f64":
+                    m, payload = _comp.compress_floats(arr)
                 else:
-                    arr.astype(np.int32).tofile(base + ".i32")
+                    m, payload = _comp.compress_ints(arr.astype(np.int64))
+                    m["dtype"] = str(cd.ltype.np_dtype().dtype)
+                enc = _comp.write_column(base, m, payload)
+                kind = "z"
             if valid is not None:
-                np.asarray(valid, dtype=np.uint8).tofile(base + ".valid")
-            elif os.path.exists(base + ".valid"):
-                os.remove(base + ".valid")
-            cols_meta.append({"name": cd.name, "kind": kind})
+                with open(base + ".validz", "wb") as f:
+                    f.write(_comp.compress_validity(np.asarray(valid)))
+            elif os.path.exists(base + ".validz"):
+                os.remove(base + ".validz")
+            cm = {"name": cd.name, "kind": kind}
+            if kind == "z":
+                cm["enc"] = enc
+            cols_meta.append(cm)
         with open(os.path.join(tdir, "meta.json"), "w") as f:
             json.dump({"rows": entry.nrows, "columns": cols_meta}, f)
         meta["tables"].append({
@@ -160,9 +162,15 @@ def checkpoint(con, path: str):
         os.remove(wal)
 
 
-def wal_append(path: str, sql: str):
+def wal_append(path: str, sql: str, meta=None):
+    """Append one logical WAL entry. `meta` pins the entry's entropy
+    ({"t": micros, "seed": n}) so non-deterministic expressions
+    (now()/random()/uuid()) replay to the values the original execution
+    stored — the reference logs typed row images instead
+    (src/storage/wal_replay.cpp:354); we log the entropy."""
+    tag = " " + json.dumps(meta) if meta else ""
     with open(os.path.join(path, "wal.sql"), "a") as f:
-        f.write(sql.rstrip().rstrip(";") + ";\n--WAL_ENTRY\n")
+        f.write(sql.rstrip().rstrip(";") + f";\n--WAL_ENTRY{tag}\n")
 
 
 def open_database(con, path: str):
@@ -185,12 +193,26 @@ def open_database(con, path: str):
             with open(os.path.join(tdir, "meta.json")) as f:
                 tmeta = json.load(f)
             kinds = {c["name"]: c["kind"] for c in tmeta["columns"]}
+            encs = {c["name"]: c.get("enc") for c in tmeta["columns"]}
 
-            def loader(tdir, cname, kind, ltype):
+            def loader(tdir, cname, kind, ltype, enc=None, nrows=0):
                 validity = None
                 vp = os.path.join(tdir, cname + ".valid")
-                if os.path.exists(vp):
+                vpz = os.path.join(tdir, cname + ".validz")
+                if os.path.exists(vpz):
+                    with open(vpz, "rb") as f:
+                        validity = _comp.decompress_validity(f.read(), nrows)
+                elif os.path.exists(vp):
                     validity = np.fromfile(vp, dtype=np.uint8).astype(bool)
+                if kind == "z":
+                    out = _comp.read_column(os.path.join(tdir, cname), enc)
+                    if enc["s"] == "dict":
+                        codes, dvals = out
+                        return codes, validity, dvals
+                    if enc["s"] == "f64z":
+                        return out, validity, None
+                    dt = np.dtype(enc.get("dtype", "int64"))
+                    return out.astype(dt), validity, None
                 if kind == "str":
                     values = binary_dir.read_string_column(tdir, cname)
                     codes, uniq = binary_dir.dict_encode(values)
@@ -215,7 +237,8 @@ def open_database(con, path: str):
             for cd in cols:
                 entry.set_lazy_column(
                     cd.name, partial(loader, tdir, cd.name, kinds[cd.name],
-                                     cd.ltype))
+                                     cd.ltype, encs.get(cd.name),
+                                     entry.nrows))
             con.catalog.create_table(entry, or_replace=True)
         for vname, vsql in meta.get("views", {}).items():
             from duckdb_tpu.sql.parser import Parser
@@ -235,11 +258,35 @@ def open_database(con, path: str):
             from duckdb_tpu.planner import functions_ext as _fx
 
             _fx.ACTIVE_SEQUENCES = con.catalog.sequences
-    # crash recovery: replay WAL statements
+    # crash recovery: replay WAL statements with their pinned entropy
     wal = os.path.join(path, "wal.sql")
     if os.path.exists(wal):
-        text = open(wal).read()
-        for stmt in text.split("--WAL_ENTRY"):
-            stmt = stmt.strip()
-            if stmt:
+        buf: list = []
+        entries = []
+        for line in open(wal).read().splitlines():
+            if line.startswith("--WAL_ENTRY"):
+                meta_s = line[len("--WAL_ENTRY"):].strip()
+                meta = json.loads(meta_s) if meta_s else None
+                stmt = "\n".join(buf).strip()
+                buf = []
+                if stmt:
+                    entries.append((stmt, meta))
+            else:
+                buf.append(line)
+        tail = "\n".join(buf).strip()
+        if tail:  # torn final entry (crash mid-append): still replay it
+            entries.append((tail, None))
+        import random as _random
+
+        from duckdb_tpu.planner import functions_ext as _fx
+
+        for stmt, meta in entries:
+            if meta:
+                _fx.REPLAY_TIME_MICROS = meta.get("t")
+                if meta.get("seed") is not None:
+                    _fx.REPLAY_RNG = _random.Random(meta["seed"])
+            try:
                 con._execute_statement_nowal(stmt)
+            finally:
+                _fx.REPLAY_TIME_MICROS = None
+                _fx.REPLAY_RNG = None

@@ -230,3 +230,30 @@ def test_parse_decimal_text_unit():
     assert parse_decimal_text("0.005", 2) == 1  # round half up
     assert parse_decimal_text("-0.005", 2) == -1
     assert parse_decimal_text("1e2", 1) == 1000
+
+
+def test_wal_replay_deterministic_expressions(tmp_path):
+    """now()/random()/uuid() in WAL-logged statements must replay to the
+    exact values the original execution stored (entropy pinning; the
+    reference logs typed row images instead, wal_replay.cpp:354)."""
+    db = str(tmp_path / "db")
+    con = _connect(db)
+    con.sql("CREATE TABLE t (ts TIMESTAMP, d DATE, r DOUBLE, u VARCHAR)")
+    con.sql("INSERT INTO t VALUES (now(), current_date, random(), uuid())")
+    before = con.sql("SELECT * FROM t").rows()
+    _crash()
+    con2 = _connect(db)
+    after = con2.sql("SELECT * FROM t").rows()
+    assert after == before
+
+
+def test_now_not_frozen_by_plan_cache():
+    """Repeated `SELECT now()` must not return the first bind's time
+    (non-deterministic plans are uncacheable)."""
+    import time
+
+    con = _connect(":memory:")
+    a = con.sql("SELECT now()").rows()[0][0]
+    time.sleep(0.01)
+    b = con.sql("SELECT now()").rows()[0][0]
+    assert b > a
