@@ -80,6 +80,7 @@ class _Txn:
     def __init__(self, shared: Catalog, implicit: bool = False):
         snap = Catalog()
         snap.tables = {k: e.clone() for k, e in shared.tables.items()}
+        snap.schemas = set(shared.schemas)
         snap.views = dict(shared.views)
         snap.sequences = {k: dict(v) for k, v in shared.sequences.items()}
         snap._file_tables = shared._file_tables
@@ -156,7 +157,7 @@ class Connection:
     _MUTATING = (N.CreateTable, N.CreateView, N.DropStatement,
                  N.InsertStatement, N.DeleteStatement, N.UpdateStatement,
                  N.MergeStatement, N.AlterStatement, N.CreateSequence,
-                 N.ImportStatement)
+                 N.CreateSchema, N.ImportStatement)
 
     # -- main entry -----------------------------------------------------------
     def sql(self, query: str) -> Optional[Result]:
@@ -298,12 +299,42 @@ class Connection:
                 s.query._sql_text = s._sql_text
             self.catalog.views[key] = s.query
             return None
+        if isinstance(s, N.CreateSchema):
+            if s.name.lower() in self.catalog.schemas and not s.if_not_exists:
+                raise ConnectionException(
+                    f'Catalog Error: Schema with name "{s.name}" already '
+                    "exists!")
+            self.catalog.schemas.add(s.name.lower())
+            return None
         if isinstance(s, N.DropStatement):
             if s.kind == "view":
                 if s.name.lower() in self.catalog.views:
                     del self.catalog.views[s.name.lower()]
                 elif not s.if_exists:
                     raise ConnectionException(f'view "{s.name}" does not exist')
+            elif s.kind == "schema":
+                sc = s.name.lower()
+                if sc not in self.catalog.schemas:
+                    if not s.if_exists:
+                        raise ConnectionException(
+                            f'Catalog Error: Schema with name "{s.name}" '
+                            "does not exist!")
+                    return None
+                inside = [k for k in self.catalog.tables
+                          if k.startswith(sc + ".")]
+                if inside and not s.cascade:
+                    raise ConnectionException(
+                        f'Dependency Error: Cannot drop schema "{s.name}" '
+                        "because there are entries that depend on it. Use "
+                        "DROP ... CASCADE to drop all dependents.")
+                for k in inside:
+                    self.catalog.drop_table(k)
+                self.catalog.schemas.discard(sc)
+            elif s.kind == "sequence":
+                if self.catalog.sequences.pop(s.name.lower(), None) is None \
+                        and not s.if_exists:
+                    raise ConnectionException(
+                        f'sequence "{s.name}" does not exist')
             else:
                 self.catalog.drop_table(s.name, if_exists=s.if_exists)
             return None
@@ -493,6 +524,7 @@ class Connection:
                         shared.views[k] = v
             shared.sequences.clear()
             shared.sequences.update(txn.catalog.sequences)
+            shared.schemas |= txn.catalog.schemas
         from duckdb_tpu.planner import functions_ext as _fx
 
         _fx.ACTIVE_SEQUENCES = shared.sequences
@@ -1307,7 +1339,9 @@ class Connection:
     def _alter(self, s: N.AlterStatement):
         """ALTER TABLE ADD/DROP/RENAME COLUMN, RENAME TO (reference:
         src/catalog/catalog_entry/duck_table_entry.cpp alter paths)."""
-        key = s.table.lower()
+        from duckdb_tpu.catalog.catalog import qualify
+
+        key = qualify(s.table)
         if key not in self.catalog.tables:
             if s.if_exists:
                 return None

@@ -230,11 +230,24 @@ class TableEntry:
         return cache[key]
 
 
+def qualify(name: str) -> str:
+    """Catalog key for a (possibly schema-qualified) object name: lowered,
+    with the default schema prefix stripped ("main.t" ≡ "t"). Literal dots
+    inside quoted identifiers arrive \x02-escaped from the parser and are
+    restored here, so only structural qualification dots split. Reference:
+    schema resolution in src/catalog/default/default_schemas.cpp."""
+    key = name.lower()
+    if key.startswith("main."):
+        key = key[5:]
+    return key.replace("\x02", ".")
+
+
 class Catalog:
     def __init__(self):
         self.tables: Dict[str, TableEntry] = {}
         self.views: Dict[str, object] = {}  # name -> parsed SELECT AST
         self.sequences: Dict[str, dict] = {}  # name -> {value, increment}
+        self.schemas = {"main"}  # CREATE SCHEMA registry
         self._file_tables: Dict[tuple, str] = {}  # (path, mtime) -> table name
 
     def ensure_file_table(self, path: str) -> str:
@@ -276,13 +289,21 @@ class Catalog:
         return name
 
     def create_table(self, entry: TableEntry, or_replace: bool = False):
-        key = entry.name.lower()
+        raw = entry.name.lower()
+        if "." in raw.replace("\x02", ""):  # structural qualification only
+            schema = raw.split(".", 1)[0].replace("\x02", ".")
+            if schema not in getattr(self, "schemas", {"main"}):
+                raise ValueError(
+                    f'Catalog Error: Schema with name {schema} does not '
+                    "exist!")
+        key = qualify(entry.name)
+        entry.name = key
         if key in self.tables and not or_replace:
             raise ValueError(f'table "{entry.name}" already exists')
         self.tables[key] = entry
 
     def drop_table(self, name: str, if_exists: bool = False):
-        key = name.lower()
+        key = qualify(name)
         if key in self.tables:
             entry = self.tables[key]
             for col in list(entry._device):
@@ -292,10 +313,10 @@ class Catalog:
             raise ValueError(f'table "{name}" does not exist')
 
     def get_table(self, name: str) -> TableEntry:
-        key = name.lower()
+        key = qualify(name)
         if key not in self.tables:
             raise ValueError(f'Table with name {name} does not exist!')
         return self.tables[key]
 
     def has_table(self, name: str) -> bool:
-        return name.lower() in self.tables
+        return qualify(name) in self.tables

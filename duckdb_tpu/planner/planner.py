@@ -376,6 +376,10 @@ class Planner:
     def _plan_base_table_inner(self, ref: N.BaseTableRef, ctes):
         name = ref.name.lower()
         alias = (ref.alias or ref.name).lower()
+        if getattr(ref, "schema", None):
+            # schema-qualified reference: bypass CTE lookup, resolve in the
+            # catalog under the qualified key
+            return self._scan_of(f"{ref.schema}.{ref.name}".lower(), alias)
         if name in ctes:
             cte = ctes[name]
             sub_ctes = {k: v for k, v in ctes.items() if k != name}
@@ -810,7 +814,9 @@ class Planner:
         user_tables = [(n, e) for n, e in sorted(self.catalog.tables.items())
                        if not n.startswith("__")]
         if name == "duckdb_tables":
-            rows = [(n, "main", e.nrows, len(e.columns))
+            rows = [(n.split(".")[-1],
+                     n.split(".")[0] if "." in n else "main",
+                     e.nrows, len(e.columns))
                     for n, e in user_tables]
             return make("__sys_tables", [("name", VC), ("schema_name", VC),
                                          ("estimated_size", BI),

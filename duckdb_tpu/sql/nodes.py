@@ -304,9 +304,16 @@ class CreateView:
 
 @dataclass
 class DropStatement:
-    kind: str  # table/view
+    kind: str  # table/view/schema/sequence
     name: str
     if_exists: bool = False
+    cascade: bool = False
+
+
+@dataclass
+class CreateSchema:
+    name: str
+    if_not_exists: bool = False
 
 
 @dataclass

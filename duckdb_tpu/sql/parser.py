@@ -1186,17 +1186,30 @@ class Parser:
         return (mode, start, end)
 
     # -- DDL/DML ----------------------------------------------------------------
+    def parse_qualified_ident(self):
+        """ident[.ident] → dot-joined catalog name (schema qualification).
+
+        A '.' INSIDE a (quoted) identifier is data, not structure: it is
+        escaped as \x02 so the catalog can tell `"a.b"` (one table named
+        a.b) from `a.b` (table b in schema a); catalog.qualify unescapes."""
+        name = self.expect_ident().replace(".", "\x02")
+        if self.accept_op("."):
+            name = name + "." + self.expect_ident().replace(".", "\x02")
+        return name
+
     def parse_create(self):
         self.expect_kw("create")
         or_replace = False
         if self.accept_kw("or", "replace"):
             or_replace = True
         temporary = self.accept_kw("temporary") or self.accept_kw("temp")
+        if self.accept_kw("schema"):
+            if_not_exists = bool(self.accept_kw("if", "not", "exists"))
+            return N.CreateSchema(self.expect_ident(),
+                                  if_not_exists=if_not_exists)
         if self.accept_kw("table"):
             if_not_exists = bool(self.accept_kw("if", "not", "exists"))
-            name = self.expect_ident()
-            if self.accept_op("."):
-                name = self.expect_ident()
+            name = self.parse_qualified_ident()
             if self.accept_kw("as"):
                 sel = self.parse_select_statement()
                 return N.CreateTable(name, as_select=sel, if_not_exists=if_not_exists,
@@ -1242,7 +1255,7 @@ class Parser:
                                  if_not_exists=if_not_exists,
                                  or_replace=or_replace, temporary=temporary)
         if self.accept_kw("view"):
-            name = self.expect_ident()
+            name = self.parse_qualified_ident()
             self.expect_kw("as")
             return N.CreateView(name, self.parse_select_statement(), or_replace=or_replace)
         if self.accept_kw("sequence"):
@@ -1355,7 +1368,7 @@ class Parser:
         self.expect_kw("alter")
         self.expect_kw("table")
         if_exists = bool(self.accept_kw("if", "exists"))
-        table = self.expect_ident()
+        table = self.parse_qualified_ident()
         if self.accept_kw("add"):
             self.accept_kw("column")
             name = self.expect_ident()
@@ -1385,8 +1398,11 @@ class Parser:
         self.expect_kw("drop")
         kind = self.expect_ident().lower()
         if_exists = bool(self.accept_kw("if", "exists"))
-        name = self.expect_ident()
-        return N.DropStatement(kind, name, if_exists=if_exists)
+        name = self.parse_qualified_ident()
+        cascade = bool(self.accept_kw("cascade"))
+        self.accept_kw("restrict")
+        return N.DropStatement(kind, name, if_exists=if_exists,
+                               cascade=cascade)
 
     def parse_insert(self):
         self.expect_kw("insert")
@@ -1396,9 +1412,7 @@ class Parser:
         elif self.accept_kw("or", "ignore"):
             conflict_short = ("nothing", ())
         self.expect_kw("into")
-        table = self.expect_ident()
-        if self.accept_op("."):
-            table = self.expect_ident()
+        table = self.parse_qualified_ident()
         cols: Tuple[str, ...] = ()
         if self.peek().value == "(" and self._looks_like_col_alias_list():
             self.next()
@@ -1433,7 +1447,7 @@ class Parser:
     def parse_delete(self):
         self.expect_kw("delete")
         self.expect_kw("from")
-        table = self.expect_ident()
+        table = self.parse_qualified_ident()
         alias = None
         if self.accept_kw("as"):
             alias = self.expect_ident()
@@ -1444,7 +1458,7 @@ class Parser:
 
     def parse_update(self):
         self.expect_kw("update")
-        table = self.expect_ident()
+        table = self.parse_qualified_ident()
         alias = None
         if self.kw() != "set" and self.peek().type == TokType.IDENT:
             alias = self.next().value

@@ -92,7 +92,8 @@ def checkpoint(con, path: str):
     """Write the full catalog + data to the database directory."""
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     cat = con.catalog
-    meta = {"tables": [], "views": {}}
+    meta = {"tables": [], "views": {},
+            "schemas": sorted(cat.schemas - {"main"})}
     for name, entry in cat.tables.items():
         if name.startswith("__"):
             continue  # ephemeral file/table-function tables
@@ -183,6 +184,7 @@ def open_database(con, path: str):
         from duckdb_tpu.storage import binary_dir
         from functools import partial
 
+        con.catalog.schemas |= set(meta.get("schemas", []))
         for t in meta["tables"]:
             tdir = os.path.join(path, "data", t["name"])
             cols = [ColumnDef(c["name"], _type_from_json(c["type"]))

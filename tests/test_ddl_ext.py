@@ -50,3 +50,49 @@ def test_sequences(con):
     rows = con.sql("SELECT a, nextval('seq') FROM t ORDER BY a").rows()
     assert [r[1] for r in rows] == [9, 11]
     assert con.sql("SELECT currval('seq')").rows() == [(11,)]
+
+
+def test_schema_namespaces():
+    """CREATE SCHEMA + qualified names (reference: CREATE SCHEMA,
+    src/catalog/catalog_entry/schema_catalog_entry.cpp)."""
+    import duckdb_tpu
+    import pytest
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE SCHEMA s1")
+    con.sql("CREATE TABLE s1.t (a INT)")
+    con.sql("INSERT INTO s1.t VALUES (1), (2)")
+    assert con.sql("SELECT sum(a) FROM s1.t").rows() == [(3,)]
+    # same bare name in main is a different table
+    con.sql("CREATE TABLE t (a INT)")
+    con.sql("INSERT INTO t VALUES (10)")
+    assert con.sql("SELECT sum(a) FROM t").rows() == [(10,)]
+    assert con.sql("SELECT sum(a) FROM main.t").rows() == [(10,)]
+    rows = con.sql("SELECT name, schema_name FROM duckdb_tables()"
+                   " ORDER BY schema_name, name").rows()
+    assert ("t", "s1") in rows and ("t", "main") in rows
+    with pytest.raises(Exception, match="does not exist"):
+        con.sql("CREATE TABLE nope.t2 (a INT)")
+    with pytest.raises(Exception, match="Dependency Error"):
+        con.sql("DROP SCHEMA s1")
+    con.sql("DROP SCHEMA s1 CASCADE")
+    assert not con.catalog.has_table("s1.t")
+    con.sql("UPDATE t SET a = 11")
+    con.sql("DELETE FROM main.t WHERE a = 11")
+    assert con.sql("SELECT count(*) FROM t").rows() == [(0,)]
+
+
+def test_schema_persistence(tmp_path):
+    import duckdb_tpu
+    from duckdb_tpu.api.connection import _OPEN_DBS
+
+    db = str(tmp_path / "db")
+    con = duckdb_tpu.connect(db)
+    con.sql("CREATE SCHEMA app")
+    con.sql("CREATE TABLE app.users (id INT)")
+    con.sql("INSERT INTO app.users VALUES (7)")
+    con.sql("CHECKPOINT")
+    _OPEN_DBS.clear()
+    con2 = duckdb_tpu.connect(db)
+    assert con2.sql("SELECT id FROM app.users").rows() == [(7,)]
+    assert "app" in con2.catalog.schemas
