@@ -82,6 +82,8 @@ class _Txn:
         snap.tables = {k: e.clone() for k, e in shared.tables.items()}
         snap.schemas = set(shared.schemas)
         snap.views = dict(shared.views)
+        snap.macros = dict(shared.macros)
+        snap.attached = dict(shared.attached)
         snap.sequences = {k: dict(v) for k, v in shared.sequences.items()}
         snap._file_tables = shared._file_tables
         snap.settings_manager = getattr(shared, "settings_manager", None)
@@ -131,6 +133,8 @@ class Connection:
         self._db.catalog.log_manager = self.log
         # plan cache: SQL text → (plan, output), invalidated on DDL/DML
         self._plan_cache = {}
+        # connection-local TEMPORARY views
+        self._temp_views = {}
         self._catalog_version = 0
         self.last_profile = None
         self._txn: Optional[_Txn] = None
@@ -157,7 +161,7 @@ class Connection:
     _MUTATING = (N.CreateTable, N.CreateView, N.DropStatement,
                  N.InsertStatement, N.DeleteStatement, N.UpdateStatement,
                  N.MergeStatement, N.AlterStatement, N.CreateSequence,
-                 N.CreateSchema, N.ImportStatement)
+                 N.CreateSchema, N.CreateMacro, N.ImportStatement)
 
     # -- main entry -----------------------------------------------------------
     def sql(self, query: str) -> Optional[Result]:
@@ -207,12 +211,22 @@ class Connection:
         return res
 
     def _sql_statements(self, stmts, muts, query):
+        from duckdb_tpu.planner import macros as _mx
+
         res = None
         for s, is_mut in zip(stmts, muts):
             if not isinstance(s, N.SelectStatement):
                 self._plan_cache.clear()  # DDL/DML invalidates cached plans
-            if isinstance(s, N.CreateView):
-                s._sql_text = query  # persisted view definition
+            if isinstance(s, (N.CreateView, N.CreateMacro)):
+                s._sql_text = query  # persisted definition
+            _mx.ACTIVE_MACROS = self.catalog.macros
+            if self.catalog.macros and not isinstance(s, N.CreateMacro):
+                # pre-expand scalar macros so aggregate detection and
+                # binding see concrete functions only
+                try:
+                    s = _mx.expand_macros(s)
+                except _mx.MacroError as err:
+                    raise ConnectionException(str(err))
             if is_mut and self._txn is None:
                 # auto-commit: run the statement inside an implicit
                 # statement-level transaction — copy-on-write snapshots give
@@ -276,7 +290,7 @@ class Connection:
             if cached is not None:
                 plan, output = cached
             else:
-                planner = Planner(self.catalog)
+                planner = Planner(self.catalog, temp_views=self._temp_views)
                 plan, output = planner.plan_select(s)
                 # plans that snapshot state at plan time (system table
                 # functions) must not be replayed from cache
@@ -293,11 +307,38 @@ class Connection:
             return self._create_table(s)
         if isinstance(s, N.CreateView):
             key = s.name.lower()
+            if getattr(s, "temporary", False):
+                # TEMPORARY views are connection-local (reference: temp
+                # schema per ClientContext)
+                if key in self._temp_views and not s.or_replace:
+                    raise ConnectionException(
+                        f'view "{s.name}" already exists')
+                self._temp_views[key] = s.query
+                return None
             if key in self.catalog.views and not s.or_replace:
                 raise ConnectionException(f'view "{s.name}" already exists')
             if getattr(s, "_sql_text", None):
                 s.query._sql_text = s._sql_text
             self.catalog.views[key] = s.query
+            return None
+        if isinstance(s, N.AttachStatement):
+            return self._attach(s)
+        if isinstance(s, N.DetachStatement):
+            return self._detach(s)
+        if isinstance(s, N.CreateMacro):
+            from duckdb_tpu.planner import macros as _mx
+
+            key = s.name.lower()
+            if key in self.catalog.macros and not s.or_replace:
+                if s.if_not_exists:
+                    return None
+                raise ConnectionException(
+                    f'Catalog Error: Macro with name "{s.name}" already '
+                    "exists!")
+            self.catalog.macros[key] = _mx.MacroDef(
+                key, tuple(p.lower() for p in s.params), dict(s.defaults),
+                s.body, s.is_table, sql_text=getattr(s, "_sql_text", ""))
+            _mx.ACTIVE_MACROS = self.catalog.macros
             return None
         if isinstance(s, N.CreateSchema):
             if s.name.lower() in self.catalog.schemas and not s.if_not_exists:
@@ -308,7 +349,9 @@ class Connection:
             return None
         if isinstance(s, N.DropStatement):
             if s.kind == "view":
-                if s.name.lower() in self.catalog.views:
+                if s.name.lower() in self._temp_views:
+                    del self._temp_views[s.name.lower()]
+                elif s.name.lower() in self.catalog.views:
                     del self.catalog.views[s.name.lower()]
                 elif not s.if_exists:
                     raise ConnectionException(f'view "{s.name}" does not exist')
@@ -335,6 +378,11 @@ class Connection:
                         and not s.if_exists:
                     raise ConnectionException(
                         f'sequence "{s.name}" does not exist')
+            elif s.kind == "macro":
+                if self.catalog.macros.pop(s.name.lower(), None) is None \
+                        and not s.if_exists:
+                    raise ConnectionException(
+                        f'macro "{s.name}" does not exist')
             else:
                 self.catalog.drop_table(s.name, if_exists=s.if_exists)
             return None
@@ -402,7 +450,7 @@ class Connection:
         from duckdb_tpu.types import VARCHAR
         import numpy as np
 
-        planner = Planner(self.catalog)
+        planner = Planner(self.catalog, temp_views=self._temp_views)
         plan, output = planner.plan_select(s.query)
         if s.analyze:
             from duckdb_tpu.main.profiler import (QueryProfile, Timer,
@@ -525,6 +573,10 @@ class Connection:
             shared.sequences.clear()
             shared.sequences.update(txn.catalog.sequences)
             shared.schemas |= txn.catalog.schemas
+            shared.macros.clear()
+            shared.macros.update(txn.catalog.macros)
+            shared.attached.clear()
+            shared.attached.update(txn.catalog.attached)
         from duckdb_tpu.planner import functions_ext as _fx
 
         _fx.ACTIVE_SEQUENCES = shared.sequences
@@ -536,8 +588,9 @@ class Connection:
 
     # -- DDL / DML ------------------------------------------------------------
     def _create_table(self, s: N.CreateTable):
+        self._check_writable(s.name)
         if s.as_select is not None:
-            planner = Planner(self.catalog)
+            planner = Planner(self.catalog, temp_views=self._temp_views)
             plan, output = planner.plan_select(s.as_select)
             res = Executor(self.catalog).run(plan, output)
             cols = [ColumnDef(n, t) for n, _, t in
@@ -576,8 +629,9 @@ class Connection:
         return None
 
     def _insert(self, s: N.InsertStatement):
+        self._check_writable(s.table)
         entry = self.catalog.get_table(s.table)
-        planner = Planner(self.catalog)
+        planner = Planner(self.catalog, temp_views=self._temp_views)
         src = s.source
         if src is None:
             raise ConnectionException("INSERT without source")
@@ -985,7 +1039,7 @@ class Connection:
         try:
             stmt = Parser(f"SELECT count(*) FROM __check_tmp WHERE "
                           f"NOT ({check_sql})").parse_statements()[0]
-            plan, output = Planner(self.catalog).plan_select(stmt)
+            plan, output = Planner(self.catalog, temp_views=self._temp_views).plan_select(stmt)
             n_viol = Executor(self.catalog).run(plan, output).rows()[0][0]
         finally:
             self.catalog.tables.pop("__check_tmp", None)
@@ -1001,7 +1055,7 @@ class Connection:
         from duckdb_tpu.planner.binder import Scope as _Scope
 
         entry = self.catalog.get_table(table)
-        planner = Planner(self.catalog)
+        planner = Planner(self.catalog, temp_views=self._temp_views)
         ref = N.BaseTableRef(table, alias=alias)
         plan, scope_adds, _ = planner._plan_base_table(ref, {})
         scope = _Scope()
@@ -1023,6 +1077,7 @@ class Connection:
         return entry, planner, scope, batch, mask
 
     def _delete(self, s: N.DeleteStatement):
+        self._check_writable(s.table)
         entry, _, _, _, mask = self._table_mask(s.table, s.alias, s.where)
         keep = ~mask
         for cd in entry.columns:
@@ -1034,6 +1089,7 @@ class Connection:
         return self._count_result(int(mask.sum()))
 
     def _update(self, s: N.UpdateStatement):
+        self._check_writable(s.table)
         import jax.numpy as jnp
 
         entry, planner, scope, batch, mask = self._table_mask(
@@ -1153,6 +1209,7 @@ class Connection:
     def _merge(self, s: N.MergeStatement):
         """MERGE INTO: match target rows against the source on equi keys,
         apply WHEN (NOT) MATCHED actions (reference: physical_merge_into)."""
+        self._check_writable(s.target)
         import jax.numpy as jnp
         import jax
 
@@ -1164,7 +1221,7 @@ class Connection:
         from duckdb_tpu.planner.planner import split_conjuncts
 
         entry = self.catalog.get_table(s.target)
-        planner = Planner(self.catalog)
+        planner = Planner(self.catalog, temp_views=self._temp_views)
         # target scan
         tref = N.BaseTableRef(s.target, alias=s.target_alias)
         tplan, t_adds, _ = planner._plan_base_table(tref, {})
@@ -1336,6 +1393,93 @@ class Connection:
                               dict_values=out_dict)
 
     # -- COPY ------------------------------------------------------------------
+    def _attach(self, s: N.AttachStatement):
+        """ATTACH a second database under an alias: its tables become
+        visible as alias.table (reference: src/main/attached_database.cpp).
+        Divergence (documented): attached writes are persisted by full
+        checkpoint at CHECKPOINT/DETACH/close, not WAL-logged per
+        statement; attached sequences/macros are not imported."""
+        import os
+        import re
+
+        cat = self.catalog
+        alias = (s.alias or re.sub(
+            r"\W", "_",
+            os.path.splitext(os.path.basename(s.path.rstrip("/")))[0]
+        )).lower()
+        if not alias:
+            raise ConnectionException("ATTACH: cannot derive an alias from "
+                                      f"{s.path!r}; use ATTACH ... AS name")
+        if alias in cat.attached or alias in cat.schemas:
+            if s.if_not_exists:
+                return None
+            raise ConnectionException(
+                f'Catalog Error: database or schema "{alias}" already '
+                "exists!")
+        if s.path not in (":memory:", ""):
+            apath = _abspath(s.path)
+            if (self.database not in (":memory:", "")
+                    and apath == _abspath(self.database)):
+                raise ConnectionException(
+                    "ATTACH: cannot attach the active database")
+            if any(info["path"] == apath for info in cat.attached.values()):
+                raise ConnectionException(
+                    f'database "{s.path}" is already attached')
+            # full open (incl. WAL replay) through the normal path, then
+            # adopt its entries under the alias prefix
+            sub = Connection(apath)
+            wal = os.path.join(apath, "wal.sql")
+            if os.path.exists(wal) and not s.read_only:
+                from duckdb_tpu.storage.persist import checkpoint
+
+                checkpoint(sub, apath)
+            if _OPEN_DBS.get(apath) is sub._db:
+                del _OPEN_DBS[apath]
+            cat.schemas.add(alias)
+            cat.attached[alias] = {"path": apath, "read_only": s.read_only}
+            for k, e in sub._db.catalog.tables.items():
+                if k.startswith("__"):
+                    continue
+                e.name = f"{alias}.{k}"
+                cat.tables[e.name] = e
+            for k, v in sub._db.catalog.views.items():
+                cat.views[f"{alias}.{k}"] = v
+        else:
+            cat.schemas.add(alias)
+            cat.attached[alias] = {"path": ":memory:",
+                                   "read_only": s.read_only}
+        return None
+
+    def _detach(self, s: N.DetachStatement):
+        cat = self.catalog
+        alias = s.name.lower()
+        info = cat.attached.get(alias)
+        if info is None:
+            if s.if_exists:
+                return None
+            raise ConnectionException(
+                f'Catalog Error: database "{s.name}" does not exist!')
+        if info["path"] != ":memory:" and not info.get("read_only"):
+            from duckdb_tpu.storage.persist import checkpoint_attached
+
+            checkpoint_attached(cat, alias, info["path"])
+        for k in [k for k in cat.tables if k.startswith(alias + ".")]:
+            del cat.tables[k]
+        for k in [k for k in cat.views if k.startswith(alias + ".")]:
+            del cat.views[k]
+        cat.schemas.discard(alias)
+        del cat.attached[alias]
+        return None
+
+    def _check_writable(self, table_name: str):
+        """Reject DML against a READ_ONLY-attached database."""
+        head = table_name.lower().split(".", 1)[0]
+        info = self.catalog.attached.get(head)
+        if info is not None and info.get("read_only"):
+            raise ConnectionException(
+                f'Cannot execute statement of type "write" on database '
+                f'"{head}" which is attached in read-only mode!')
+
     def _alter(self, s: N.AlterStatement):
         """ALTER TABLE ADD/DROP/RENAME COLUMN, RENAME TO (reference:
         src/catalog/catalog_entry/duck_table_entry.cpp alter paths)."""
@@ -1481,7 +1625,7 @@ class Connection:
         is_parquet = fmt == "parquet" or s.target.endswith(".parquet")
         if s.direction == "to":
             if s.select is not None:
-                planner = Planner(self.catalog)
+                planner = Planner(self.catalog, temp_views=self._temp_views)
                 plan, output = planner.plan_select(s.select)
                 res = Executor(self.catalog).run(plan, output)
             else:

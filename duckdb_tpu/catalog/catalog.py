@@ -247,7 +247,13 @@ class Catalog:
         self.tables: Dict[str, TableEntry] = {}
         self.views: Dict[str, object] = {}  # name -> parsed SELECT AST
         self.sequences: Dict[str, dict] = {}  # name -> {value, increment}
+        from duckdb_tpu.planner.macros import default_macros
+
+        # name -> macros.MacroDef; seeded with the built-in default macros
+        # (reference: src/catalog/default/default_functions.cpp)
+        self.macros: Dict[str, object] = default_macros()
         self.schemas = {"main"}  # CREATE SCHEMA registry
+        self.attached: Dict[str, dict] = {}  # alias -> {path, read_only}
         self._file_tables: Dict[tuple, str] = {}  # (path, mtime) -> table name
 
     def ensure_file_table(self, path: str) -> str:

@@ -546,6 +546,17 @@ class ExprBinder:
 
     def _bind_FunctionCall(self, e: N.FunctionCall):
         name = e.name.lower()
+        from duckdb_tpu.planner import macros as M
+
+        mac = M.ACTIVE_MACROS.get(name)
+        if mac is not None and not mac.is_table:
+            pos, named = M.split_args(e.args)
+            try:
+                expanded = M.expand_call(mac, pos, named)
+            except M.MacroError as err:
+                raise BindError(str(err))
+            with M.expansion_guard(name):
+                return self.bind(expanded)
         if name in AGGREGATE_NAMES or (name == "count" and e.is_star):
             if self.agg_collector is None:
                 raise BindError(f"aggregate {name}() not allowed here")

@@ -285,6 +285,9 @@ _list_transform("list_reverse_sort",
                 + tuple(None for x in t if x is None))
 _list_transform("list_distinct",
                 lambda t: tuple(dict.fromkeys(x for x in t if x is not None)))
+_list_transform("list_reverse", lambda t: tuple(reversed(t)))
+_list_transform("array_pop_back", lambda t: tuple(t[:-1]))
+_list_transform("array_pop_front", lambda t: tuple(t[1:]))
 _list_transform("list_unique", lambda t: t)  # replaced below (scalar result)
 del REGISTRY["list_unique"]
 
@@ -608,3 +611,176 @@ def _bind_row(arg_exprs):
         vals.append(v)
     lt = struct_of(*fields)
     return lt, _const_column(tuple(vals), lt), []
+
+
+# -- list_aggregate -----------------------------------------------------------
+def _laggr_compute(fname: str, t, sep: str = ","):
+    """Apply aggregate `fname` to one python list `t` (NULLs removed first
+    except count-like). Mirrors reference list_aggregates.cpp semantics:
+    NULL elements are ignored; empty input -> NULL (count -> 0)."""
+    import math
+    import statistics
+
+    vs = [x for x in t if x is not None]
+    if fname == "count":
+        return len(vs)
+    if fname in ("bool_and", "bool_or"):
+        if not vs:
+            return None
+        bools = [bool(x) for x in vs]
+        return all(bools) if fname == "bool_and" else any(bools)
+    if not vs:
+        return None
+    if fname == "sum":
+        return sum(vs)
+    if fname == "product":
+        p = 1
+        for x in vs:
+            p *= x
+        return p
+    if fname in ("avg", "mean"):
+        return float(sum(float(x) for x in vs)) / len(vs)
+    if fname == "min":
+        return min(vs)
+    if fname == "max":
+        return max(vs)
+    if fname in ("first", "any_value"):
+        return vs[0]
+    if fname == "last":
+        return vs[-1]
+    if fname == "median":
+        return float(statistics.median(float(x) for x in vs))
+    if fname == "mode":
+        return statistics.mode(vs)
+    if fname == "mad":
+        med = statistics.median(float(x) for x in vs)
+        return float(statistics.median(abs(float(x) - med) for x in vs))
+    if fname in ("string_agg", "group_concat", "listagg"):
+        return sep.join(str(x) for x in vs)
+    if fname in ("approx_count_distinct", "count_distinct"):
+        return len(set(vs))
+    if fname in ("bit_and", "bit_or", "bit_xor"):
+        acc = int(vs[0])
+        for x in vs[1:]:
+            x = int(x)
+            acc = (acc & x if fname == "bit_and"
+                   else acc | x if fname == "bit_or" else acc ^ x)
+        return acc
+    fs = [float(x) for x in vs]
+    n = len(fs)
+    mean = sum(fs) / n
+    m2 = sum((x - mean) ** 2 for x in fs)
+    if fname in ("var_samp", "variance", "var"):
+        return m2 / (n - 1) if n > 1 else None
+    if fname == "var_pop":
+        return m2 / n
+    if fname in ("stddev_samp", "stddev", "std"):
+        return math.sqrt(m2 / (n - 1)) if n > 1 else None
+    if fname == "stddev_pop":
+        return math.sqrt(m2 / n)
+    if fname == "sem":
+        return (math.sqrt(m2 / (n - 1)) / math.sqrt(n)) if n > 1 else None
+    if fname == "skewness":
+        if n < 3:
+            return None
+        s = math.sqrt(m2 / (n - 1))
+        if s == 0:
+            return None
+        m3 = sum((x - mean) ** 3 for x in fs)
+        return (n * m3) / ((n - 1) * (n - 2) * s ** 3)
+    if fname in ("kurtosis", "kurtosis_pop"):
+        if m2 == 0:
+            return None
+        m4 = sum((x - mean) ** 4 for x in fs)
+        if fname == "kurtosis_pop":
+            return n * m4 / (m2 * m2) - 3.0
+        if n < 4:
+            return None
+        c = ((n - 1.0) / ((n - 2.0) * (n - 3.0)))
+        return c * ((n + 1.0) * n * m4 / (m2 * m2) - 3.0 * (n - 1.0))
+    if fname == "entropy":
+        from collections import Counter
+        counts = Counter(vs)
+        tot = float(len(vs))
+        return -sum((c / tot) * math.log2(c / tot)
+                    for c in counts.values())
+    raise BindError(
+        f"list_aggregate: unsupported aggregate function {fname!r}")
+
+
+_LAGGR_CHILD_TYPED = {"min", "max", "first", "last", "any_value", "mode",
+                      "sum", "product"}
+_LAGGR_BIGINT = {"count", "approx_count_distinct", "count_distinct",
+                 "bit_and", "bit_or", "bit_xor"}
+_LAGGR_BOOL = {"bool_and", "bool_or"}
+_LAGGR_VARCHAR = {"string_agg", "group_concat", "listagg"}
+
+
+@register("aggregate")
+@register("list_aggr")
+@register("list_aggregate")
+def _bind_list_aggregate(arg_exprs):
+    """list_aggregate(l, 'name'): apply an aggregate to each list value —
+    one host evaluation per DISTINCT list, device LUT gather after
+    (reference: core_functions/scalar/list/list_aggregates.cpp)."""
+    fname = str(arg_exprs[1].const_value()).lower()
+    child = arg_exprs[0].ltype.child or SQLNULL
+    sep = (str(arg_exprs[2].const_value())
+           if len(arg_exprs) > 2 and fname in _LAGGR_VARCHAR else ",")
+    if fname in _LAGGR_BIGINT:
+        rt = BIGINT
+    elif fname in _LAGGR_BOOL:
+        rt = BOOLEAN
+    elif fname in _LAGGR_VARCHAR:
+        rt = VARCHAR
+    elif fname in _LAGGR_CHILD_TYPED:
+        rt = child if child.id is not TypeId.SQLNULL else BIGINT
+    else:
+        rt = DOUBLE
+    # probe now so unsupported names fail at bind time, like the reference
+    _laggr_compute(fname, (1,), sep)
+
+    def impl(env, cols, node):
+        c = cols[0]
+        results = [_laggr_compute(fname, t, sep) for t in c.dict_values]
+        valid_h = np.array([r is not None for r in results], dtype=bool)
+        if rt.id is TypeId.VARCHAR:
+            uniq, inv = np.unique(
+                np.array(["" if r is None else str(r) for r in results],
+                         dtype=str), return_inverse=True)
+            lut = jnp.asarray(inv.astype(np.int32))
+            data = lut[jnp.clip(c.data, 0, max(len(results) - 1, 0))]
+            dvals = uniq.astype(object)
+        elif rt.id is TypeId.BOOLEAN:
+            lut = jnp.asarray(np.array([bool(r) for r in results],
+                                       dtype=bool))
+            data = lut[jnp.clip(c.data, 0, max(len(results) - 1, 0))]
+            dvals = None
+        elif rt.id is TypeId.DECIMAL:
+            arr = np.array([0 if r is None
+                            else int(pydec.Decimal(r).scaleb(rt.scale)
+                                     .to_integral_value())
+                            for r in results], dtype=np.int64)
+            data = jnp.asarray(arr)[jnp.clip(c.data, 0,
+                                             max(len(results) - 1, 0))]
+            dvals = None
+        elif rt.is_float:
+            arr = np.array([np.nan if r is None else float(r)
+                            for r in results], dtype=np.float64)
+            data = jnp.asarray(arr)[jnp.clip(c.data, 0,
+                                             max(len(results) - 1, 0))]
+            dvals = None
+        else:
+            arr = np.array([0 if r is None else int(r) for r in results],
+                           dtype=np.int64)
+            data = jnp.asarray(arr)[jnp.clip(c.data, 0,
+                                             max(len(results) - 1, 0))]
+            dvals = None
+        pv = jnp.asarray(valid_h)[jnp.clip(c.data, 0,
+                                           max(len(results) - 1, 0))]
+        validity = (pv if c.validity is None
+                    else jnp.logical_and(c.validity, pv))
+        return Column(data=data, ltype=rt, validity=validity,
+                      dict_values=dvals)
+
+    return rt, impl, arg_exprs[:1]

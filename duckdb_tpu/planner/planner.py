@@ -247,9 +247,39 @@ class SemiSpec:
     null_aware: bool = False  # NOT IN semantics
 
 
+def _requalify(node, alias: str, catalog):
+    """Qualify unadorned table references in an attached view's body with
+    its attach alias, so the view resolves in its own database's namespace
+    (reference: binding inside AttachedDatabase's catalog)."""
+    import dataclasses as _dc
+
+    if isinstance(node, N.BaseTableRef) and not node.schema:
+        q = f"{alias}.{node.name.lower()}"
+        if q in catalog.tables or q in catalog.views:
+            return _dc.replace(node, schema=alias)
+        return node
+    if _dc.is_dataclass(node) and not isinstance(node, type):
+        kw = {f.name: _requalify(getattr(node, f.name), alias, catalog)
+              for f in _dc.fields(node)}
+        if all(kw[f.name] is getattr(node, f.name) for f in _dc.fields(node)):
+            return node
+        out = _dc.replace(node, **kw)
+        if hasattr(node, "_sql_text"):
+            out._sql_text = node._sql_text
+        return out
+    if isinstance(node, list):
+        return [_requalify(v, alias, catalog) for v in node]
+    if isinstance(node, tuple):
+        return tuple(_requalify(v, alias, catalog) for v in node)
+    return node
+
+
 class Planner:
-    def __init__(self, catalog):
+    def __init__(self, catalog, temp_views=None):
         self.catalog = catalog
+        # per-connection TEMPORARY views (reference: temp schema is
+        # connection-local, src/catalog/catalog_entry/schema_catalog_entry)
+        self.temp_views = temp_views if temp_views is not None else {}
         self._key_counter = itertools.count()
         self.key_owner: Dict[str, int] = {}  # binding key → atom id
 
@@ -378,8 +408,22 @@ class Planner:
         alias = (ref.alias or ref.name).lower()
         if getattr(ref, "schema", None):
             # schema-qualified reference: bypass CTE lookup, resolve in the
-            # catalog under the qualified key
-            return self._scan_of(f"{ref.schema}.{ref.name}".lower(), alias)
+            # catalog (tables, then views) under the qualified key
+            qname = f"{ref.schema}.{ref.name}".lower()
+            if qname in self.catalog.views:
+                vast = self.catalog.views[qname]
+                head = ref.schema.lower()
+                if head in getattr(self.catalog, "attached", {}):
+                    # an attached view's body names tables in ITS database;
+                    # requalify unadorned references with the attach alias
+                    vast = _requalify(vast, head, self.catalog)
+                if getattr(self.catalog, "macros", None):
+                    from duckdb_tpu.planner import macros as M
+
+                    vast = M.expand_macros(vast)
+                plan, output = self.plan_select(vast, None, ctes)
+                return self._subquery_atom(plan, output, alias, None)
+            return self._scan_of(qname, alias)
         if name in ctes:
             cte = ctes[name]
             sub_ctes = {k: v for k, v in ctes.items() if k != name}
@@ -419,8 +463,13 @@ class Planner:
                 scope_adds.append((alias, cd.name, key, cd.ltype))
             plan = P.Scan(name, alias, cols)
             return plan, scope_adds, entry.nrows
-        if name in self.catalog.views:
-            plan, output = self.plan_select(self.catalog.views[name], None, ctes)
+        if name in self.temp_views or name in self.catalog.views:
+            vast = self.temp_views.get(name) or self.catalog.views[name]
+            if getattr(self.catalog, "macros", None):
+                from duckdb_tpu.planner import macros as M
+
+                vast = M.expand_macros(vast)
+            plan, output = self.plan_select(vast, None, ctes)
             return self._subquery_atom(plan, output, alias, None)
         raise BindError(f"Table with name {ref.name} does not exist!")
 
@@ -712,6 +761,23 @@ class Planner:
                 return
             raise BindError(f"join type {jt} not supported")
         if isinstance(ref, N.TableFunctionRef):
+            mac = getattr(self.catalog, "macros", {}).get(ref.name.lower())
+            if mac is not None and mac.is_table:
+                # table macro: substitute args into the stored SELECT and
+                # plan it as a derived table (reference:
+                # src/function/table_macro_function.cpp)
+                from duckdb_tpu.planner import macros as M
+
+                pos, named = M.split_args(ref.args)
+                try:
+                    body = M.expand_macros(M.expand_call(mac, pos, named))
+                except M.MacroError as err:
+                    raise BindError(str(err))
+                sref = N.SubqueryRef(body, alias=ref.alias or ref.name,
+                                     column_aliases=ref.column_aliases)
+                with M.expansion_guard(ref.name):
+                    return self.collect_atoms(sref, ctes, scope, atoms,
+                                              pred_asts)
             plan, scope_adds, nrows, tbl = self._plan_table_function(ref, ctes)
             self._add_atom(plan, scope_adds, nrows, scope, atoms, table=tbl)
             return

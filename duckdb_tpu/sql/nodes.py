@@ -300,6 +300,7 @@ class CreateView:
     name: str
     query: SelectStatement = None
     or_replace: bool = False
+    temporary: bool = False
 
 
 @dataclass
@@ -313,6 +314,31 @@ class DropStatement:
 @dataclass
 class CreateSchema:
     name: str
+    if_not_exists: bool = False
+
+
+@dataclass
+class AttachStatement:
+    path: str
+    alias: Optional[str] = None
+    read_only: bool = False
+    if_not_exists: bool = False
+
+
+@dataclass
+class DetachStatement:
+    name: str
+    if_exists: bool = False
+
+
+@dataclass
+class CreateMacro:
+    name: str
+    params: Tuple[str, ...]
+    defaults: dict                 # param name -> Expr AST
+    body: object                   # Expr (scalar) or SelectStatement (table)
+    is_table: bool = False
+    or_replace: bool = False
     if_not_exists: bool = False
 
 

@@ -141,6 +141,32 @@ class Parser:
             return N.ExportStatement(path, fmt)
         if k == "merge":
             return self.parse_merge()
+        if k == "attach":
+            # ATTACH [DATABASE] [IF NOT EXISTS] 'path' [AS alias]
+            # [(READ_ONLY)] (reference: src/parser/statement/attach_statement)
+            self.next()
+            self.accept_kw("database")
+            if_not_exists = bool(self.accept_kw("if", "not", "exists"))
+            path = self.next().value
+            alias = None
+            if self.accept_kw("as"):
+                alias = self.expect_ident()
+            read_only = False
+            if self.accept_op("("):
+                while self.peek().value != ")":
+                    opt = self.next().value.lower()
+                    if opt == "read_only":
+                        read_only = True
+                    self.accept_op(",")
+                self.expect_op(")")
+            return N.AttachStatement(path, alias, read_only=read_only,
+                                     if_not_exists=if_not_exists)
+        if k == "detach":
+            self.next()
+            self.accept_kw("database")
+            if_exists = bool(self.accept_kw("if", "exists"))
+            return N.DetachStatement(self.expect_ident(),
+                                     if_exists=if_exists)
         if k == "explain":
             self.next()
             analyze = self.accept_kw("analyze")
@@ -688,7 +714,14 @@ class Parser:
         if (self.peek().type == TokType.IDENT
                 and self.kw() not in _STOP_KEYWORDS
                 and self.peek(1).type == TokType.OP
-                and self.peek(1).value == "->"):
+                and self.peek(1).value == "->"
+                # `x -> 'key'` / `x -> 0` is the JSON extract operator, not
+                # a lambda (the reference deprecated single-arrow lambdas
+                # over exactly this ambiguity); constant-body lambdas must
+                # use `lambda x: 'const'`
+                and self.peek(2).type not in (TokType.STRING,
+                                              TokType.NUMBER)
+                and self.peek(2).value != ">"):
             param = self.next().value
             self.next()
             return N.LambdaExpr(param, self.parse_expr())
@@ -868,6 +901,17 @@ class Parser:
                     e = N.ColumnRef(e.parts + (self.expect_ident(),))
                 else:
                     break
+            elif self.peek().value == "->" and self.peek().type == TokType.OP:
+                # JSON extract operators: doc -> path (JSON), doc ->> path
+                # (text). Reference: json extension operator registration.
+                self.next()
+                fn = "json_extract"
+                if self.peek().value == ">" and self.peek().type == TokType.OP:
+                    self.next()
+                    fn = "json_extract_string"
+                # rhs is a primary so chains stay left-associative:
+                # d -> 'a' -> 0 == (d -> 'a') -> 0
+                e = N.FunctionCall(fn, [e, self.parse_primary()])
             else:
                 break
         return e
@@ -1112,9 +1156,9 @@ class Parser:
                 self.next()
                 is_star = True
             else:
-                args.append(self.parse_expr())
+                args.append(self.parse_tf_arg())
                 while self.accept_op(","):
-                    args.append(self.parse_expr())
+                    args.append(self.parse_tf_arg())
             if self.accept_kw("order", "by"):
                 order_by.append(self.parse_order_item())
                 while self.accept_op(","):
@@ -1207,6 +1251,8 @@ class Parser:
             if_not_exists = bool(self.accept_kw("if", "not", "exists"))
             return N.CreateSchema(self.expect_ident(),
                                   if_not_exists=if_not_exists)
+        if self.accept_kw("macro") or self.accept_kw("function"):
+            return self.parse_create_macro(or_replace)
         if self.accept_kw("table"):
             if_not_exists = bool(self.accept_kw("if", "not", "exists"))
             name = self.parse_qualified_ident()
@@ -1257,7 +1303,8 @@ class Parser:
         if self.accept_kw("view"):
             name = self.parse_qualified_ident()
             self.expect_kw("as")
-            return N.CreateView(name, self.parse_select_statement(), or_replace=or_replace)
+            return N.CreateView(name, self.parse_select_statement(),
+                                or_replace=or_replace, temporary=temporary)
         if self.accept_kw("sequence"):
             if_not_exists = bool(self.accept_kw("if", "not", "exists"))
             name = self.expect_ident()
@@ -1364,6 +1411,36 @@ class Parser:
         self.expect_op(")")
         return self.sql[p0:p1].strip()
 
+    def parse_create_macro(self, or_replace: bool):
+        """CREATE [OR REPLACE] MACRO name(p1, p2 := default, ...) AS
+        expr | TABLE select (reference: CREATE MACRO,
+        src/parser/parsed_data/create_macro_info.hpp)."""
+        if_not_exists = bool(self.accept_kw("if", "not", "exists"))
+        name = self.parse_qualified_ident()
+        self.expect_op("(")
+        params, defaults = [], {}
+        if self.peek().value != ")":
+            while True:
+                pname = self.expect_ident().lower()
+                if (self.peek().value == ":"
+                        and self.peek(1).value == "="):
+                    self.next()
+                    self.next()
+                    defaults[pname] = self.parse_expr()
+                params.append(pname)
+                if not self.accept_op(","):
+                    break
+        self.expect_op(")")
+        self.expect_kw("as")
+        if self.accept_kw("table"):
+            return N.CreateMacro(name, tuple(params), defaults,
+                                 self.parse_select_statement(), is_table=True,
+                                 or_replace=or_replace,
+                                 if_not_exists=if_not_exists)
+        return N.CreateMacro(name, tuple(params), defaults, self.parse_expr(),
+                             is_table=False, or_replace=or_replace,
+                             if_not_exists=if_not_exists)
+
     def parse_alter(self):
         self.expect_kw("alter")
         self.expect_kw("table")
@@ -1397,6 +1474,10 @@ class Parser:
     def parse_drop(self):
         self.expect_kw("drop")
         kind = self.expect_ident().lower()
+        if kind in ("macro", "function") and self.accept_kw("table"):
+            kind = "macro"  # DROP MACRO TABLE — same registry
+        elif kind == "function":
+            kind = "macro"
         if_exists = bool(self.accept_kw("if", "exists"))
         name = self.parse_qualified_ident()
         cascade = bool(self.accept_kw("cascade"))

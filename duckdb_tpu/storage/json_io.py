@@ -128,6 +128,31 @@ def json_path_get(doc: str, path: str):
     return v
 
 
+def _dumps(v):
+    return json.dumps(v, separators=(",", ":"))
+
+
+def _py_to_jsonable(v, lt=None):
+    """Engine-level python value → json-serializable value."""
+    import datetime
+    import decimal as pydec
+
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, pydec.Decimal):
+        f = float(v)
+        return int(v) if f.is_integer() else f
+    if isinstance(v, (datetime.date, datetime.datetime, datetime.time)):
+        return str(v)
+    if isinstance(v, tuple):
+        if lt is not None and lt.id is TypeId.STRUCT and lt.fields:
+            return {fn: _py_to_jsonable(x, ft)
+                    for (fn, ft), x in zip(lt.fields, v)}
+        child = lt.child if lt is not None else None
+        return [_py_to_jsonable(x, child) for x in v]
+    return str(v)
+
+
 def register_json_functions():
     import jax.numpy as jnp
 
@@ -135,31 +160,277 @@ def register_json_functions():
     from duckdb_tpu.planner.functions import (REGISTRY, dict_predicate,
                                               dict_transform)
 
-    def _bind_json_extract_string(arg_exprs):
+    def _host_cols(env, cols):
+        """Concretize columns to per-row python values (eager contract:
+        raises ConcretizationTypeError under jit → eager fallback)."""
+        from duckdb_tpu.planner.functions_nested import _py_decode
+
+        out = []
+        for c in cols:
+            data = np.asarray(jnp.broadcast_to(c.data, (env.plen,)))
+            valid = (np.asarray(jnp.broadcast_to(c.validity, (env.plen,)))
+                     if c.validity is not None else None)
+            vals = [_py_decode(c.ltype, data, valid, c.dict_values, i)
+                    for i in range(env.plen)]
+            out.append((vals, c.ltype))
+        return out
+
+    def _encode_strs(strs, plen):
+        """Per-row python str-or-None list → VARCHAR Column."""
+        valid = np.array([s is not None for s in strs], dtype=bool)
+        arr = np.array(["" if s is None else s for s in strs], dtype=object)
+        uniq, codes = np.unique(arr.astype(str), return_inverse=True)
+        return Column(data=jnp.asarray(codes.astype(np.int32)),
+                      ltype=VARCHAR,
+                      validity=None if valid.all() else jnp.asarray(valid),
+                      dict_values=uniq.astype(object))
+
+    def _rowwise_json(fn):
+        """Binder for an n-ary host row-wise JSON fn returning str/None."""
+        def binder(arg_exprs):
+            def impl(env, cols, node):
+                hosts = _host_cols(env, cols)
+                n = env.plen
+                strs = [fn(*[h[0][i] for h in hosts]) for i in range(n)]
+                return _encode_strs(strs, n)
+            return VARCHAR, impl, arg_exprs
+        return binder
+
+    # -- extraction -----------------------------------------------------------
+    def _make_extract(as_text: bool):
+        def binder(arg_exprs):
+            path_cv = arg_exprs[1].const_value()
+            path = (int(path_cv) if not isinstance(path_cv, str)
+                    else str(path_cv))
+
+            def f(s):
+                v = json_path_get(s, path if isinstance(path, str)
+                                  else f"$[{path}]")
+                if v is None:
+                    return None
+                if as_text:
+                    return v if isinstance(v, str) else _dumps(v)
+                return _dumps(v)
+
+            def impl(env, cols, node):
+                c = cols[0]
+                outs = [f(s) for s in c.dict_values]
+                valid_h = np.array([o is not None for o in outs], dtype=bool)
+                arr = np.array(["" if o is None else o for o in outs],
+                               dtype=object)
+                uniq, inv = np.unique(arr.astype(str), return_inverse=True)
+                nd = max(len(outs), 1)
+                codes = jnp.clip(c.data, 0, nd - 1)
+                data = jnp.asarray(inv.astype(np.int32))[codes]
+                pv = jnp.asarray(valid_h)[codes]
+                validity = (pv if c.validity is None
+                            else jnp.logical_and(c.validity, pv))
+                return Column(data=data, ltype=VARCHAR, validity=validity,
+                              dict_values=uniq.astype(object))
+            return VARCHAR, impl, arg_exprs[:1]
+        return binder
+
+    # json_extract returns JSON text (strings stay quoted); the _string
+    # variants unquote (reference: json_functions/json_extract.cpp)
+    REGISTRY["json_extract"] = _make_extract(as_text=False)
+    REGISTRY["json_extract_path"] = _make_extract(as_text=False)
+    REGISTRY["json_extract_string"] = _make_extract(as_text=True)
+    REGISTRY["json_extract_path_text"] = _make_extract(as_text=True)
+
+    def _bind_json_value(arg_exprs):
+        """json_value: like extract but NULL for objects/arrays
+        (reference: json_functions/json_value.cpp)."""
         path = str(arg_exprs[1].const_value())
 
         def impl(env, cols, node):
+            c = cols[0]
+
             def f(s):
                 v = json_path_get(s, path)
-                if v is None:
-                    return ""
-                return v if isinstance(v, str) else json.dumps(
-                    v, separators=(",", ":"))
-            out = dict_transform(cols[0], f)
-            # NULL where the path is missing
-            lut = np.fromiter((json_path_get(s, path) is not None
-                               for s in cols[0].dict_values),
-                              dtype=np.bool_, count=len(cols[0].dict_values))
-            pv = jnp.asarray(lut)[jnp.clip(cols[0].data, 0, len(lut) - 1)]
-            validity = (pv if out.validity is None
-                        else jnp.logical_and(out.validity, pv))
-            return Column(data=out.data, ltype=out.ltype, validity=validity,
-                          dict_values=out.dict_values)
+                if v is None or isinstance(v, (dict, list)):
+                    return None
+                return v if isinstance(v, str) else _dumps(v)
+            outs = [f(s) for s in c.dict_values]
+            valid_h = np.array([o is not None for o in outs], dtype=bool)
+            arr = np.array(["" if o is None else o for o in outs],
+                           dtype=object)
+            uniq, inv = np.unique(arr.astype(str), return_inverse=True)
+            nd = max(len(outs), 1)
+            codes = jnp.clip(c.data, 0, nd - 1)
+            data = jnp.asarray(inv.astype(np.int32))[codes]
+            pv = jnp.asarray(valid_h)[codes]
+            validity = (pv if c.validity is None
+                        else jnp.logical_and(c.validity, pv))
+            return Column(data=data, ltype=VARCHAR, validity=validity,
+                          dict_values=uniq.astype(object))
         return VARCHAR, impl, arg_exprs[:1]
 
-    REGISTRY["json_extract_string"] = _bind_json_extract_string
-    REGISTRY["json_extract_path_text"] = _bind_json_extract_string
-    REGISTRY["json_extract"] = _bind_json_extract_string
+    REGISTRY["json_value"] = _bind_json_value
+
+    # -- construction ---------------------------------------------------------
+    def _bind_to_json(arg_exprs):
+        """to_json/json_quote: any value → JSON text (reference:
+        json_functions/json_create.cpp ToJson)."""
+        lt = arg_exprs[0].ltype
+
+        def impl(env, cols, node):
+            hosts = _host_cols(env, cols)
+            vals, vlt = hosts[0]
+            strs = [None if v is None else _dumps(_py_to_jsonable(v, vlt))
+                    for v in vals]
+            return _encode_strs(strs, env.plen)
+        return VARCHAR, impl, arg_exprs
+
+    for _n in ("to_json", "json_quote", "row_to_json", "array_to_json"):
+        REGISTRY[_n] = _bind_to_json
+
+    def _bind_json_parse(arg_exprs):
+        """json(x): parse + minify (errors on invalid JSON, reference
+        json_create.cpp JSONFunction)."""
+        def impl(env, cols, node):
+            def f(s):
+                return _dumps(json.loads(s))
+            return dict_transform(cols[0], f)
+        return VARCHAR, impl, arg_exprs
+
+    REGISTRY["json"] = _bind_json_parse
+
+    def _json_object(*kv):
+        obj = {}
+        for i in range(0, len(kv) - 1, 2):
+            if kv[i] is None:
+                continue
+            obj[str(kv[i])] = _py_to_jsonable(kv[i + 1])
+        return _dumps(obj)
+
+    def _json_array(*vals):
+        return _dumps([_py_to_jsonable(v) for v in vals])
+
+    REGISTRY["json_object"] = _rowwise_json(_json_object)
+    REGISTRY["json_array"] = _rowwise_json(_json_array)
+
+    def _merge_patch(a, b):
+        # RFC 7386 merge patch (reference: json_merge_patch.cpp)
+        if a is None or b is None:
+            return a if b is None else b
+
+        def patch(t, p):
+            if not isinstance(p, dict):
+                return p
+            t = dict(t) if isinstance(t, dict) else {}
+            for k, v in p.items():
+                if v is None:
+                    t.pop(k, None)
+                else:
+                    t[k] = patch(t.get(k), v)
+            return t
+        try:
+            return _dumps(patch(json.loads(a), json.loads(b)))
+        except (ValueError, TypeError):
+            return None
+
+    REGISTRY["json_merge_patch"] = _rowwise_json(_merge_patch)
+
+    def _contains(hay, needle):
+        if hay is None or needle is None:
+            return None
+        try:
+            h, n = json.loads(hay), json.loads(needle)
+        except (ValueError, TypeError):
+            return None
+
+        def walk(v):
+            if v == n:
+                return True
+            if isinstance(v, dict):
+                return any(walk(x) for x in v.values())
+            if isinstance(v, list):
+                return any(walk(x) for x in v)
+            return False
+        return walk(h)
+
+    def _bind_json_contains(arg_exprs):
+        def impl(env, cols, node):
+            hosts = _host_cols(env, cols)
+            n = env.plen
+            outs = [_contains(hosts[0][0][i], hosts[1][0][i])
+                    for i in range(n)]
+            valid = np.array([o is not None for o in outs], dtype=bool)
+            data = jnp.asarray(np.array([bool(o) for o in outs], dtype=bool))
+            return Column(data=data, ltype=BOOLEAN,
+                          validity=None if valid.all()
+                          else jnp.asarray(valid))
+        return BOOLEAN, impl, arg_exprs
+
+    REGISTRY["json_contains"] = _bind_json_contains
+
+    def _bind_json_exists(arg_exprs):
+        path = str(arg_exprs[1].const_value())
+
+        def impl(env, cols, node):
+            return dict_predicate(
+                cols[0], lambda s: json_path_get(s, path) is not None)
+        return BOOLEAN, impl, arg_exprs[:1]
+
+    REGISTRY["json_exists"] = _bind_json_exists
+
+    # -- transformation -------------------------------------------------------
+    def _bind_json_pretty(arg_exprs):
+        def impl(env, cols, node):
+            def f(s):
+                try:
+                    return json.dumps(json.loads(s), indent=4)
+                except (ValueError, TypeError):
+                    return s
+            return dict_transform(cols[0], f)
+        return VARCHAR, impl, arg_exprs
+
+    REGISTRY["json_pretty"] = _bind_json_pretty
+
+    def _strip_nulls(v):
+        if isinstance(v, dict):
+            return {k: _strip_nulls(x) for k, x in v.items() if x is not None}
+        if isinstance(v, list):
+            return [_strip_nulls(x) for x in v]
+        return v
+
+    def _bind_json_strip_nulls(arg_exprs):
+        def impl(env, cols, node):
+            def f(s):
+                try:
+                    return _dumps(_strip_nulls(json.loads(s)))
+                except (ValueError, TypeError):
+                    return s
+            return dict_transform(cols[0], f)
+        return VARCHAR, impl, arg_exprs
+
+    REGISTRY["json_strip_nulls"] = _bind_json_strip_nulls
+
+    def _structure(v):
+        if isinstance(v, dict):
+            return {k: _structure(x) for k, x in v.items()}
+        if isinstance(v, list):
+            inner = [_structure(x) for x in v]
+            first = inner[0] if inner else "NULL"
+            return [first] if all(x == first for x in inner) else inner
+        if isinstance(v, bool):
+            return "BOOLEAN"
+        if isinstance(v, int):
+            return "BIGINT"
+        if isinstance(v, float):
+            return "DOUBLE"
+        if isinstance(v, str):
+            return "VARCHAR"
+        return "NULL"
+
+    def _bind_json_structure(arg_exprs):
+        def impl(env, cols, node):
+            def f(s):
+                return _dumps(_structure(json.loads(s)))
+            return dict_transform(cols[0], f)
+        return VARCHAR, impl, arg_exprs
+
+    REGISTRY["json_structure"] = _bind_json_structure
 
     def _bind_json_valid(arg_exprs):
         def impl(env, cols, node):

@@ -89,12 +89,53 @@ _KIND = {np.dtype(np.int64): "i64", np.dtype(np.int32): "i32",
 
 
 def checkpoint(con, path: str):
-    """Write the full catalog + data to the database directory."""
-    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    """Write the full catalog + data to the database directory; attached
+    databases checkpoint to their own directories (reference checkpoints
+    each AttachedDatabase separately, src/storage/storage_manager.cpp)."""
     cat = con.catalog
-    meta = {"tables": [], "views": {},
-            "schemas": sorted(cat.schemas - {"main"})}
-    for name, entry in cat.tables.items():
+    attached = getattr(cat, "attached", {})
+    prefixes = tuple(a + "." for a in attached)
+    tables = {k: e for k, e in cat.tables.items()
+              if not (prefixes and k.startswith(prefixes))}
+    views = {k: v for k, v in cat.views.items()
+             if not (prefixes and k.startswith(prefixes))}
+    _write_db(path, tables, views,
+              schemas=sorted(cat.schemas - {"main"} - set(attached)),
+              sequences={k: dict(v) for k, v in cat.sequences.items()},
+              macros=[m.sql_text for m in cat.macros.values()
+                      if m.sql_text])
+    for alias, info in attached.items():
+        if info.get("read_only") or info["path"] == ":memory:":
+            continue
+        checkpoint_attached(cat, alias, info["path"])
+
+
+def checkpoint_attached(cat, alias: str, path: str):
+    """Persist one attached database's entries (alias prefix stripped).
+    Sections we don't manage for attached dbs (sequences/macros/schemas)
+    are carried over from its existing catalog.json."""
+    pre = alias + "."
+    tables = {k[len(pre):]: e for k, e in cat.tables.items()
+              if k.startswith(pre)}
+    views = {k[len(pre):]: v for k, v in cat.views.items()
+             if k.startswith(pre)}
+    schemas, seqs, macros = [], {}, []
+    cp = os.path.join(path, "catalog.json")
+    if os.path.exists(cp):
+        with open(cp) as f:
+            old = json.load(f)
+        schemas = old.get("schemas", [])
+        seqs = old.get("sequences", {})
+        macros = old.get("macros", [])
+    _write_db(path, tables, views, schemas=schemas, sequences=seqs,
+              macros=macros)
+
+
+def _write_db(path: str, tables: dict, views: dict, schemas, sequences,
+              macros):
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    meta = {"tables": [], "views": {}, "schemas": list(schemas)}
+    for name, entry in tables.items():
         if name.startswith("__"):
             continue  # ephemeral file/table-function tables
         tdir = os.path.join(path, "data", name)
@@ -146,13 +187,16 @@ def checkpoint(con, path: str):
             "rows": entry.nrows,
             "constraints": [list(c) for c in entry.constraints],
         })
-    for vname, vast in cat.views.items():
+    for vname, vast in views.items():
         sql_text = getattr(vast, "_sql_text", None)
         if sql_text:
             meta["views"][vname] = sql_text
     # sequences persist with their current value (reference serializes
     # SequenceCatalogEntry incl. counters, src/storage/serialization/)
-    meta["sequences"] = {k: dict(v) for k, v in cat.sequences.items()}
+    meta["sequences"] = sequences
+    # macros persist as their CREATE text, re-parsed on open (the
+    # reference serializes the macro parse tree the same way)
+    meta["macros"] = macros
     tmp = os.path.join(path, "catalog.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=1)
@@ -260,6 +304,8 @@ def open_database(con, path: str):
             from duckdb_tpu.planner import functions_ext as _fx
 
             _fx.ACTIVE_SEQUENCES = con.catalog.sequences
+        for msql in meta.get("macros", []):
+            con._execute_statement_nowal(msql)
     # crash recovery: replay WAL statements with their pinned entropy
     wal = os.path.join(path, "wal.sql")
     if os.path.exists(wal):

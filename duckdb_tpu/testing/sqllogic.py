@@ -257,13 +257,24 @@ class SqlLogicRunner:
                     for v in range(lo, hi):
                         self._run_lines(block, ctx, res,
                                         {**subs, var: str(v)})
-                else:  # concurrentloop: threads share the database
+                else:
+                    # concurrentloop: each thread gets its OWN connection to
+                    # the shared database instance (reference semantics:
+                    # sqllogic_test_runner.cpp spawns per-thread
+                    # connections; temp objects are connection-local)
                     var, lo, hi = tok[1], int(tok[2]), int(tok[3])
+
+                    def run_one(v):
+                        sub_ctx = _Ctx(ctx.connect, ctx.con.cursor())
+                        sub_ctx.db_path = ctx.db_path
+                        sub_ctx.test_dir = ctx.test_dir
+                        sub_ctx.lock = ctx.lock
+                        self._run_lines(block, sub_ctx, res,
+                                        {**subs, var: str(v)})
+
                     threads = []
                     for v in range(lo, hi):
-                        t = threading.Thread(
-                            target=self._run_lines,
-                            args=(block, ctx, res, {**subs, var: str(v)}))
+                        t = threading.Thread(target=run_one, args=(v,))
                         threads.append(t)
                         t.start()
                     for t in threads:
