@@ -83,6 +83,7 @@ class _Txn:
         snap.schemas = set(shared.schemas)
         snap.views = dict(shared.views)
         snap.macros = dict(shared.macros)
+        snap.table_macros = dict(shared.table_macros)
         snap.attached = dict(shared.attached)
         snap.sequences = {k: dict(v) for k, v in shared.sequences.items()}
         snap._file_tables = shared._file_tables
@@ -135,6 +136,14 @@ class Connection:
         self._plan_cache = {}
         # connection-local TEMPORARY views
         self._temp_views = {}
+        # USE target: schema searched first for unqualified names
+        self._default_schema = "main"
+        # this database's own name (reference: in-memory db is "memory")
+        import re as _re
+        self._db_name = ("memory" if database in (":memory:", "") else _re.sub(
+            r"\W", "_",
+            os.path.splitext(os.path.basename(database.rstrip("/")))[0]
+        ).lower())
         self._catalog_version = 0
         self.last_profile = None
         self._txn: Optional[_Txn] = None
@@ -290,7 +299,7 @@ class Connection:
             if cached is not None:
                 plan, output = cached
             else:
-                planner = Planner(self.catalog, temp_views=self._temp_views)
+                planner = Planner(self.catalog, temp_views=self._temp_views, default_schema=self._default_schema)
                 plan, output = planner.plan_select(s)
                 # plans that snapshot state at plan time (system table
                 # functions) must not be replayed from cache
@@ -321,6 +330,18 @@ class Connection:
                 s.query._sql_text = s._sql_text
             self.catalog.views[key] = s.query
             return None
+        if isinstance(s, N.UseStatement):
+            name = s.name.lower().replace("\x02", ".")
+            cat = self.catalog
+            if name.startswith("main."):
+                name = name[5:]
+            if name != "main" and name not in cat.schemas \
+                    and name not in cat.attached:
+                raise ConnectionException(
+                    f'Catalog Error: SET schema: No catalog + schema named '
+                    f'"{s.name}" found.')
+            self._default_schema = name
+            return None
         if isinstance(s, N.AttachStatement):
             return self._attach(s)
         if isinstance(s, N.DetachStatement):
@@ -329,13 +350,20 @@ class Connection:
             from duckdb_tpu.planner import macros as _mx
 
             key = s.name.lower()
-            if key in self.catalog.macros and not s.or_replace:
+            reg = (self.catalog.table_macros if s.is_table
+                   else self.catalog.macros)
+            if key in reg and not s.or_replace:
                 if s.if_not_exists:
                     return None
                 raise ConnectionException(
                     f'Catalog Error: Macro with name "{s.name}" already '
                     "exists!")
-            self.catalog.macros[key] = _mx.MacroDef(
+            for dname, dexpr in s.defaults.items():
+                if _mx._find_column_refs(dexpr):
+                    raise ConnectionException(
+                        f"Binder Error: Default value for parameter "
+                        f"'{dname}' cannot contain column names")
+            reg[key] = _mx.MacroDef(
                 key, tuple(p.lower() for p in s.params), dict(s.defaults),
                 s.body, s.is_table, sql_text=getattr(s, "_sql_text", ""))
             _mx.ACTIVE_MACROS = self.catalog.macros
@@ -378,13 +406,16 @@ class Connection:
                         and not s.if_exists:
                     raise ConnectionException(
                         f'sequence "{s.name}" does not exist')
-            elif s.kind == "macro":
-                if self.catalog.macros.pop(s.name.lower(), None) is None \
+            elif s.kind in ("macro", "macro table"):
+                reg = (self.catalog.table_macros if s.kind == "macro table"
+                       else self.catalog.macros)
+                if reg.pop(s.name.lower(), None) is None \
                         and not s.if_exists:
                     raise ConnectionException(
                         f'macro "{s.name}" does not exist')
             else:
-                self.catalog.drop_table(s.name, if_exists=s.if_exists)
+                self.catalog.drop_table(self._resolve_default(s.name),
+                                        if_exists=s.if_exists)
             return None
         if isinstance(s, N.InsertStatement):
             return self._insert(s)
@@ -450,7 +481,7 @@ class Connection:
         from duckdb_tpu.types import VARCHAR
         import numpy as np
 
-        planner = Planner(self.catalog, temp_views=self._temp_views)
+        planner = Planner(self.catalog, temp_views=self._temp_views, default_schema=self._default_schema)
         plan, output = planner.plan_select(s.query)
         if s.analyze:
             from duckdb_tpu.main.profiler import (QueryProfile, Timer,
@@ -575,6 +606,8 @@ class Connection:
             shared.schemas |= txn.catalog.schemas
             shared.macros.clear()
             shared.macros.update(txn.catalog.macros)
+            shared.table_macros.clear()
+            shared.table_macros.update(txn.catalog.table_macros)
             shared.attached.clear()
             shared.attached.update(txn.catalog.attached)
         from duckdb_tpu.planner import functions_ext as _fx
@@ -588,9 +621,10 @@ class Connection:
 
     # -- DDL / DML ------------------------------------------------------------
     def _create_table(self, s: N.CreateTable):
+        s.name = self._resolve_default(s.name, creating=True)
         self._check_writable(s.name)
         if s.as_select is not None:
-            planner = Planner(self.catalog, temp_views=self._temp_views)
+            planner = Planner(self.catalog, temp_views=self._temp_views, default_schema=self._default_schema)
             plan, output = planner.plan_select(s.as_select)
             res = Executor(self.catalog).run(plan, output)
             cols = [ColumnDef(n, t) for n, _, t in
@@ -629,9 +663,10 @@ class Connection:
         return None
 
     def _insert(self, s: N.InsertStatement):
+        s.table = self._resolve_default(s.table)
         self._check_writable(s.table)
         entry = self.catalog.get_table(s.table)
-        planner = Planner(self.catalog, temp_views=self._temp_views)
+        planner = Planner(self.catalog, temp_views=self._temp_views, default_schema=self._default_schema)
         src = s.source
         if src is None:
             raise ConnectionException("INSERT without source")
@@ -1039,7 +1074,7 @@ class Connection:
         try:
             stmt = Parser(f"SELECT count(*) FROM __check_tmp WHERE "
                           f"NOT ({check_sql})").parse_statements()[0]
-            plan, output = Planner(self.catalog, temp_views=self._temp_views).plan_select(stmt)
+            plan, output = Planner(self.catalog, temp_views=self._temp_views, default_schema=self._default_schema).plan_select(stmt)
             n_viol = Executor(self.catalog).run(plan, output).rows()[0][0]
         finally:
             self.catalog.tables.pop("__check_tmp", None)
@@ -1055,7 +1090,7 @@ class Connection:
         from duckdb_tpu.planner.binder import Scope as _Scope
 
         entry = self.catalog.get_table(table)
-        planner = Planner(self.catalog, temp_views=self._temp_views)
+        planner = Planner(self.catalog, temp_views=self._temp_views, default_schema=self._default_schema)
         ref = N.BaseTableRef(table, alias=alias)
         plan, scope_adds, _ = planner._plan_base_table(ref, {})
         scope = _Scope()
@@ -1077,6 +1112,7 @@ class Connection:
         return entry, planner, scope, batch, mask
 
     def _delete(self, s: N.DeleteStatement):
+        s.table = self._resolve_default(s.table)
         self._check_writable(s.table)
         entry, _, _, _, mask = self._table_mask(s.table, s.alias, s.where)
         keep = ~mask
@@ -1089,6 +1125,7 @@ class Connection:
         return self._count_result(int(mask.sum()))
 
     def _update(self, s: N.UpdateStatement):
+        s.table = self._resolve_default(s.table)
         self._check_writable(s.table)
         import jax.numpy as jnp
 
@@ -1209,6 +1246,7 @@ class Connection:
     def _merge(self, s: N.MergeStatement):
         """MERGE INTO: match target rows against the source on equi keys,
         apply WHEN (NOT) MATCHED actions (reference: physical_merge_into)."""
+        s.target = self._resolve_default(s.target)
         self._check_writable(s.target)
         import jax.numpy as jnp
         import jax
@@ -1221,7 +1259,7 @@ class Connection:
         from duckdb_tpu.planner.planner import split_conjuncts
 
         entry = self.catalog.get_table(s.target)
-        planner = Planner(self.catalog, temp_views=self._temp_views)
+        planner = Planner(self.catalog, temp_views=self._temp_views, default_schema=self._default_schema)
         # target scan
         tref = N.BaseTableRef(s.target, alias=s.target_alias)
         tplan, t_adds, _ = planner._plan_base_table(tref, {})
@@ -1403,14 +1441,20 @@ class Connection:
         import re
 
         cat = self.catalog
-        alias = (s.alias or re.sub(
-            r"\W", "_",
-            os.path.splitext(os.path.basename(s.path.rstrip("/")))[0]
-        )).lower()
+        if s.path in (":memory:", ""):
+            # the default in-memory alias mirrors the reference: an
+            # unnamed in-memory database is called "memory"
+            alias = (s.alias or "memory").lower()
+        else:
+            alias = (s.alias or re.sub(
+                r"\W", "_",
+                os.path.splitext(os.path.basename(s.path.rstrip("/")))[0]
+            )).lower()
         if not alias:
             raise ConnectionException("ATTACH: cannot derive an alias from "
                                       f"{s.path!r}; use ATTACH ... AS name")
-        if alias in cat.attached or alias in cat.schemas:
+        if alias in cat.attached or alias in cat.schemas \
+                or alias == self._db_name:
             if s.if_not_exists:
                 return None
             raise ConnectionException(
@@ -1470,6 +1514,16 @@ class Connection:
         cat.schemas.discard(alias)
         del cat.attached[alias]
         return None
+
+    def _resolve_default(self, name: str, creating: bool = False) -> str:
+        """Apply the USE default schema to an unqualified object name:
+        creations go INTO the schema; lookups prefer it when present."""
+        if self._default_schema == "main" or "." in name.replace("\x02", ""):
+            return name
+        q = f"{self._default_schema}.{name.lower()}"
+        if creating or self.catalog.has_table(q) or q in self.catalog.views:
+            return q
+        return name
 
     def _check_writable(self, table_name: str):
         """Reject DML against a READ_ONLY-attached database."""
@@ -1625,7 +1679,7 @@ class Connection:
         is_parquet = fmt == "parquet" or s.target.endswith(".parquet")
         if s.direction == "to":
             if s.select is not None:
-                planner = Planner(self.catalog, temp_views=self._temp_views)
+                planner = Planner(self.catalog, temp_views=self._temp_views, default_schema=self._default_schema)
                 plan, output = planner.plan_select(s.select)
                 res = Executor(self.catalog).run(plan, output)
             else:

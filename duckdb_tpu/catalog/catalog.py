@@ -193,8 +193,14 @@ class TableEntry:
                     st.min_val = int(live.min())
                     st.max_val = int(live.max())
                 else:
-                    st.min_val = live.min().item()
-                    st.max_val = live.max().item()
+                    try:
+                        mn, mx = live.min(), live.max()
+                        # object-dtype planes (materialized intermediates)
+                        # yield plain python scalars; numeric ones .item()
+                        st.min_val = mn.item() if hasattr(mn, "item") else mn
+                        st.max_val = mx.item() if hasattr(mx, "item") else mx
+                    except TypeError:
+                        pass  # unorderable entries: no zone-map stats
         self.stats[name] = st
 
     def stats_for(self, name) -> ColumnStats:
@@ -252,6 +258,7 @@ class Catalog:
         # name -> macros.MacroDef; seeded with the built-in default macros
         # (reference: src/catalog/default/default_functions.cpp)
         self.macros: Dict[str, object] = default_macros()
+        self.table_macros: Dict[str, object] = {}  # CREATE MACRO ... AS TABLE
         self.schemas = {"main"}  # CREATE SCHEMA registry
         self.attached: Dict[str, dict] = {}  # alias -> {path, read_only}
         self._file_tables: Dict[tuple, str] = {}  # (path, mtime) -> table name

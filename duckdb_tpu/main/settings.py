@@ -56,6 +56,13 @@ SETTINGS = [
     Setting("experimental_join_fusion", False, "BOOLEAN", "GLOBAL",
             "Fuse dense unique inner joins into aggregate programs "
             "(constant-capture prototype; see fused_agg._JoinPrep)"),
+    # accepted-for-compatibility knobs (single storage format / macro
+    # dependency tracking not applicable here; reference settings.json)
+    Setting("storage_compatibility_version", "latest", "VARCHAR", "GLOBAL",
+            "Accepted for reference compatibility (single format)"),
+    Setting("enable_macro_dependencies", False, "BOOLEAN", "GLOBAL",
+            "Accepted for reference compatibility (macros expand at bind "
+            "time; no dependency tracking needed)"),
 ]
 
 BY_NAME: Dict[str, Setting] = {s.name: s for s in SETTINGS}

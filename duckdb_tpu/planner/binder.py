@@ -171,6 +171,7 @@ _TYPE_NAMES = {
     "real": LogicalType(TypeId.FLOAT), "float4": LogicalType(TypeId.FLOAT),
     "float": DOUBLE, "double": DOUBLE, "float8": DOUBLE,
     "varchar": VARCHAR, "text": VARCHAR, "string": VARCHAR, "char": VARCHAR,
+    "json": VARCHAR,  # the reference's JSON type aliases VARCHAR storage
     "bpchar": VARCHAR,
     "date": DATE, "timestamp": TIMESTAMP, "datetime": TIMESTAMP,
     "time": TIME,
@@ -263,6 +264,11 @@ def _parse_time_micros(v: str) -> int:
 
 
 def _arith_result_type(op: str, lt: LogicalType, rt: LogicalType) -> LogicalType:
+    if TypeId.SQLNULL in (lt.id, rt.id):
+        # NULL op x → typed NULL of the other side (reference: NULL
+        # propagation through BoundCastExpression to the operand type)
+        other = rt if lt.id is TypeId.SQLNULL else lt
+        return other if other.id is not TypeId.SQLNULL else lt
     if TypeId.INTERVAL in (lt.id, rt.id):
         other = rt if lt.id is TypeId.INTERVAL else lt
         return other  # date ± interval → date (folded at bind time)

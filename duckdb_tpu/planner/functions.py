@@ -40,6 +40,10 @@ from duckdb_tpu.types import (
 
 def dict_transform(col: Column, fn) -> Column:
     """Apply a host string→string fn per distinct value; re-encode codes."""
+    if col.dict_values is None:  # typed-NULL input (e.g. fn(NULL))
+        return Column(data=jnp.zeros_like(col.data), ltype=VARCHAR,
+                      validity=jnp.zeros(col.data.shape, jnp.bool_),
+                      dict_values=np.array([""], dtype=object))
     new_vals = np.array([fn(s) for s in col.dict_values], dtype=object)
     uniq, inv = np.unique(new_vals.astype(str), return_inverse=True)
     lut = jnp.asarray(inv.astype(np.int32))
@@ -50,6 +54,10 @@ def dict_transform(col: Column, fn) -> Column:
 
 def dict_predicate(col: Column, fn) -> Column:
     """Host per-distinct-value predicate → device boolean via LUT gather."""
+    if col.dict_values is None:  # typed-NULL input
+        return Column(data=jnp.zeros(col.data.shape, jnp.bool_),
+                      ltype=BOOLEAN,
+                      validity=jnp.zeros(col.data.shape, jnp.bool_))
     lut = np.fromiter((fn(s) for s in col.dict_values), dtype=np.bool_,
                       count=len(col.dict_values))
     d = jnp.asarray(lut)[jnp.clip(col.data, 0, len(lut) - 1)]

@@ -47,10 +47,15 @@ _depth = 0
 def substitute(node, mapping):
     """Deep-copy `node` with single-part ColumnRefs replaced per `mapping`."""
     if isinstance(node, N.ColumnRef):
-        if len(node.parts) == 1:
-            rep = mapping.get(node.parts[0].lower())
-            if rep is not None:
-                return copy.deepcopy(rep)
+        rep = mapping.get(node.parts[0].lower())
+        if rep is not None:
+            out = copy.deepcopy(rep)
+            # param.field.sub → struct_extract chain (the reference binds
+            # dotted access on macro params the same way)
+            for fieldname in node.parts[1:]:
+                out = N.FunctionCall("struct_extract",
+                                     [out, N.Literal(fieldname)])
+            return out
         return node
     if dataclasses.is_dataclass(node) and not isinstance(node, type):
         kw = {}
@@ -73,6 +78,19 @@ def substitute(node, mapping):
     if isinstance(node, dict):
         return {k: substitute(v, mapping) for k, v in node.items()}
     return node
+
+
+def _find_column_refs(node) -> list:
+    if isinstance(node, N.ColumnRef):
+        return [node]
+    out = []
+    if dataclasses.is_dataclass(node) and not isinstance(node, type):
+        for f in dataclasses.fields(node):
+            out += _find_column_refs(getattr(node, f.name))
+    elif isinstance(node, (list, tuple)):
+        for x in node:
+            out += _find_column_refs(x)
+    return out
 
 
 def split_args(args):
@@ -109,8 +127,8 @@ def expand_call(mac: MacroDef, args, named=None):
                 f"Macro function {mac.name!r}: missing argument {p!r}")
     if named:
         raise MacroError(
-            f"Macro function {mac.name!r}: unknown named argument "
-            f"{next(iter(named))!r}")
+            f"Binder Error: Macro function {mac.name!r}: unknown named "
+            f"argument {next(iter(named))!r}")
     return substitute(mac.body, mapping)
 
 
@@ -121,7 +139,8 @@ def expand_macros(node, depth: int = 0):
     aggregate names before binding — see only concrete functions."""
     if depth > _MAX_DEPTH:
         raise MacroError(
-            "Macro expansion depth exceeded (recursive macro?)")
+            "Max expression depth limit of 1000 exceeded "
+            "(recursive macro?)")
     if isinstance(node, N.FunctionCall):
         mac = ACTIVE_MACROS.get(node.name.lower())
         if mac is not None and not mac.is_table:
@@ -235,8 +254,8 @@ def expansion_guard(name: str):
     global _depth
     if _depth >= _MAX_DEPTH:
         raise MacroError(
-            f"Macro expansion depth exceeded binding {name!r} "
-            "(recursive macro?)")
+            "Max expression depth limit of 1000 exceeded binding macro "
+            f"{name!r} (recursive macro?)")
     _depth += 1
     try:
         yield

@@ -129,13 +129,16 @@ class BoundMarkSubquery(B.BoundExpr):
     executes once on first eval; the membership test runs on device."""
 
     def __init__(self, planner, expr: Optional[B.BoundExpr], plan, out_key,
-                 out_type, negated: bool):
+                 out_type, negated: bool, exists_semantics: bool = False):
         self.planner = planner
         self.expr = expr  # None = EXISTS (pure emptiness test)
         self.plan = plan
         self.out_key = out_key
         self.out_type = out_type
         self.negated = negated
+        # correlated EXISTS rewritten as membership: two-valued (a NULL
+        # probe or build NULLs can never satisfy the correlation equality)
+        self.exists_semantics = exists_semantics
         self.ltype = BOOLEAN
 
     def children(self):
@@ -209,6 +212,13 @@ class BoundMarkSubquery(B.BoundExpr):
             bv = np.unique(vals.astype(np.int64) * 10 ** (smax - s2))
             match = (jnp.isin(xi, jnp.asarray(bv)) if len(bv)
                      else jnp.zeros((env.plen,), jnp.bool_))
+        if self.exists_semantics:
+            # EXISTS-as-membership is two-valued: NULL probes don't match
+            if c.validity is not None:
+                match = jnp.logical_and(
+                    match, jnp.broadcast_to(c.validity, (env.plen,)))
+            return B.Column(data=jnp.logical_xor(match, self.negated),
+                            ltype=BOOLEAN)
         x_null = (jnp.logical_not(jnp.broadcast_to(c.validity, (env.plen,)))
                   if c.validity is not None
                   else jnp.zeros((env.plen,), jnp.bool_))
@@ -275,11 +285,13 @@ def _requalify(node, alias: str, catalog):
 
 
 class Planner:
-    def __init__(self, catalog, temp_views=None):
+    def __init__(self, catalog, temp_views=None, default_schema="main"):
         self.catalog = catalog
         # per-connection TEMPORARY views (reference: temp schema is
         # connection-local, src/catalog/catalog_entry/schema_catalog_entry)
         self.temp_views = temp_views if temp_views is not None else {}
+        # USE target: unqualified names search this schema first
+        self.default_schema = default_schema
         self._key_counter = itertools.count()
         self.key_owner: Dict[str, int] = {}  # binding key → atom id
 
@@ -424,6 +436,15 @@ class Planner:
                 plan, output = self.plan_select(vast, None, ctes)
                 return self._subquery_atom(plan, output, alias, None)
             return self._scan_of(qname, alias)
+        if name not in ctes and self.default_schema != "main":
+            # USE target searched first for unqualified names (CTEs shadow)
+            q = f"{self.default_schema}.{name}"
+            if self.catalog.has_table(q) or q in self.catalog.views:
+                import dataclasses as _dc
+
+                return self._plan_base_table_inner(
+                    _dc.replace(ref, schema=self.default_schema,
+                                alias=alias), ctes)
         if name in ctes:
             cte = ctes[name]
             sub_ctes = {k: v for k, v in ctes.items() if k != name}
@@ -761,8 +782,9 @@ class Planner:
                 return
             raise BindError(f"join type {jt} not supported")
         if isinstance(ref, N.TableFunctionRef):
-            mac = getattr(self.catalog, "macros", {}).get(ref.name.lower())
-            if mac is not None and mac.is_table:
+            mac = getattr(self.catalog, "table_macros",
+                          {}).get(ref.name.lower())
+            if mac is not None:
                 # table macro: substitute args into the stored SELECT and
                 # plan it as a derived table (reference:
                 # src/function/table_macro_function.cpp)
@@ -1004,12 +1026,50 @@ class Planner:
             name, key, t = output[0]
             return BoundMarkSubquery(self, child, plan, key, t, e.negated)
         if isinstance(e, N.Exists):
-            plan, output = self.plan_select(e.subquery, None, ctes)
+            try:
+                plan, output = self.plan_select(e.subquery, None, ctes)
+            except BindError:
+                mark = self._correlated_mark(e.subquery, binder.scope, ctes,
+                                             e.negated)
+                if mark is not None:
+                    return mark
+                raise
             name, key, t = output[0]
             return BoundMarkSubquery(self, None, plan, key, t, e.negated)
         raise BindError(
             f"{type(e).__name__} subquery only supported as a top-level WHERE conjunct"
         )
+
+    def _correlated_mark(self, sub, scope, ctes, negated):
+        """Correlated EXISTS in ANY expression position (e.g. inside OR) →
+        membership mark: `EXISTS(SELECT .. WHERE inner.k = outer.k AND
+        local)` is `outer.k IN (SELECT inner.k FROM .. WHERE local)`, with
+        EXISTS two-valued semantics (NULL probe → FALSE). Single-key
+        correlation. Reference: correlated MARK joins,
+        src/planner/subquery/flatten_dependent_join.cpp."""
+        outer_keys = set()
+        s = scope
+        while s is not None:
+            outer_keys |= {b.key for (_, _, b) in s.order}
+            s = s.parent
+        try:
+            (sub_atoms, local_bound, corr_eqs, corr_extra, sub_scope,
+             sel, sub_semis) = self._plan_sub_pool(sub, scope, ctes,
+                                                   outer_keys)
+        except BindError:
+            return None
+        if len(corr_eqs) != 1 or corr_extra:
+            return None
+        build = self.plan_pool(sub_atoms, local_bound)
+        for ss in sub_semis:
+            build = P.Join(build, ss.build_plan, ss.jtype, ss.probe_keys,
+                           ss.build_keys, ss.extra, null_aware=ss.null_aware)
+        outer_e, inner_e = corr_eqs[0]
+        out_key = self.fresh("corrmark")
+        build = P.Project(build, [(out_key, inner_e)])
+        return BoundMarkSubquery(self, outer_e, build, out_key,
+                                 inner_e.ltype, negated,
+                                 exists_semantics=True)
 
     # -- pool join ordering ---------------------------------------------------
     def plan_pool(self, atoms: List[Atom], preds: List[B.BoundExpr]) -> P.PlanNode:
@@ -1477,13 +1537,30 @@ class Planner:
         if isinstance(inner, N.BinaryOp) and inner.op in B._CMP_OPS and not neg:
             for e_side, other, flip in ((inner.right, inner.left, False),
                                         (inner.left, inner.right, True)):
-                if isinstance(e_side, N.ScalarSubquery):
-                    if self._try_correlated_scalar(
-                        inner.op, other, e_side.subquery, flip, scope, ctes,
-                        local_keys, bound_preds, atoms
-                    ):
-                        return True
-                    return False  # uncorrelated → normal binding path
+                subs = _find_scalar_subqueries(e_side)
+                if len(subs) == 1 and not _find_scalar_subqueries(other):
+                    sq = subs[0]
+                    sub_ref = self._correlated_scalar_ref(
+                        sq.subquery, scope, ctes, local_keys, bound_preds,
+                        atoms)
+                    if sub_ref is None:
+                        return False  # uncorrelated → normal binding path
+                    # bind the containing expression with the subquery node
+                    # replaced by the grouped-agg output column (handles
+                    # e.g. `price > 1.2 * (SELECT avg(...) WHERE corr)`)
+
+                    def sq_binder(e, b, _sq=sq, _ref=sub_ref):
+                        if e is _sq:
+                            return _ref
+                        return self._bind_subquery_expr(e, b, ctes)
+
+                    side_b = ExprBinder(scope,
+                                        subquery_binder=sq_binder).bind(e_side)
+                    other_b = self._pred_binder(scope, ctes).bind(other)
+                    lhs, rhs = ((side_b, other_b) if flip
+                                else (other_b, side_b))
+                    bound_preds.append(B.BoundComparison(inner.op, lhs, rhs))
+                    return True
         return False
 
     def _plan_sub_pool(self, sub: N.SelectStatement, scope, ctes, local_keys):
@@ -1575,21 +1652,25 @@ class Planner:
                               probe_keys, build_keys, extra,
                               null_aware=negated and in_expr is not None))
 
-    def _try_correlated_scalar(self, op, other_ast, sub, flip, scope, ctes,
-                               local_keys, bound_preds, atoms) -> bool:
-        """`other op (SELECT agg-expr FROM ... WHERE corr)` → join transform."""
+    def _correlated_scalar_ref(self, sub, scope, ctes, local_keys,
+                               bound_preds, atoms):
+        """`(SELECT agg-expr FROM ... WHERE corr)` → grouped-aggregate atom
+        equi-joined on the correlation keys; returns a BoundColumnRef over
+        its output (None if not a flattenable correlated scalar agg).
+        Reference: FlattenDependentJoins,
+        src/planner/subquery/flatten_dependent_join.cpp."""
         try:
             (sub_atoms, local_bound, corr_eqs, corr_extra, sub_scope,
              sel, sub_semis) = self._plan_sub_pool(sub, scope, ctes, local_keys)
         except BindError:
-            return False
+            return None
         if not corr_eqs or corr_extra:
-            return False
+            return None
         if len(sel.select_list) != 1 or sel.group_by or sel.having:
-            return False
+            return None
         item_ast = sel.select_list[0][0]
         if not _contains_aggregate(item_ast):
-            return False
+            return None
         subplan = self.plan_pool(sub_atoms, local_bound)
         for ss in sub_semis:
             subplan = P.Join(subplan, ss.build_plan, ss.jtype, ss.probe_keys,
@@ -1625,12 +1706,7 @@ class Planner:
         for (outer_e, inner_e), (gkey, _) in zip(corr_eqs, groups):
             bound_preds.append(B.BoundComparison(
                 "=", outer_e, B.BoundColumnRef(gkey, inner_e.ltype)))
-        outer_b = self._pred_binder(scope, ctes).bind(other_ast)
-        sub_ref = B.BoundAggregateRef(out_key, item_b.ltype)
-        sub_ref = B.BoundColumnRef(out_key, item_b.ltype)
-        lhs, rhs = (sub_ref, outer_b) if flip else (outer_b, sub_ref)
-        bound_preds.append(B.BoundComparison(op, lhs, rhs))
-        return True
+        return B.BoundColumnRef(out_key, item_b.ltype)
 
     # -- order ---------------------------------------------------------------
     def _plan_order(self, plan, order_items, output, scope_info):
@@ -1661,6 +1737,26 @@ def _ref_alias(ref) -> Optional[str]:
 
 class _ConstantRow(P.PlanNode):
     """SELECT without FROM: one live row, no columns."""
+
+
+def _find_scalar_subqueries(e) -> list:
+    """Collect ScalarSubquery nodes in an expression (not descending into
+    the subqueries themselves)."""
+    import dataclasses as _dc
+
+    if isinstance(e, N.ScalarSubquery):
+        return [e]
+    out = []
+    if _dc.is_dataclass(e) and not isinstance(e, type):
+        for f in _dc.fields(e):
+            v = getattr(e, f.name)
+            if isinstance(v, N.Expr):
+                out += _find_scalar_subqueries(v)
+            elif isinstance(v, (list, tuple)):
+                for x in v:
+                    if isinstance(x, N.Expr):
+                        out += _find_scalar_subqueries(x)
+    return out
 
 
 def _contains_aggregate(e: N.Expr) -> bool:

@@ -332,6 +332,11 @@ class DetachStatement:
 
 
 @dataclass
+class UseStatement:
+    name: str
+
+
+@dataclass
 class CreateMacro:
     name: str
     params: Tuple[str, ...]

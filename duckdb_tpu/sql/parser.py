@@ -35,7 +35,7 @@ _TYPE_NAME_WORDS = {
     "int1", "hugeint", "boolean", "bool", "float", "real", "float4", "double",
     "float8", "decimal", "numeric", "varchar", "text", "string", "char",
     "date", "time", "timestamp", "datetime", "interval", "blob", "bytea",
-    "uinteger", "ubigint", "usmallint", "utinyint",
+    "uinteger", "ubigint", "usmallint", "utinyint", "json",
 }
 
 
@@ -161,6 +161,9 @@ class Parser:
                 self.expect_op(")")
             return N.AttachStatement(path, alias, read_only=read_only,
                                      if_not_exists=if_not_exists)
+        if k == "use":
+            self.next()
+            return N.UseStatement(self.parse_qualified_ident())
         if k == "detach":
             self.next()
             self.accept_kw("database")
@@ -221,6 +224,30 @@ class Parser:
                     break
         node = self.parse_set_op_tree()
         order_by, limit, offset = self.parse_order_limit()
+        gb = getattr(node, "_grouping_branches", None)
+        if gb and any(self._contains_grouping(oi.expr) for oi in order_by):
+            # ORDER BY over GROUPING(): fold per desugared branch via hidden
+            # select columns, order an outer wrapper by them, EXCLUDE them
+            import copy as _copy
+
+            hidden = []
+            for idx, oi in enumerate(order_by):
+                if not self._contains_grouping(oi.expr):
+                    continue
+                al = f"__grp_ord_{idx}"
+                for b, absent in gb:
+                    b.select_list.append(
+                        (self._rewrite_grouping(_copy.deepcopy(oi.expr),
+                                                absent), al))
+                order_by[idx] = N.OrderItem(N.ColumnRef((al,)),
+                                            oi.descending, oi.nulls_first)
+                hidden.append(al)
+            inner = N.SelectStatement(node, ctes=ctes)
+            wrap = N.SelectNode(
+                select_list=[(N.Star(exclude=tuple(hidden)), None)],
+                from_table=N.SubqueryRef(inner, alias="__grp_wrap"))
+            return N.SelectStatement(wrap, order_by=order_by, limit=limit,
+                                     offset=offset)
         return N.SelectStatement(node, ctes=ctes, order_by=order_by, limit=limit, offset=offset)
 
     def parse_from_first(self):
@@ -251,11 +278,42 @@ class Parser:
         if self.accept_kw("qualify"):
             node.qualify = self.parse_expr()
         out = node
-        if grouping_sets is not None:
-            out = self._desugar_grouping_sets(node, grouping_sets)
         order_by, limit, offset = self.parse_order_limit()
+        if grouping_sets is not None:
+            # ORDER BY expressions over GROUPING() must fold per branch:
+            # materialize them as hidden select columns before the desugar,
+            # then order an outer wrapper by those columns and EXCLUDE them
+            hidden = []
+            for idx, oi in enumerate(order_by):
+                if self._contains_grouping(oi.expr):
+                    al = f"__grp_ord_{idx}"
+                    node.select_list.append((oi.expr, al))
+                    order_by[idx] = N.OrderItem(
+                        N.ColumnRef((al,)), oi.descending, oi.nulls_first)
+                    hidden.append(al)
+            out = self._desugar_grouping_sets(node, grouping_sets)
+            if hidden:
+                inner = N.SelectStatement(out)
+                wrap = N.SelectNode(
+                    select_list=[(N.Star(exclude=tuple(hidden)), None)],
+                    from_table=N.SubqueryRef(inner, alias="__grp_wrap"))
+                return N.SelectStatement(wrap, order_by=order_by,
+                                         limit=limit, offset=offset)
         return N.SelectStatement(out, order_by=order_by, limit=limit,
                                  offset=offset)
+
+    def _contains_grouping(self, e) -> bool:
+        import dataclasses
+
+        if isinstance(e, N.FunctionCall) and e.name.lower() in (
+                "grouping", "grouping_id"):
+            return True
+        if dataclasses.is_dataclass(e) and not isinstance(e, type):
+            return any(self._contains_grouping(getattr(e, f.name))
+                       for f in dataclasses.fields(e))
+        if isinstance(e, (list, tuple)):
+            return any(self._contains_grouping(x) for x in e)
+        return False
 
     def parse_order_limit(self):
         order_by: List[N.OrderItem] = []
@@ -450,6 +508,11 @@ class Parser:
         out = branches[0]
         for b in branches[1:]:
             out = N.SetOpNode("union", True, out, b)
+        # remember branch → rolled-up-keys pairs so statement-level ORDER BY
+        # expressions over GROUPING() can be folded per branch later
+        out._grouping_branches = [
+            (b, [k for k in all_keys if k not in s_])
+            for b, s_ in zip(branches, sets)]
         return out
 
     def _rewrite_grouping(self, e, absent):
@@ -458,9 +521,11 @@ class Parser:
         still see the raw column)."""
         import dataclasses
 
-        if not isinstance(e, N.Expr):
+        if not (isinstance(e, N.Expr)
+                or (dataclasses.is_dataclass(e)
+                    and not isinstance(e, type))):
             return e
-        if any(e == k for k in absent):
+        if isinstance(e, N.Expr) and any(e == k for k in absent):
             return N.Literal(None)
         if isinstance(e, N.FunctionCall):
             name = e.name.lower()
@@ -475,18 +540,20 @@ class Parser:
                 return e
         if not dataclasses.is_dataclass(e):
             return e
-        kw = {}
-        for f in dataclasses.fields(e):
-            v = getattr(e, f.name)
-            if isinstance(v, N.Expr):
-                v = self._rewrite_grouping(v, absent)
-            elif isinstance(v, list):
-                v = [self._rewrite_grouping(x, absent)
-                     if isinstance(x, N.Expr) else x for x in v]
-            elif isinstance(v, tuple):
-                v = tuple(self._rewrite_grouping(x, absent)
-                          if isinstance(x, N.Expr) else x for x in v)
-            kw[f.name] = v
+
+        def walk(v):
+            # recurse into nested dataclasses too (WindowSpec, OrderItem —
+            # GROUPING() is legal inside OVER(PARTITION BY ...))
+            if isinstance(v, N.Expr) or (dataclasses.is_dataclass(v)
+                                         and not isinstance(v, type)):
+                return self._rewrite_grouping(v, absent)
+            if isinstance(v, list):
+                return [walk(x) for x in v]
+            if isinstance(v, tuple):
+                return tuple(walk(x) for x in v)
+            return v
+
+        kw = {f.name: walk(getattr(e, f.name)) for f in dataclasses.fields(e)}
         return type(e)(**kw)
 
     def parse_sample_clause(self):
@@ -1257,7 +1324,10 @@ class Parser:
             if_not_exists = bool(self.accept_kw("if", "not", "exists"))
             name = self.parse_qualified_ident()
             if self.accept_kw("as"):
-                sel = self.parse_select_statement()
+                if self.kw() == "from":  # CTAS over FROM-first syntax
+                    sel = self.parse_from_first()
+                else:
+                    sel = self.parse_select_statement()
                 return N.CreateTable(name, as_select=sel, if_not_exists=if_not_exists,
                                      or_replace=or_replace, temporary=temporary)
             self.expect_op("(")
@@ -1475,7 +1545,7 @@ class Parser:
         self.expect_kw("drop")
         kind = self.expect_ident().lower()
         if kind in ("macro", "function") and self.accept_kw("table"):
-            kind = "macro"  # DROP MACRO TABLE — same registry
+            kind = "macro table"  # table macros live in their own registry
         elif kind == "function":
             kind = "macro"
         if_exists = bool(self.accept_kw("if", "exists"))

@@ -34,6 +34,10 @@ def read_string_column(table_dir: str, name: str) -> np.ndarray:
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
     maxlen = int(lens.max()) if n else 0
+    if maxlen == 0:  # every value empty (e.g. an all-NULL VARCHAR column)
+        out = np.empty(n, dtype=object)
+        out[:] = ""
+        return out
     # Vectorized ragged→fixed-width: gather each string into a (n, maxlen)
     # byte matrix in one fancy-index op, then view rows as S{maxlen}.
     col_idx = np.arange(maxlen, dtype=np.int64)

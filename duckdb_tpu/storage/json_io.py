@@ -81,13 +81,22 @@ def read_json_file(path: str):
 
 
 # -- path evaluation ----------------------------------------------------------
+class _Missing:
+    """Sentinel: path not present (distinct from JSON null, which is a
+    present value — reference: yyjson pointer semantics)."""
+
+
+MISSING = _Missing()
+
+
 def json_path_get(doc: str, path: str):
-    """Evaluate a JSONPath-lite ($.a.b[0]) or simple-key path. → python value
-    or None (parity: reference GetPath, json_functions/json_extract.cpp)."""
+    """Evaluate a JSONPath-lite ($.a.b[0]) or simple-key path. → python value,
+    None for JSON null, or MISSING when the path is absent (parity:
+    reference GetPath, json_functions/json_extract.cpp)."""
     try:
         v = json.loads(doc)
     except (ValueError, TypeError):
-        return None
+        return MISSING
     if path.startswith("$"):
         parts = []
         buf = ""
@@ -103,7 +112,13 @@ def json_path_get(doc: str, path: str):
                     parts.append(buf)
                     buf = ""
                 j = path.index("]", i)
-                parts.append(int(path[i + 1:j]))
+                tok = path[i + 1:j]
+                if tok.startswith("#"):
+                    # yyjson last-element syntax: [#] (one past end),
+                    # [#-1] (last), ...
+                    parts.append(("#", int(tok[1:]) if tok[1:] else 0))
+                else:
+                    parts.append(int(tok))
                 i = j
             else:
                 buf += ch
@@ -117,14 +132,21 @@ def json_path_get(doc: str, path: str):
         parts = [path]
     for p in parts:
         try:
-            if isinstance(p, int):
+            if isinstance(p, tuple):  # ('#', offset): relative to length
+                if not isinstance(v, list):
+                    return MISSING
+                idx = len(v) + p[1]
+                if idx < 0 or idx >= len(v):
+                    return MISSING
+                v = v[idx]
+            elif isinstance(p, int):
                 v = v[p]
             elif isinstance(v, dict):
                 v = v[p]
             else:
-                return None
+                return MISSING
         except (KeyError, IndexError, TypeError):
-            return None
+            return MISSING
     return v
 
 
@@ -197,20 +219,65 @@ def register_json_functions():
         return binder
 
     # -- extraction -----------------------------------------------------------
+    def _rowwise_path(arg_exprs, f2):
+        """Non-constant path: evaluate doc/path pairs row-wise host-side."""
+        def impl(env, cols, node):
+            hosts = _host_cols(env, cols)
+            strs = [None if hosts[0][0][i] is None or hosts[1][0][i] is None
+                    else f2(hosts[0][0][i], hosts[1][0][i])
+                    for i in range(env.plen)]
+            return _encode_strs(strs, env.plen)
+        return impl
+
+    def _list_paths_binder(arg_exprs, f2, child_lt):
+        """Constant LIST of paths: result is a LIST column (one element per
+        path), reference json_extract('doc', ['p1','p2'])."""
+        from duckdb_tpu.planner.functions_nested import encode_objects
+        from duckdb_tpu.types import list_of
+
+        lt = list_of(child_lt)
+
+        def impl(env, cols, node):
+            pc = cols[1]
+            paths = tuple(pc.dict_values[int(np.asarray(pc.data)[0] if
+                                             hasattr(pc.data, "shape") and
+                                             pc.data.shape else pc.data)])
+            c = cols[0]
+            if c.dict_values is None:  # typed-NULL document
+                return Column(data=jnp.zeros_like(c.data), ltype=lt,
+                              validity=jnp.zeros(c.data.shape, jnp.bool_),
+                              dict_values=np.array([()], dtype=object))
+            outs = [tuple(f2(s, p) for p in paths) for s in c.dict_values]
+            codes_h, dvals = encode_objects(outs)
+            nd = max(len(outs), 1)
+            codes = jnp.clip(c.data, 0, nd - 1)
+            data = jnp.asarray(codes_h.astype(np.int32))[codes]
+            return Column(data=data, ltype=lt, validity=c.validity,
+                          dict_values=dvals)
+        return lt, impl, arg_exprs
+
     def _make_extract(as_text: bool):
         def binder(arg_exprs):
-            path_cv = arg_exprs[1].const_value()
+            def f2(s, p):
+                v = json_path_get(s, p if isinstance(p, str) else f"$[{p}]")
+                if v is MISSING:
+                    return None
+                if v is None:
+                    return None if as_text else "null"
+                if as_text:
+                    return v if isinstance(v, str) else _dumps(v)
+                return _dumps(v)
+            try:
+                path_cv = arg_exprs[1].const_value()
+            except Exception:  # noqa: BLE001 — per-row path expression
+                if arg_exprs[1].ltype.id is TypeId.LIST:
+                    return _list_paths_binder(arg_exprs, f2, VARCHAR)
+                return VARCHAR, _rowwise_path(arg_exprs, f2), arg_exprs
             path = (int(path_cv) if not isinstance(path_cv, str)
                     else str(path_cv))
 
             def f(s):
-                v = json_path_get(s, path if isinstance(path, str)
-                                  else f"$[{path}]")
-                if v is None:
-                    return None
-                if as_text:
-                    return v if isinstance(v, str) else _dumps(v)
-                return _dumps(v)
+                return f2(s, path)
 
             def impl(env, cols, node):
                 c = cols[0]
@@ -240,16 +307,28 @@ def register_json_functions():
     def _bind_json_value(arg_exprs):
         """json_value: like extract but NULL for objects/arrays
         (reference: json_functions/json_value.cpp)."""
-        path = str(arg_exprs[1].const_value())
+        def vf2(s, p):
+            v = json_path_get(s, p if isinstance(p, str) else f"$[{p}]")
+            if v is MISSING or v is None or isinstance(v, (dict, list)):
+                return None
+            return _dumps(v)
+        try:
+            pcv = arg_exprs[1].const_value()
+        except Exception:  # noqa: BLE001
+            if arg_exprs[1].ltype.id is TypeId.LIST:
+                return _list_paths_binder(arg_exprs, vf2, VARCHAR)
+            return VARCHAR, _rowwise_path(arg_exprs, vf2), arg_exprs
+        path = f"$[{pcv}]" if not isinstance(pcv, str) else str(pcv)
 
         def impl(env, cols, node):
             c = cols[0]
 
             def f(s):
+                # scalar-only extract, result is JSON text (strings quoted)
                 v = json_path_get(s, path)
-                if v is None or isinstance(v, (dict, list)):
+                if v is MISSING or v is None or isinstance(v, (dict, list)):
                     return None
-                return v if isinstance(v, str) else _dumps(v)
+                return _dumps(v)
             outs = [f(s) for s in c.dict_values]
             valid_h = np.array([o is not None for o in outs], dtype=bool)
             arr = np.array(["" if o is None else o for o in outs],
@@ -309,21 +388,32 @@ def register_json_functions():
     REGISTRY["json_object"] = _rowwise_json(_json_object)
     REGISTRY["json_array"] = _rowwise_json(_json_array)
 
-    def _merge_patch(a, b):
-        # RFC 7386 merge patch (reference: json_merge_patch.cpp)
-        if a is None or b is None:
-            return a if b is None else b
+    def _merge_patch(*docs):
+        # RFC 7386 merge patch, variadic like the reference
+        # (json_merge_patch.cpp folds left)
+        if len(docs) > 2:
+            acc = docs[0]
+            for d in docs[1:]:
+                acc = _merge_patch(acc, d)
+            return acc
+        a, b = docs
+        if b is None:
+            return None  # SQL NULL patch → NULL result (reference)
+        if a is None:
+            a = "null"  # NULL target: the patch wins
 
         def patch(t, p):
             if not isinstance(p, dict):
                 return p
-            t = dict(t) if isinstance(t, dict) else {}
+            t = t if isinstance(t, dict) else {}
+            # key order matches yyjson_merge_patch: unpatched target keys
+            # first, then patch keys in patch order
+            out = {k: v for k, v in t.items() if k not in p}
             for k, v in p.items():
                 if v is None:
-                    t.pop(k, None)
-                else:
-                    t[k] = patch(t.get(k), v)
-            return t
+                    continue
+                out[k] = patch(t.get(k), v)
+            return out
         try:
             return _dumps(patch(json.loads(a), json.loads(b)))
         except (ValueError, TypeError):
@@ -339,8 +429,20 @@ def register_json_functions():
         except (ValueError, TypeError):
             return None
 
+        def contains_at(hv, nv):
+            # structural containment (yyjson semantics): objects match on a
+            # key-subset basis, arrays element-subset
+            if isinstance(hv, dict) and isinstance(nv, dict):
+                return all(k in hv and contains_at(hv[k], nv[k]) for k in nv)
+            if isinstance(hv, list):
+                if isinstance(nv, list):
+                    return all(any(contains_at(he, ne) for he in hv)
+                               for ne in nv)
+                return any(contains_at(he, nv) for he in hv)
+            return hv == nv
+
         def walk(v):
-            if v == n:
+            if contains_at(v, n):
                 return True
             if isinstance(v, dict):
                 return any(walk(x) for x in v.values())
@@ -365,11 +467,35 @@ def register_json_functions():
     REGISTRY["json_contains"] = _bind_json_contains
 
     def _bind_json_exists(arg_exprs):
-        path = str(arg_exprs[1].const_value())
+        try:
+            path = str(arg_exprs[1].const_value())
+        except Exception:  # noqa: BLE001 — per-row path expression
+            if arg_exprs[1].ltype.id is TypeId.LIST:
+                return _list_paths_binder(
+                    arg_exprs,
+                    lambda s, p: json_path_get(s, p) is not MISSING,
+                    BOOLEAN)
+
+            def impl_rw(env, cols, node):
+                hosts = _host_cols(env, cols)
+                outs = [None if hosts[0][0][i] is None
+                        or hosts[1][0][i] is None
+                        else json_path_get(hosts[0][0][i],
+                                           hosts[1][0][i]) is not MISSING
+                        for i in range(env.plen)]
+                valid = np.array([o is not None for o in outs], dtype=bool)
+                import jax.numpy as _jnp
+
+                return Column(
+                    data=_jnp.asarray(np.array([bool(o) for o in outs],
+                                               dtype=bool)),
+                    ltype=BOOLEAN,
+                    validity=None if valid.all() else _jnp.asarray(valid))
+            return BOOLEAN, impl_rw, arg_exprs
 
         def impl(env, cols, node):
             return dict_predicate(
-                cols[0], lambda s: json_path_get(s, path) is not None)
+                cols[0], lambda s: json_path_get(s, path) is not MISSING)
         return BOOLEAN, impl, arg_exprs[:1]
 
     REGISTRY["json_exists"] = _bind_json_exists
@@ -406,22 +532,32 @@ def register_json_functions():
 
     REGISTRY["json_strip_nulls"] = _bind_json_strip_nulls
 
-    def _structure(v):
-        if isinstance(v, dict):
-            return {k: _structure(x) for k, x in v.items()}
-        if isinstance(v, list):
-            inner = [_structure(x) for x in v]
-            first = inner[0] if inner else "NULL"
-            return [first] if all(x == first for x in inner) else inner
+    def _jtype(v):
+        # scalar type names match yyjson-backed inference: non-negative
+        # integers are UBIGINT (reference json_common.hpp ValType)
         if isinstance(v, bool):
             return "BOOLEAN"
         if isinstance(v, int):
-            return "BIGINT"
+            return "UBIGINT" if v >= 0 else "BIGINT"
         if isinstance(v, float):
             return "DOUBLE"
         if isinstance(v, str):
             return "VARCHAR"
         return "NULL"
+
+    def _structure(v):
+        if isinstance(v, dict):
+            return {k: _structure(x) for k, x in v.items()}
+        if isinstance(v, list):
+            inner = [_structure(x) for x in v]
+            nn = [x for x in inner if x != "NULL"]
+            first = nn[0] if nn else "NULL"
+            # NULL unifies with any element type (reference structure
+            # inference, json_structure.cpp)
+            if all(x == first or x == "NULL" for x in inner):
+                return [first]
+            return inner
+        return _jtype(v)
 
     def _bind_json_structure(arg_exprs):
         def impl(env, cols, node):
@@ -445,50 +581,124 @@ def register_json_functions():
 
     REGISTRY["json_valid"] = _bind_json_valid
 
-    def _bind_json_array_length(arg_exprs):
+    def _doc_at_path(arg_exprs):
+        """→ fn(s) yielding the (sub)document at the optional path arg."""
+        if len(arg_exprs) > 1:
+            path = str(arg_exprs[1].const_value())
+            return lambda s: json_path_get(s, path)
+
+        def whole(s):
+            try:
+                return json.loads(s)
+            except (ValueError, TypeError):
+                return MISSING
+        return whole
+
+    def _nullable_int_impl(get, f):
+        """Per-distinct int-or-None via LUT gather with validity."""
         def impl(env, cols, node):
-            def f(s):
-                try:
-                    v = json.loads(s)
-                    return len(v) if isinstance(v, list) else 0
-                except (ValueError, TypeError):
-                    return 0
-            lut = np.fromiter((f(s) for s in cols[0].dict_values),
-                              dtype=np.int64,
-                              count=len(cols[0].dict_values))
-            d = jnp.asarray(lut)[jnp.clip(cols[0].data, 0, len(lut) - 1)]
-            return Column(data=d, ltype=BIGINT, validity=cols[0].validity)
-        return BIGINT, impl, arg_exprs
+            c = cols[0]
+            outs = [f(get(s)) for s in c.dict_values]
+            valid_h = np.array([o is not None for o in outs], dtype=bool)
+            arr = np.array([0 if o is None else o for o in outs],
+                           dtype=np.int64)
+            nd = max(len(outs), 1)
+            codes = jnp.clip(c.data, 0, nd - 1)
+            data = jnp.asarray(arr)[codes]
+            pv = jnp.asarray(valid_h)[codes]
+            validity = (pv if c.validity is None
+                        else jnp.logical_and(c.validity, pv))
+            return Column(data=data, ltype=BIGINT, validity=validity)
+        return impl
+
+    def _bind_json_array_length(arg_exprs):
+        get = _doc_at_path(arg_exprs)
+
+        def f(v):
+            if v is MISSING:
+                return None
+            return len(v) if isinstance(v, list) else 0
+        return BIGINT, _nullable_int_impl(get, f), arg_exprs[:1]
 
     REGISTRY["json_array_length"] = _bind_json_array_length
 
     def _bind_json_keys(arg_exprs):
+        """json_keys → VARCHAR[] (reference returns a LIST, not JSON
+        text: json_functions/json_keys.cpp)."""
+        from duckdb_tpu.planner.functions_nested import encode_objects
+        from duckdb_tpu.types import list_of
+
+        get = _doc_at_path(arg_exprs)
+        lt = list_of(VARCHAR)
+
         def impl(env, cols, node):
-            def f(s):
-                try:
-                    v = json.loads(s)
-                    return json.dumps(sorted(v)) if isinstance(v, dict) else "[]"
-                except (ValueError, TypeError):
-                    return "[]"
-            return dict_transform(cols[0], f)
-        return VARCHAR, impl, arg_exprs
+            c = cols[0]
+            if c.dict_values is None:  # typed-NULL input
+                return Column(data=jnp.zeros_like(c.data), ltype=lt,
+                              validity=jnp.zeros(c.data.shape, jnp.bool_),
+                              dict_values=np.array([()], dtype=object))
+            outs = []
+            for s in c.dict_values:
+                v = get(s)
+                if isinstance(v, dict):
+                    outs.append(tuple(v.keys()))
+                elif v is MISSING:
+                    outs.append(None)
+                else:
+                    outs.append(())  # non-object: empty key list (reference)
+            valid_h = np.array([o is not None for o in outs], dtype=bool)
+            codes_h, dvals = encode_objects(
+                [o if o is not None else () for o in outs])
+            nd = max(len(outs), 1)
+            codes = jnp.clip(c.data, 0, nd - 1)
+            data = jnp.asarray(codes_h.astype(np.int32))[codes]
+            pv = jnp.asarray(valid_h)[codes]
+            validity = (pv if c.validity is None
+                        else jnp.logical_and(c.validity, pv))
+            return Column(data=data, ltype=lt, validity=validity,
+                          dict_values=dvals)
+        return lt, impl, arg_exprs[:1]
 
     REGISTRY["json_keys"] = _bind_json_keys
 
     def _bind_json_type(arg_exprs):
+        get = _doc_at_path(arg_exprs)
+
         def impl(env, cols, node):
-            def f(s):
-                try:
-                    v = json.loads(s)
-                except (ValueError, TypeError):
-                    return "INVALID"
-                return {dict: "OBJECT", list: "ARRAY", str: "VARCHAR",
-                        bool: "BOOLEAN", int: "BIGINT",
-                        float: "DOUBLE"}.get(type(v), "NULL")
-            return dict_transform(cols[0], f)
-        return VARCHAR, impl, arg_exprs
+            c0 = cols[0]
+            if c0.dict_values is None:  # typed-NULL input
+                return Column(data=jnp.zeros_like(c0.data), ltype=VARCHAR,
+                              validity=jnp.zeros(c0.data.shape, jnp.bool_),
+                              dict_values=np.array([""], dtype=object))
+            outs = []
+            for s in cols[0].dict_values:
+                v = get(s)
+                if v is MISSING:
+                    outs.append(None)
+                elif isinstance(v, dict):
+                    outs.append("OBJECT")
+                elif isinstance(v, list):
+                    outs.append("ARRAY")
+                else:
+                    outs.append(_jtype(v))
+            return _json_type_col(cols[0], outs, env)
+        return VARCHAR, impl, arg_exprs[:1]
+
+    def _json_type_col(c, outs, env):
+        valid_h = np.array([o is not None for o in outs], dtype=bool)
+        arr = np.array(["" if o is None else o for o in outs], dtype=object)
+        uniq, inv = np.unique(arr.astype(str), return_inverse=True)
+        nd = max(len(outs), 1)
+        codes = jnp.clip(c.data, 0, nd - 1)
+        data = jnp.asarray(inv.astype(np.int32))[codes]
+        pv = jnp.asarray(valid_h)[codes]
+        validity = (pv if c.validity is None
+                    else jnp.logical_and(c.validity, pv))
+        return Column(data=data, ltype=VARCHAR, validity=validity,
+                      dict_values=uniq.astype(object))
 
     REGISTRY["json_type"] = _bind_json_type
+    REGISTRY["json_typeof"] = _bind_json_type
 
 
 register_json_functions()

@@ -102,7 +102,8 @@ def checkpoint(con, path: str):
     _write_db(path, tables, views,
               schemas=sorted(cat.schemas - {"main"} - set(attached)),
               sequences={k: dict(v) for k, v in cat.sequences.items()},
-              macros=[m.sql_text for m in cat.macros.values()
+              macros=[m.sql_text for m in list(cat.macros.values())
+                      + list(getattr(cat, "table_macros", {}).values())
                       if m.sql_text])
     for alias, info in attached.items():
         if info.get("read_only") or info["path"] == ":memory:":

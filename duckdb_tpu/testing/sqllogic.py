@@ -61,6 +61,8 @@ def _fmt_value(v, typ: str) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, (list, tuple)):
+        return _fmt_nested(v)
     if typ == "I":
         if isinstance(v, pydec.Decimal):
             return str(int(v))
@@ -72,10 +74,28 @@ def _fmt_value(v, typ: str) -> str:
         if f == int(f) and abs(f) < 1e15:
             return f"{f:.1f}"
         return repr(f)
+    if isinstance(v, (list, tuple)):
+        return _fmt_nested(v)
     s = str(v)
     if s == "":
         return "(empty)"
     return s.replace("\0", "\\0")
+
+
+def _fmt_nested(v) -> str:
+    """LIST/STRUCT → text like the reference's Value::ToString
+    (src/common/types/value.cpp): bracketed, ', '-joined, unquoted."""
+    parts = []
+    for x in v:
+        if x is None:
+            parts.append("NULL")
+        elif isinstance(x, bool):
+            parts.append("true" if x else "false")
+        elif isinstance(x, (list, tuple)):
+            parts.append(_fmt_nested(x))
+        else:
+            parts.append(str(x))
+    return "[" + ", ".join(parts) + "]"
 
 
 def _values_equal(got: str, exp: str) -> bool:

@@ -91,7 +91,7 @@ def test_json_strip_nulls_structure(con):
         [('{"b":1}',)]
     assert con.sql(
         "SELECT json_structure('{\"a\":1,\"b\":[1.5],\"s\":\"x\"}')"
-    ).rows() == [('{"a":"BIGINT","b":["DOUBLE"],"s":"VARCHAR"}',)]
+    ).rows() == [('{"a":"UBIGINT","b":["DOUBLE"],"s":"VARCHAR"}',)]
 
 
 def test_json_group_array(con):

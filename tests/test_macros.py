@@ -75,7 +75,7 @@ def test_table_macro(con):
 
 def test_recursive_macro_errors(con):
     con.sql("CREATE MACRO rec(v) AS rec(v)")
-    with pytest.raises(Exception, match="depth exceeded"):
+    with pytest.raises(Exception, match="depth limit"):
         con.sql("SELECT rec(1)")
 
 
