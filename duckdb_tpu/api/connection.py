@@ -86,6 +86,7 @@ class _Txn:
         snap.table_macros = dict(shared.table_macros)
         snap.attached = dict(shared.attached)
         snap.sequences = {k: dict(v) for k, v in shared.sequences.items()}
+        snap.user_types = {k: dict(v) for k, v in shared.user_types.items()}
         snap._file_tables = shared._file_tables
         snap.settings_manager = getattr(shared, "settings_manager", None)
         snap.log_manager = getattr(shared, "log_manager", None)
@@ -170,7 +171,8 @@ class Connection:
     _MUTATING = (N.CreateTable, N.CreateView, N.DropStatement,
                  N.InsertStatement, N.DeleteStatement, N.UpdateStatement,
                  N.MergeStatement, N.AlterStatement, N.CreateSequence,
-                 N.CreateSchema, N.CreateMacro, N.ImportStatement)
+                 N.CreateSchema, N.CreateMacro, N.ImportStatement,
+                 N.CreateType)
 
     # -- main entry -----------------------------------------------------------
     def sql(self, query: str) -> Optional[Result]:
@@ -229,6 +231,9 @@ class Connection:
             if isinstance(s, (N.CreateView, N.CreateMacro)):
                 s._sql_text = query  # persisted definition
             _mx.ACTIVE_MACROS = self.catalog.macros
+            from duckdb_tpu.planner import binder as _bd
+
+            _bd.ACTIVE_USER_TYPES = self.catalog.user_types
             if self.catalog.macros and not isinstance(s, N.CreateMacro):
                 # pre-expand scalar macros so aggregate detection and
                 # binding see concrete functions only
@@ -413,6 +418,12 @@ class Connection:
                         and not s.if_exists:
                     raise ConnectionException(
                         f'macro "{s.name}" does not exist')
+            elif s.kind == "type":
+                if self.catalog.user_types.pop(s.name.lower(), None) is None \
+                        and not s.if_exists:
+                    raise ConnectionException(
+                        f'Catalog Error: Type with name "{s.name}" does '
+                        "not exist!")
             else:
                 self.catalog.drop_table(self._resolve_default(s.name),
                                         if_exists=s.if_exists)
@@ -438,6 +449,26 @@ class Connection:
             from duckdb_tpu.planner import functions_ext as _fx
 
             _fx.ACTIVE_SEQUENCES = seqs
+            return None
+        if isinstance(s, N.CreateType):
+            from duckdb_tpu.planner import binder as _bd
+
+            key = s.name.lower()
+            if key in self.catalog.user_types:
+                if s.if_not_exists:
+                    return None
+                if not s.or_replace:
+                    raise ConnectionException(
+                        f'Catalog Error: Type with name "{s.name}" already '
+                        "exists!")
+            if s.enum_values:
+                self.catalog.user_types[key] = {
+                    "kind": "enum", "values": list(s.enum_values)}
+            else:
+                self.catalog.user_types[key] = {
+                    "kind": "alias", "base": s.base,
+                    "mods": list(s.base_mods)}
+            _bd.ACTIVE_USER_TYPES = self.catalog.user_types
             return None
         if isinstance(s, N.PivotStatement):
             return self._pivot(s)
@@ -610,6 +641,8 @@ class Connection:
             shared.table_macros.update(txn.catalog.table_macros)
             shared.attached.clear()
             shared.attached.update(txn.catalog.attached)
+            shared.user_types.clear()
+            shared.user_types.update(txn.catalog.user_types)
         from duckdb_tpu.planner import functions_ext as _fx
 
         _fx.ACTIVE_SEQUENCES = shared.sequences

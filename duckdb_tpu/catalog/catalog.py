@@ -260,6 +260,9 @@ class Catalog:
         self.macros: Dict[str, object] = default_macros()
         self.table_macros: Dict[str, object] = {}  # CREATE MACRO ... AS TABLE
         self.schemas = {"main"}  # CREATE SCHEMA registry
+        # CREATE TYPE registry: name -> {"kind": "enum", "values": [...]} |
+        # {"kind": "alias", "base": str, "mods": [...]}
+        self.user_types: Dict[str, dict] = {}
         self.attached: Dict[str, dict] = {}  # alias -> {path, read_only}
         self._file_tables: Dict[tuple, str] = {}  # (path, mtime) -> table name
 

@@ -750,7 +750,48 @@ def _compute_agg(agg: BoundAggregate, inp, gids, nseg, live, plen, key_data,
         ok = cnt > (0 if f.endswith("_pop") else 1)
         return Column(data=d, ltype=DOUBLE, validity=ok)
 
+    if f == "approx_count_distinct":
+        return _approx_count_distinct(agg, c, data, mask, gids, nseg, plen)
+
     raise NotImplementedError(f"aggregate {f}")
+
+
+def _approx_count_distinct(agg, c, data, mask, gids, nseg, plen):
+    """HyperLogLog on device: scatter-max rho into per-group registers.
+
+    Reference: /root/reference/src/common/types/hyperloglog.cpp. Re-designed
+    for XLA: one hash64 pass, one scatter-max into a (nseg, M) register
+    plane, then a vectorised estimate with linear-counting correction.
+    For large group counts the dense register plane (nseg*M int32) would
+    dominate memory, so we fall back to the exact sort-dedup distinct
+    count (still one fused program).
+    """
+    from duckdb_tpu.ops.hash import hash64
+
+    if nseg > 2048:
+        exact = BoundAggregate(func="count", args=agg.args, distinct=True,
+                               ltype=BIGINT, key=agg.key)
+        return _compute_distinct_agg(exact, c, data, mask, gids, nseg, plen,
+                                     None)
+
+    p_bits, m = 11, 2048
+    h = hash64(_key_data(c, plen))
+    idx = (h & jnp.uint64(m - 1)).astype(jnp.int32)
+    suffix = h << jnp.uint64(p_bits)
+    lz = jax.lax.clz(suffix.astype(jnp.int64)).astype(jnp.int32)
+    rho = jnp.minimum(lz + 1, 64 - p_bits + 1)
+    pos = gids.astype(jnp.int32) * m + idx
+    rho = jnp.where(mask, rho, 0)
+    regs = jnp.zeros((nseg * m,), jnp.int32).at[pos].max(rho)
+    r = regs.reshape(nseg, m).astype(jnp.float64)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    z = jnp.sum(jnp.power(2.0, -r), axis=1)
+    est = alpha * m * m / z
+    zeros = jnp.sum(r == 0.0, axis=1)
+    linear = m * jnp.log(m / jnp.maximum(zeros, 1).astype(jnp.float64))
+    est = jnp.where(jnp.logical_and(est <= 2.5 * m, zeros > 0), linear, est)
+    d = jnp.round(est).astype(jnp.int64)[:-1]
+    return Column(data=d, ltype=BIGINT)
 
 
 def _float_of(c, data):

@@ -173,6 +173,11 @@ _TYPE_NAMES = {
     "varchar": VARCHAR, "text": VARCHAR, "string": VARCHAR, "char": VARCHAR,
     "json": VARCHAR,  # the reference's JSON type aliases VARCHAR storage
     "bpchar": VARCHAR,
+    # UUID: canonical lowercase hex text in the dict-encoded string plane.
+    # Lexicographic dictionary order == unsigned int128 order for canonical
+    # formatting, so ORDER BY/joins need no special casing (reference stores
+    # int128: src/common/types/uuid.cpp).
+    "uuid": VARCHAR, "guid": VARCHAR,
     "date": DATE, "timestamp": TIMESTAMP, "datetime": TIMESTAMP,
     "time": TIME,
     "blob": BLOB, "bytea": BLOB, "binary": BLOB, "varbinary": BLOB,
@@ -215,7 +220,21 @@ def resolve_type_name(name: str, mods: Tuple[int, ...]) -> LogicalType:
         return decimal(w, s)
     if n in _TYPE_NAMES:
         return _TYPE_NAMES[n]
+    ut = ACTIVE_USER_TYPES.get(n)
+    if ut is not None:
+        if ut.get("kind") == "enum":
+            # ENUMs ride the dict-encoded string plane (the reference's
+            # enum is likewise a dictionary: src/common/types/vector.cpp
+            # ENUM physical type = dictionary index).
+            return VARCHAR
+        return resolve_type_name(ut["base"], tuple(ut.get("mods") or ()))
     raise BindError(f"unknown type name {name}")
+
+
+# name -> {"kind": "enum", "values": [...]} | {"kind": "alias", "base": str,
+# "mods": [...]}; assigned by the Connection from catalog.user_types (same
+# pattern as macros.ACTIVE_MACROS).
+ACTIVE_USER_TYPES = {}
 
 
 def bind_literal(lit: N.Literal) -> B.BoundExpr:
@@ -538,11 +557,31 @@ class ExprBinder:
         c = self.bind(e.child)
         t = resolve_type_name(e.type_name, e.type_mods)
         node = B.BoundCast(c, t, e.try_cast)
+        ut = ACTIVE_USER_TYPES.get(e.type_name.lower())
+        enum_name = e.type_name.lower() if (ut and ut.get("kind") == "enum") \
+            else None
         if c.is_const():
+            folded = None
             try:
-                return B.BoundLiteral(node.const_value(), t)
+                folded = (node.const_value(),)
             except (ValueError, BindError, KeyError):
                 pass
+            if folded is not None:
+                v = folded[0]
+                if enum_name is not None and v is not None \
+                        and v not in ut["values"]:
+                    if e.try_cast:
+                        v = None
+                    else:
+                        raise BindError(
+                            f"Conversion Error: Could not convert string "
+                            f"'{v}' to enum {e.type_name}")
+                lit = B.BoundLiteral(v, t)
+                if enum_name is not None:
+                    object.__setattr__(lit, "enum_type", enum_name)
+                return lit
+        if enum_name is not None:
+            object.__setattr__(node, "enum_type", enum_name)
         return node
 
     def _bind_ExtractExpr(self, e: N.ExtractExpr):

@@ -898,6 +898,62 @@ def _bind_uuid(arg_exprs):
     return VARCHAR, impl, []
 
 
+@register("uuidv4")
+def _bind_uuidv4(arg_exprs):
+    return _bind_uuid(arg_exprs)
+
+
+@register("uuidv7")
+def _bind_uuidv7(arg_exprs):
+    """Time-ordered UUID v7 (reference: src/common/types/uuid.cpp UUIDv7)."""
+    _mark_nondeterministic()
+
+    def impl(env, cols, node):
+        import time as _time
+        import uuid as _uuid
+
+        rng = REPLAY_RNG
+        if rng is not None:
+            ms, rand = rng.getrandbits(48), rng.getrandbits(74)
+        else:
+            import random as _random
+            ms, rand = int(_time.time() * 1000), _random.getrandbits(74)
+        val = (ms << 80) | (0x7 << 76) | ((rand >> 62) << 64) \
+            | (0b10 << 62) | (rand & ((1 << 62) - 1))
+        vals = np.array([str(_uuid.UUID(int=val))], dtype=object)
+        return Column(data=jnp.zeros((env.plen,), jnp.int32), ltype=VARCHAR,
+                      dict_values=vals)
+    return VARCHAR, impl, []
+
+
+@register("uuid_extract_version")
+def _bind_uuid_extract_version(arg_exprs):
+    def impl(env, cols, node):
+        c = cols[0]
+        lut = np.fromiter(
+            ((int(s.replace("-", "")[12], 16) if len(s.replace("-", "")) == 32
+              else 0) for s in c.dict_values),
+            dtype=np.int64, count=len(c.dict_values))
+        d = jnp.asarray(lut)[jnp.clip(c.data, 0, len(lut) - 1)]
+        return Column(data=d, ltype=BIGINT, validity=c.validity)
+    return BIGINT, impl, arg_exprs
+
+
+@register("uuid_extract_timestamp")
+def _bind_uuid_extract_timestamp(arg_exprs):
+    """Millisecond timestamp from a UUIDv7's top 48 bits."""
+    def impl(env, cols, node):
+        c = cols[0]
+        lut = np.fromiter(
+            ((int(s.replace("-", "")[:12], 16) * 1000
+              if len(s.replace("-", "")) == 32 else 0)
+             for s in c.dict_values),
+            dtype=np.int64, count=len(c.dict_values))
+        d = jnp.asarray(lut)[jnp.clip(c.data, 0, len(lut) - 1)]
+        return Column(data=d, ltype=TIMESTAMP, validity=c.validity)
+    return TIMESTAMP, impl, arg_exprs
+
+
 @register("nextafter")
 def _bind_nextafter(arg_exprs):
     def impl(env, cols, node):

@@ -784,3 +784,66 @@ def _bind_list_aggregate(arg_exprs):
                       dict_values=dvals)
 
     return rt, impl, arg_exprs[:1]
+
+
+# -- ENUM metadata functions --------------------------------------------------
+# Reference: src/core_functions/scalar/enum/enum_functions.cpp. Our enums are
+# dictionary values registered in the catalog (binder.ACTIVE_USER_TYPES);
+# these functions read that dictionary at bind time, so they fold to
+# constants — zero device work.
+
+def _enum_values_of(b):
+    from duckdb_tpu.planner import binder as _bd
+    from duckdb_tpu.planner.functions import BindError
+
+    name = getattr(b, "enum_type", None)
+    ut = _bd.ACTIVE_USER_TYPES.get(name) if name else None
+    if ut is None or ut.get("kind") != "enum":
+        raise BindError("this function expects an ENUM-typed argument "
+                        "(e.g. enum_range(NULL::mood))")
+    return list(ut["values"])
+
+
+@register("enum_range")
+def _bind_enum_range(arg_exprs):
+    vals = _enum_values_of(arg_exprs[0])
+    lt = list_of(VARCHAR)
+    return lt, _const_column(tuple(vals), lt), []
+
+
+@register("enum_first")
+def _bind_enum_first(arg_exprs):
+    vals = _enum_values_of(arg_exprs[0])
+    return VARCHAR, _const_column(vals[0], VARCHAR), []
+
+
+@register("enum_last")
+def _bind_enum_last(arg_exprs):
+    vals = _enum_values_of(arg_exprs[0])
+    return VARCHAR, _const_column(vals[-1], VARCHAR), []
+
+
+@register("enum_code")
+def _bind_enum_code(arg_exprs):
+    vals = _enum_values_of(arg_exprs[0])
+    code = {v: i for i, v in enumerate(vals)}
+
+    def impl(env, cols, node):
+        c = cols[0]
+        lut = np.fromiter((code.get(s, -1) for s in c.dict_values),
+                          dtype=np.int64, count=len(c.dict_values))
+        d = jnp.asarray(lut)[jnp.clip(c.data, 0, max(len(lut) - 1, 0))]
+        return Column(data=d, ltype=BIGINT, validity=c.validity)
+    return BIGINT, impl, arg_exprs
+
+
+@register("enum_range_boundary")
+def _bind_enum_range_boundary(arg_exprs):
+    vals = _enum_values_of(arg_exprs[0] if getattr(arg_exprs[0], "enum_type",
+                                                   None) else arg_exprs[1])
+    lo = arg_exprs[0].const_value() if arg_exprs[0].is_const() else None
+    hi = arg_exprs[1].const_value() if arg_exprs[1].is_const() else None
+    i = vals.index(lo) if lo is not None else 0
+    j = vals.index(hi) if hi is not None else len(vals) - 1
+    lt = list_of(VARCHAR)
+    return lt, _const_column(tuple(vals[i:j + 1]), lt), []

@@ -404,6 +404,21 @@ class AlterStatement:
 
 
 @dataclass
+class CreateType:
+    """CREATE TYPE name AS ENUM (...) | CREATE TYPE name AS base_type.
+
+    Reference: src/parser/parsed_data/create_type_info.hpp.
+    """
+
+    name: str
+    enum_values: tuple = ()   # non-empty for ENUM
+    base: str = None          # type-alias form
+    base_mods: tuple = ()
+    or_replace: bool = False
+    if_not_exists: bool = False
+
+
+@dataclass
 class CreateSequence:
     name: str
     start: int = 1

@@ -1389,6 +1389,25 @@ class Parser:
                 else:
                     break
             return N.CreateSequence(name, start, inc, if_not_exists)
+        if self.accept_kw("type"):
+            if_not_exists = bool(self.accept_kw("if", "not", "exists"))
+            name = self.expect_ident()
+            self.expect_kw("as")
+            if self.accept_kw("enum"):
+                self.expect_op("(")
+                vals = []
+                while True:
+                    vals.append(str(self.next().value))
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+                return N.CreateType(name, enum_values=tuple(vals),
+                                    or_replace=or_replace,
+                                    if_not_exists=if_not_exists)
+            base, mods = self.parse_type_name()
+            return N.CreateType(name, base=base, base_mods=tuple(mods or ()),
+                                or_replace=or_replace,
+                                if_not_exists=if_not_exists)
         raise ParserError("unsupported CREATE")
 
     def _expr_text(self, parse=None) -> str:

@@ -104,7 +104,9 @@ def checkpoint(con, path: str):
               sequences={k: dict(v) for k, v in cat.sequences.items()},
               macros=[m.sql_text for m in list(cat.macros.values())
                       + list(getattr(cat, "table_macros", {}).values())
-                      if m.sql_text])
+                      if m.sql_text],
+              user_types={k: dict(v) for k, v in
+                          getattr(cat, "user_types", {}).items()})
     for alias, info in attached.items():
         if info.get("read_only") or info["path"] == ":memory:":
             continue
@@ -133,7 +135,7 @@ def checkpoint_attached(cat, alias: str, path: str):
 
 
 def _write_db(path: str, tables: dict, views: dict, schemas, sequences,
-              macros):
+              macros, user_types=None):
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     meta = {"tables": [], "views": {}, "schemas": list(schemas)}
     for name, entry in tables.items():
@@ -198,6 +200,8 @@ def _write_db(path: str, tables: dict, views: dict, schemas, sequences,
     # macros persist as their CREATE text, re-parsed on open (the
     # reference serializes the macro parse tree the same way)
     meta["macros"] = macros
+    # CREATE TYPE registry (enum dictionaries / aliases) round-trips as-is
+    meta["user_types"] = user_types or {}
     tmp = os.path.join(path, "catalog.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=1)
@@ -307,6 +311,9 @@ def open_database(con, path: str):
             _fx.ACTIVE_SEQUENCES = con.catalog.sequences
         for msql in meta.get("macros", []):
             con._execute_statement_nowal(msql)
+        if meta.get("user_types"):
+            con.catalog.user_types = {k: dict(v) for k, v in
+                                      meta["user_types"].items()}
     # crash recovery: replay WAL statements with their pinned entropy
     wal = os.path.join(path, "wal.sql")
     if os.path.exists(wal):

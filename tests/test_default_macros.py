@@ -7,6 +7,7 @@ checked against the reference binary (see test_vs_reference).
 
 import subprocess
 
+import os
 import pytest
 
 import duckdb_tpu
@@ -82,6 +83,7 @@ def test_user_macro_overrides_default(con):
     assert con.sql("SELECT fdiv(7, 2)").rows() == [(42,)]
 
 
+@pytest.mark.skipif(not os.path.exists(REF), reason="no reference binary")
 def test_vs_reference(con):
     sql = ("SELECT round_even(2.5,0), fmod(7.5,2), list_sum([1,2,3]), "
            "array_to_string([1,2,3],'-'), days_in_month(DATE '2024-02-10'), "

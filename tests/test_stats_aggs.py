@@ -73,3 +73,35 @@ def test_stat_agg_differential(con, q):
             gs = "NULL" if gv is None else str(gv)
             assert _close(gs, rv) or gs == rv, \
                 f"\nquery: {q}\ngot: {got}\nref: {ref}"
+
+
+def test_approx_count_distinct_small(con):
+    r = con.sql("SELECT approx_count_distinct(x) "
+                "FROM (VALUES (1),(2),(2),(NULL)) t(x)").rows()
+    assert r == [(2,)]
+
+
+def test_approx_count_distinct_grouped(con):
+    r = con.sql("SELECT g, approx_count_distinct(x) FROM (VALUES "
+                "(1,'a'),(1,'b'),(1,'b'),(2,'c')) t(g,x) "
+                "GROUP BY g ORDER BY g").rows()
+    assert r == [(1, 2), (2, 1)]
+
+
+def test_approx_count_distinct_error_bound(con):
+    # HLL with 2048 registers: relative error ~2.3%; allow 5%.
+    con.sql("CREATE TABLE acd AS SELECT (range * 7919) % 50000 AS v "
+            "FROM range(200000)")
+    (n,) = con.sql("SELECT approx_count_distinct(v) FROM acd").rows()[0]
+    assert abs(n - 50000) < 2500
+    con.sql("DROP TABLE acd")
+
+
+def test_approx_count_distinct_many_groups_exact_fallback(con):
+    # >2048 groups routes to the exact sort-dedup path.
+    con.sql("CREATE TABLE acd2 AS SELECT range % 5000 AS g, range % 7 AS v "
+            "FROM range(40000)")
+    rows = con.sql("SELECT g, approx_count_distinct(v) FROM acd2 "
+                   "GROUP BY g ORDER BY g LIMIT 3").rows()
+    assert rows == [(0, 7), (1, 7), (2, 7)]
+    con.sql("DROP TABLE acd2")
