@@ -378,10 +378,42 @@ class ExprBinder:
         return B.BoundColumnRef(b.key, b.ltype)
 
     # -- operators -----------------------------------------------------------
+    # COLLATE name → per-comparison string transform chain. Matches the
+    # reference's built-in collations (src/main/database.cpp registers
+    # NOCASE/NOACCENT/NFC; ICU locales are out of scope). A collated side
+    # infects the comparison: the other side is transformed too.
+    _COLLATIONS = {"nocase": "lower", "noaccent": "strip_accents",
+                   "nfc": "nfc_normalize", "c": None, "binary": None,
+                   "posix": None}
+
+    def _apply_collation(self, b: B.BoundExpr, cname: str) -> B.BoundExpr:
+        for part in cname.split("."):
+            if part not in self._COLLATIONS:
+                raise BindError(
+                    f"Catalog Error: Collation with name {part} does not "
+                    "exist!")
+            fn = self._COLLATIONS[part]
+            if fn is None:
+                continue
+            rt, impl, args = F.REGISTRY[fn]([b])
+            b = B.BoundFunction(fn, args, rt, impl)
+        return b
+
+    def _bind_CollateExpr(self, e: N.CollateExpr):
+        b = self._apply_collation(self.bind(e.child), e.collation)
+        object.__setattr__(b, "collation", e.collation)
+        return b
+
     def _bind_BinaryOp(self, e: N.BinaryOp):
         if e.op in B._CMP_OPS:
             left = self.bind(e.left)
             right = self.bind(e.right)
+            lc = getattr(left, "collation", None)
+            rc = getattr(right, "collation", None)
+            if lc and not rc:
+                right = self._apply_collation(right, lc)
+            elif rc and not lc:
+                left = self._apply_collation(left, rc)
             left, right = self._align_comparison(left, right)
             return B.BoundComparison(e.op, left, right)
         if e.op == "||":

@@ -847,3 +847,58 @@ def _bind_enum_range_boundary(arg_exprs):
     j = vals.index(hi) if hi is not None else len(vals) - 1
     lt = list_of(VARCHAR)
     return lt, _const_column(tuple(vals[i:j + 1]), lt), []
+
+
+@register("range")
+@register("generate_series")
+def _bind_range_list(arg_exprs):
+    """Scalar list-returning range (the FROM-clause table function is
+    resolved separately). Reference: core_functions/scalar/list/range.cpp:
+    range excludes the stop bound, generate_series includes it."""
+    from duckdb_tpu.planner.functions import BindError
+
+    if not all(a.is_const() for a in arg_exprs):
+        raise BindError("scalar range()/generate_series() requires "
+                        "constant arguments")
+    vals = [a.const_value() for a in arg_exprs]
+    if len(vals) == 1:
+        start, stop, step = 0, vals[0], 1
+    elif len(vals) == 2:
+        (start, stop), step = vals, 1
+    else:
+        start, stop, step = vals
+    if step == 0:
+        raise BindError("step of range cannot be 0")
+    inclusive = 1 if step > 0 else -1
+    lt = list_of(BIGINT)
+    entry = tuple(range(int(start), int(stop), int(step)))
+    return lt, _const_column(entry, lt), []
+
+
+def _fix_generate_series():
+    """generate_series includes its stop bound; re-register with that."""
+    base = REGISTRY["range"]
+
+    def binder(arg_exprs):
+        from duckdb_tpu.planner.functions import BindError
+
+        if not all(a.is_const() for a in arg_exprs):
+            raise BindError("scalar generate_series() requires constant "
+                            "arguments")
+        vals = [a.const_value() for a in arg_exprs]
+        if len(vals) == 1:
+            start, stop, step = 0, vals[0], 1
+        elif len(vals) == 2:
+            (start, stop), step = vals, 1
+        else:
+            start, stop, step = vals
+        if step == 0:
+            raise BindError("step of generate_series cannot be 0")
+        end = int(stop) + (1 if step > 0 else -1)
+        lt = list_of(BIGINT)
+        entry = tuple(range(int(start), end, int(step)))
+        return lt, _const_column(entry, lt), []
+    REGISTRY["generate_series"] = binder
+
+
+_fix_generate_series()

@@ -165,6 +165,14 @@ class CastExpr(Expr):
 
 
 @dataclass
+class CollateExpr(Expr):
+    """expr COLLATE name — e.g. NOCASE, NOACCENT, NFC, or dotted chains."""
+
+    child: Expr
+    collation: str
+
+
+@dataclass
 class ExtractExpr(Expr):
     field: str
     child: Expr

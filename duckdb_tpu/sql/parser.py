@@ -945,6 +945,15 @@ class Parser:
             if self.accept_op("::"):
                 tname, mods = self.parse_type_name()
                 e = N.CastExpr(e, tname, mods)
+            elif self.accept_kw("collate"):
+                # expr COLLATE name[.name...] (reference grammar: a_expr
+                # COLLATE any_name, src/parser/transform/expression/)
+                cname = self.expect_ident().lower()
+                while self.peek().value == "." and self.peek(1).type == \
+                        TokType.IDENT:
+                    self.next()
+                    cname += "." + self.expect_ident().lower()
+                e = N.CollateExpr(e, cname)
             elif self.peek().value == "[" and self.peek().type == TokType.OP:
                 # 1-based list index / struct field access (reference grammar:
                 # a_expr indirection in the PEG expression rules)

@@ -91,3 +91,29 @@ def test_uuidv7_timestamp_is_recent(con):
 
     (ts,) = con.sql("SELECT uuid_extract_timestamp(uuidv7())").rows()[0]
     assert ts.year >= 2024
+
+
+def test_collate_comparisons(con):
+    rows = con.sql("SELECT 'a' COLLATE NOCASE = 'A', "
+                   "'hëllo' = 'hello' COLLATE NOACCENT, "
+                   "'MiXeD' COLLATE NOCASE.NOACCENT = 'mïxed'").rows()
+    assert rows == [(True, True, True)]
+
+
+def test_collate_order_by(con):
+    con.sql("CREATE TABLE cs (v VARCHAR)")
+    con.sql("INSERT INTO cs VALUES ('b'), ('A'), ('C'), ('a')")
+    assert con.sql("SELECT v FROM cs ORDER BY v COLLATE NOCASE, v"
+                   ).rows() == [("A",), ("a",), ("b",), ("C",)]
+
+
+def test_collate_unknown_errors(con):
+    with pytest.raises(Exception, match="Collation"):
+        con.sql("SELECT 'x' COLLATE BOGUS = 'x'")
+
+
+def test_scalar_range_generate_series(con):
+    rows = con.sql("SELECT range(3), range(1, 4), range(0, 10, 3), "
+                   "generate_series(1, 3), generate_series(5, 1, -2)").rows()
+    assert rows == [(
+        [0, 1, 2], [1, 2, 3], [0, 3, 6, 9], [1, 2, 3], [5, 3, 1])]
