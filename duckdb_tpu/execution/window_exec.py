@@ -469,11 +469,52 @@ def _frame_bounds(w, env, perm, seg_start, peer_start, plen):
             be = _bound_frame_expr(e_)
             v = be.const_value()
             lt = getattr(be, "ltype", None)
+            if lt is not None and getattr(lt, "id", None) is TypeId.INTERVAL:
+                return ("interval", v)  # (months, days, micros)
             if lt is not None and getattr(lt, "id", None) is TypeId.DECIMAL:
                 v = Decimal(v).scaleb(-lt.scale)  # const_value is scaled int
             if c.ltype.is_float:
                 return float(v)
             return int(Decimal(str(v)) * scale)
+
+        def shift_interval(keys, iv, sign):
+            """Vectorised calendar shift of the order key by ±interval.
+
+            Matches the reference's per-row `order_key - INTERVAL` bound
+            (src/function/window/window_boundaries_state.cpp): exact civil
+            month arithmetic with end-of-month clamping, not 30-day months.
+            `keys` are int64 days (DATE) or micros (TIMESTAMP), possibly
+            negated for DESC — undo the negation, shift, re-negate.
+            """
+            from duckdb_tpu.planner.functions import civil_from_days
+            from duckdb_tpu.planner.functions_ext import _civil_to_days
+
+            mo, dd, us = iv
+            if c.ltype.id not in (TypeId.DATE, TypeId.TIMESTAMP):
+                raise ValueError(
+                    "INTERVAL RANGE offsets require a DATE or TIMESTAMP "
+                    "ORDER BY key")
+            kk2 = -keys if desc else keys
+            is_ts = c.ltype.id is TypeId.TIMESTAMP
+            days = kk2 // 86_400_000_000 if is_ts else kk2
+            tod = kk2 - days * 86_400_000_000 if is_ts else None
+            if mo:
+                y, m, d = civil_from_days(days.astype(jnp.int64))
+                t = (y * 12 + (m - 1)) + sign * mo
+                y2, m2 = t // 12, t % 12 + 1
+                # clamp day to the target month's length
+                mdays = jnp.asarray(
+                    [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+                    dtype=jnp.int64)[m2 - 1]
+                leap = ((y2 % 4 == 0) & ((y2 % 100 != 0) | (y2 % 400 == 0))
+                        ) & (m2 == 2)
+                mdays = mdays + leap.astype(jnp.int64)
+                d2 = jnp.minimum(d, mdays)
+                days = _civil_to_days(y2, m2, d2)
+            days = days + sign * dd
+            out = days * 86_400_000_000 + tod + sign * us if is_ts \
+                else days + sign * (us // 86_400_000_000)
+            return -out if desc else out
 
         # peer-run bounds: the CURRENT ROW frame edge in RANGE mode, and the
         # frame for NULL order keys (all NULLs are mutual peers)
@@ -491,7 +532,11 @@ def _frame_bounds(w, env, perm, seg_start, peer_start, plen):
             if kind == "current":
                 return peer_s if is_lo else peer_e
             n = off(e_)
-            tgt = k - n if kind == "preceding" else k + n
+            if isinstance(n, tuple) and n[0] == "interval":
+                sign = -1 if kind == "preceding" else 1
+                tgt = shift_interval(k, n[1], sign)
+            else:
+                tgt = k - n if kind == "preceding" else k + n
             if is_lo:
                 p = _bisect(k, tgt, start_idx, end_idx + 1, False, plen)
             else:

@@ -149,6 +149,15 @@ class BoundLiteral(BoundExpr):
                 ltype=VARCHAR,
                 dict_values=np.array([self.value], dtype=object),
             )
+        if self.ltype.id is TypeId.INTERVAL and isinstance(
+                self.value, (tuple, list)):
+            # (months, days, micros) → device int64 micros; months use the
+            # reference's 30-day comparison convention
+            # (src/common/types/interval.cpp Interval::GetMicro)
+            mo, dd, us = self.value
+            v = (mo * 30 + dd) * 86_400_000_000 + us
+            return Column(data=_bcast(env, jnp.asarray(v, dtype=jnp.int64)),
+                          ltype=self.ltype)
         return Column(
             data=_bcast(env, jnp.asarray(self.value, dtype=self.ltype.np_dtype)),
             ltype=self.ltype,

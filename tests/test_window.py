@@ -185,3 +185,32 @@ def test_holistic_window_aggregates(con):
                    "(SELECT unnest([1,1,1]) AS g, "
                    "unnest([10,20,40]) AS v)").rows()
     assert math.isclose(rows[0][0], 1400 / 9, rel_tol=1e-12)
+
+
+def test_range_frame_interval_month(con):
+    con.sql("CREATE TABLE ev_iv (d DATE, v INT)")
+    con.sql("INSERT INTO ev_iv VALUES ('2024-01-15', 1), ('2024-02-10', 2), "
+            "('2024-03-05', 4), ('2024-05-01', 8)")
+    r = con.sql(
+        "SELECT d, sum(v) OVER (ORDER BY d RANGE BETWEEN INTERVAL '1' MONTH "
+        "PRECEDING AND CURRENT ROW) FROM ev_iv ORDER BY d").rows()
+    assert [x[1] for x in r] == [1, 3, 6, 8]
+
+
+def test_range_frame_interval_days_both_sides(con):
+    con.sql("CREATE TABLE ev_iv2 (d DATE, v INT)")
+    con.sql("INSERT INTO ev_iv2 VALUES ('2024-01-15', 1), ('2024-02-10', 2), "
+            "('2024-03-05', 4), ('2024-05-01', 8)")
+    r = con.sql(
+        "SELECT d, sum(v) OVER (ORDER BY d RANGE BETWEEN INTERVAL '30' DAY "
+        "PRECEDING AND INTERVAL '30' DAY FOLLOWING) FROM ev_iv2 "
+        "ORDER BY d").rows()
+    assert [x[1] for x in r] == [3, 7, 6, 8]
+
+
+def test_bare_interval_literal_select(con):
+    import datetime
+
+    r = con.sql("SELECT INTERVAL '2' DAY, INTERVAL '90' SECOND").rows()
+    assert r == [(datetime.timedelta(days=2),
+                  datetime.timedelta(seconds=90))]
