@@ -681,6 +681,10 @@ class Connection:
                 entry.constraints.append(("unique", [c.name]))
             if c.check:
                 entry.constraints.append(("check", c.check))
+            if c.references:
+                rt, rc = c.references
+                entry.constraints.append(
+                    ("foreign_key", [c.name], rt, [rc] if rc else []))
         for con_ in getattr(s, "constraints", []):
             if con_[0] == "primary_key":
                 for cn in con_[1]:
@@ -1071,6 +1075,38 @@ class Connection:
                         raise err
                     merged = set(live.tolist())
                 post_append.append((tuple(cols), merged))
+            elif kind == "foreign_key":
+                # INSERT side: every non-NULL child key must exist in the
+                # parent (reference: VerifyAppendForeignKeyConstraint,
+                # src/storage/data_table.cpp — ART probe; here a version-
+                # cached set of parent key strings)
+                cols, rt, rcols = con_[1], con_[2], list(con_[3])
+                parent = self.catalog.tables.get(self._resolve_default(rt))
+                if parent is None:
+                    raise ConnectionException(
+                        f"Catalog Error: referenced table {rt} does not "
+                        "exist")
+                if not rcols:
+                    rcols = next((c[1] for c in parent.constraints
+                                  if c[0] == "primary_key"), None)
+                    if not rcols:
+                        raise ConnectionException(
+                            f"Binder Error: there is no primary key on "
+                            f"referenced table {rt}")
+                new_parts = [new_col_strings(c) for c in cols]
+                nkey = new_parts[0][0]
+                for vs, _ in new_parts[1:]:
+                    nkey = np.char.add(np.char.add(nkey, "\x1f"), vs)
+                nvalid = new_parts[0][1]
+                for _, va in new_parts[1:]:
+                    nvalid = np.logical_and(nvalid, va)
+                pset = self._parent_key_set(parent, rcols)
+                for k in nkey[nvalid].tolist():
+                    if k not in pset:
+                        raise ConnectionException(
+                            "Constraint Error: Violates foreign key "
+                            f"constraint because key \"{k}\" does not exist "
+                            f"in the referenced table \"{rt}\"")
             elif kind == "check":
                 self._verify_check(entry, new_cols, n_new, con_[1])
         if post_append:
@@ -1081,6 +1117,48 @@ class Connection:
                     store[cols_t] = {"version": v, "set": merged}
             return advance_indexes
         return None
+
+    def _parent_key_set(self, parent, rcols):
+        """Version-cached set of a parent table's live key strings (the FK
+        analog of the _uniq_indexes ART stand-in)."""
+        store = parent.__dict__.setdefault("_fk_key_sets", {})
+        cached = store.get(tuple(rcols))
+        v = getattr(parent, "version", 0)
+        if cached is not None and cached["version"] == v:
+            return cached["set"]
+        parts = []
+        for cn in rcols:
+            vals, valid, dvals = parent.host_column(cn)
+            s = (dvals[vals].astype(str) if dvals is not None and len(vals)
+                 else vals.astype(str))
+            va = valid if valid is not None else np.ones(len(vals), bool)
+            parts.append((s, va))
+        key = parts[0][0]
+        for s, _ in parts[1:]:
+            key = np.char.add(np.char.add(key, "\x1f"), s)
+        av = parts[0][1]
+        for _, va in parts[1:]:
+            av = np.logical_and(av, va)
+        pset = set(key[av].tolist())
+        store[tuple(rcols)] = {"version": v, "set": pset}
+        return pset
+
+    def _fk_children_of(self, table_key):
+        """All (child_entry, child_cols, ref_cols) FKs referencing table_key."""
+        out = []
+        for name, child in self.catalog.tables.items():
+            for con_ in getattr(child, "constraints", []):
+                if con_[0] != "foreign_key":
+                    continue
+                if self._resolve_default(con_[2]) != table_key:
+                    continue
+                rcols = list(con_[3])
+                if not rcols:
+                    parent = self.catalog.tables.get(table_key)
+                    rcols = next((c[1] for c in parent.constraints
+                                  if c[0] == "primary_key"), None) or []
+                out.append((child, con_[1], rcols))
+        return out
 
     def _verify_check(self, entry, new_cols, n_new, check_sql):
         """Run the CHECK expression over the staged rows through the normal
@@ -1149,6 +1227,43 @@ class Connection:
         self._check_writable(s.table)
         entry, _, _, _, mask = self._table_mask(s.table, s.alias, s.where)
         keep = ~mask
+        # DELETE side of FK enforcement: a removed parent key must not stay
+        # referenced by any child row (reference: VerifyDeleteForeignKey
+        # Constraint, src/storage/data_table.cpp)
+        for child, ccols, rcols in self._fk_children_of(s.table):
+            if not rcols or not int(mask.sum()):
+                continue
+            parts = []
+            for cn in rcols:
+                vals, valid, dvals = entry.host_column(cn)
+                sv = (dvals[vals].astype(str) if dvals is not None
+                      and len(vals) else vals.astype(str))
+                parts.append(sv)
+            key = parts[0]
+            for sv in parts[1:]:
+                key = np.char.add(np.char.add(key, "\x1f"), sv)
+            gone = set(key[mask].tolist()) - set(key[keep].tolist())
+            if not gone:
+                continue
+            cparts = []
+            for cn in ccols:
+                vals, valid, dvals = child.host_column(cn)
+                sv = (dvals[vals].astype(str) if dvals is not None
+                      and len(vals) else vals.astype(str))
+                va = valid if valid is not None else np.ones(len(vals), bool)
+                cparts.append((sv, va))
+            ckey = cparts[0][0]
+            for sv, _ in cparts[1:]:
+                ckey = np.char.add(np.char.add(ckey, "\x1f"), sv)
+            cva = cparts[0][1]
+            for _, va in cparts[1:]:
+                cva = np.logical_and(cva, va)
+            for k in ckey[cva].tolist():
+                if k in gone:
+                    raise ConnectionException(
+                        "Constraint Error: Violates foreign key constraint "
+                        f"because key \"{k}\" is still referenced by a "
+                        f"foreign key in table \"{child.name}\"")
         for cd in entry.columns:
             vals, valid, dvals = entry.host_column(cd.name)
             entry.set_host_column(cd.name, vals[keep],

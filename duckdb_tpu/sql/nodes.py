@@ -289,6 +289,7 @@ class ColumnSpec:
     default: Optional[Expr] = None
     unique: bool = False
     check: Optional[str] = None  # original SQL text of the CHECK expression
+    references: Optional[tuple] = None  # (ref_table, ref_col|None)
 
 
 @dataclass

@@ -1365,11 +1365,12 @@ class Parser:
                         elif self.accept_kw("check"):
                             spec.check = self._parse_check_text()
                         elif self.accept_kw("references"):
-                            # parsed for surface parity; FK not enforced yet
-                            self.expect_ident()
+                            rt = self.parse_qualified_ident()
+                            rc = None
                             if self.accept_op("("):
-                                self.expect_ident()
+                                rc = self.expect_ident()
                                 self.expect_op(")")
+                            spec.references = (rt, rc)
                         else:
                             break
                     cols.append(spec)
@@ -1479,15 +1480,16 @@ class Parser:
         if self.accept_kw("check"):
             return [("check", self._parse_check_text())]
         if self.accept_kw("foreign", "key"):
-            self._parse_ident_list()
+            cols = self._parse_ident_list()
             self.expect_kw("references")
-            self.expect_ident()
+            ref_table = self.parse_qualified_ident()
+            ref_cols = []
             if self.accept_op("("):
-                self.expect_ident()
+                ref_cols.append(self.expect_ident())
                 while self.accept_op(","):
-                    self.expect_ident()
+                    ref_cols.append(self.expect_ident())
                 self.expect_op(")")
-            return []  # FK parsed, not enforced yet
+            return [("foreign_key", cols, ref_table, ref_cols)]
         raise ParserError(f"unsupported constraint near {self.peek().value!r}")
 
     def _parse_ident_list(self):

@@ -59,7 +59,10 @@ def test_table_level_composite(con):
 def test_foreign_key_parses(con):
     con.sql("CREATE TABLE c3 (x INT REFERENCES p (id), "
             "FOREIGN KEY (x) REFERENCES p (id))")
-    con.sql("INSERT INTO c3 VALUES (99)")  # FK not enforced yet
+    # FK is enforced now (see test_foreign_keys.py): 99 is absent from p
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="foreign key"):
+        con.sql("INSERT INTO c3 VALUES (99)")
 
 
 def test_constraints_survive_reopen(tmp_path):
