@@ -55,14 +55,23 @@ def ensure_data():
                    stdout=subprocess.DEVNULL)
 
 
-def timed(con, sql, runs=5):
-    con.sql(sql)  # warmup: compile
+def timed(con, sql, runs=5, warmups=1):
+    for _ in range(warmups):
+        con.sql(sql)  # warmup: compile (first run also populates plan cache)
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
         con.sql(sql)
         times.append(time.perf_counter() - t0)
     return statistics.median(times)
+
+
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+_T_START = time.time()
+
+
+def _remaining():
+    return BUDGET_S - (time.time() - _T_START)
 
 
 def main():
@@ -89,8 +98,13 @@ def main():
         path = os.path.join(REF_QUERIES, f"{q}.sql")
         if not os.path.exists(path):
             continue
+        if _remaining() < 60:
+            # out of wall budget: report partial results rather than risk the
+            # driver's timeout swallowing the headline JSON line
+            secondary[f"{q}_sf{SF:g}_skipped"] = "budget"
+            continue
         try:
-            t = timed(con, open(path).read(), runs=3)
+            t = timed(con, open(path).read(), runs=2, warmups=2)
         except Exception as e:  # noqa: BLE001
             secondary[f"{q}_sf{SF:g}_error"] = type(e).__name__
             continue

@@ -19,7 +19,9 @@ try:
     _cache_dir = _os.path.expanduser("~/.cache/duckdb_tpu_xla")
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # persist every program: sub-0.5s compiles (most per-stage operator
+    # programs) otherwise recompile in every fresh process
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 except Exception:  # noqa: BLE001 — cache is best-effort
     pass
 
