@@ -91,13 +91,12 @@ def _execute_aggregate(executor, child, node: P.Aggregate,
     # pre-group probe sync; on overflow the aggregate re-runs at the exact
     # (now-known) size. Reference analog: only selected rows are sunk into
     # the aggregate hash table (src/execution/aggregate_hashtable.cpp).
-    n_live_dev = None
-    cap = None
     if allow_compact and node.groups and plen > (1 << 16):
         # cap sizing: plans are cached across executions, so the live count
         # observed on the previous run of THIS node is the best estimate
         # (warmup run learns, steady-state runs compact exactly); first run
-        # guesses 1/8 of the block
+        # guesses 1/8 of the block. The exact count rides the final result
+        # transfer (executor.defer_scalar) — overflow re-runs the plan.
         learned = getattr(node, "_last_n_live", None)
         if learned is not None:
             cap = max(1 << 15, pad_bucket(int(learned * 5 // 4) + 1))
@@ -105,13 +104,17 @@ def _execute_aggregate(executor, child, node: P.Aggregate,
             cap = max(1 << 15, pad_bucket(plen >> 3))
         if cap < plen:
             n_live_dev = jnp.sum(child.live)
+
+            def _learn_live(v, node=node, cap=cap):
+                node._last_n_live = int(v)
+                return int(v) > cap  # truncated → rerun at the exact size
+
+            executor.defer_scalar(n_live_dev, _learn_live)
             idx, live2 = compact_indices(child.live, cap)
             child = Batch(src=gather_source(child.src, idx), plen=cap,
                           live=live2)
             plen = cap
             live = live2
-        else:
-            cap = None
     env = child.env()
 
     # evaluate group keys
@@ -143,19 +146,18 @@ def _execute_aggregate(executor, child, node: P.Aggregate,
         [(e.eval(env), desc, nf) for e, desc, nf in
          getattr(agg, "order_by", [])] for agg in node.aggs]
 
-    # ---- one batched device→host sync for every scalar this path needs:
-    # compaction-overflow count + per-key (any, min, max) probes for keys
-    # without static bounds. Separate int()/bool() pulls each pay the
-    # runtime's full round-trip latency (measured ~0.1-0.4 s apiece on the
-    # tunneled TPU); batching them is the difference between 1 and ~8 trips.
-    key_bounds: List[Optional[Tuple[int, int, bool]]] = []
-    probes: List[jnp.ndarray] = [n_live_dev] if n_live_dev is not None else []
-    probe_slots: List[int] = []
-    for (gkey, expr), c, kd, kv in zip(node.groups, key_cols, key_data,
-                                       key_valid):
+    # ---- group-key bounds WITHOUT device syncs: static stats where known;
+    # otherwise LEARNED across runs with an in-trace violation check riding
+    # the final result transfer (executor.defer_scalar, rerun if wrong).
+    # First-run unknown bounds force the sort-group strategy (needs no
+    # bounds) while min/max probes learn them for next time.
+    key_bounds: List[Optional[Tuple[int, int]]] = []
+    learned_bounds = node.__dict__.setdefault("_learned_key_bounds", {})
+    for i, ((gkey, expr), c, kd, kv) in enumerate(
+            zip(node.groups, key_cols, key_data, key_valid)):
         static = None
         if c.ltype.id is TypeId.VARCHAR and c.dict_values is not None:
-            static = (0, max(0, len(c.dict_values) - 1), True)
+            static = (0, max(0, len(c.dict_values) - 1))
         elif not c.ltype.is_float:  # float keys are orderably BITCAST in
             # _key_data; value-space stats don't map to the encoding
             from duckdb_tpu.planner.bound import BoundColumnRef
@@ -163,50 +165,50 @@ def _execute_aggregate(executor, child, node: P.Aggregate,
             if isinstance(expr, BoundColumnRef):
                 rng = child.src.stats_range(expr.key)
                 if rng is not None:
-                    static = (int(rng[0]), int(rng[1]), True)
-        key_bounds.append(static)
-        if static is None:
-            m = jnp.logical_and(live, kv)
-            probe_slots.append(len(probes))
-            probes.extend([jnp.any(m),
-                           jnp.min(jnp.where(m, kd, _I64_MAX)),
-                           jnp.max(jnp.where(m, kd, _I64_MIN))])
-    if probes:
-        host_probes = jax.device_get(tuple(probes))
-        if n_live_dev is not None:
-            n_live = int(host_probes[0])
-            node._last_n_live = n_live
-            if n_live > cap:
-                # speculation overflowed (nonzero truncated): re-run at the
-                # exact now-known size, still compacted when that helps
-                if n_live * 2 < orig_child.plen:
-                    cap2 = max(128, pad_bucket(n_live))
-                    idx2, live3 = compact_indices(orig_child.live, cap2)
-                    child2 = Batch(src=gather_source(orig_child.src, idx2),
-                                   plen=cap2, live=live3)
-                else:
-                    child2 = orig_child
-                return _execute_aggregate(executor, child2, node,
-                                          allow_compact=False)
-        it = iter(probe_slots)
-        for i, static in enumerate(key_bounds):
-            if static is None:
-                s = next(it)
-                key_bounds[i] = (int(host_probes[s + 1]),
-                                 int(host_probes[s + 2]),
-                                 bool(host_probes[s]))
+                    static = (int(rng[0]), int(rng[1]))
+        if static is not None:
+            key_bounds.append(static)
+            continue
+        m = jnp.logical_and(live, kv)
+        probe = jnp.stack([
+            jnp.any(m).astype(jnp.int64),
+            jnp.min(jnp.where(m, kd, _I64_MAX)),
+            jnp.max(jnp.where(m, kd, _I64_MIN))])
+        lb = learned_bounds.get(i)
+        if lb is not None:
+            lo, hi = lb
+
+            def _verify(v, node=node, i=i, lo=lo, hi=hi):
+                any_v, mn, mx = int(v[0]), int(v[1]), int(v[2])
+                if not any_v:
+                    return False
+                if mn < lo or mx > hi:
+                    node._learned_key_bounds[i] = (min(lo, mn), max(hi, mx))
+                    return True  # perfect-path groups were clipped → rerun
+                return False
+
+            executor.defer_scalar(probe, _verify)
+            key_bounds.append((lo, hi))
+        else:
+            def _learn(v, node=node, i=i):
+                if int(v[0]):
+                    node._learned_key_bounds[i] = (int(v[1]), int(v[2]))
+                return False
+
+            executor.defer_scalar(probe, _learn)
+            key_bounds.append(None)  # unknown this run → sort-group
 
     if node.groups:
-        gids, n_groups, rep_cols = _group(
-            key_cols, key_data, key_valid, live, plen, node, key_bounds
-        )
+        gids, n_groups, rep_cols, out_plen = _group(
+            executor, key_cols, key_data, key_valid, live, plen, node,
+            key_bounds)
     else:
         gids = jnp.where(live, 0, 1)
         n_groups = 1
         rep_cols = []
+        out_plen = 128
 
-    out_plen = max(128, pad_bucket(max(1, n_groups)))
-    nseg = n_groups + 1  # trash slot for dead rows
+    nseg = out_plen + 1  # trash slot (static) for dead rows
 
     cols = {}
     for (gkey, _), rep in zip(node.groups, rep_cols):
@@ -238,36 +240,60 @@ def _pad_col(c: Column, n: int, out_plen: int) -> Column:
                   data_hi=fix(c.data_hi) if c.data_hi is not None else None)
 
 
-def _group(key_cols, key_data, key_valid, live, plen, node, key_bounds):
-    """→ (gids (P,), n_groups int, representative key Columns (n_groups,)).
+def _group(executor, key_cols, key_data, key_valid, live, plen, node,
+           key_bounds):
+    """→ (gids (P,), n_groups device scalar, rep Columns (out_cap,), out_cap).
 
-    key_bounds: per-key (lo, hi, any_valid) — from static stats or the
-    caller's single batched sync; this function performs no device syncs
-    of its own before choosing a strategy."""
+    key_bounds: per-key (lo, hi) — static stats or learned — or None
+    (unknown this run → sort-group). gids are dense ids in [0, n_groups)
+    with the STATIC trash slot out_cap for dead rows; no device syncs —
+    the group count is a device scalar verified via executor.defer_scalar
+    against the speculative out_cap (rerun on overflow).
+    """
     domains = []
     mins = []
-    perfect = True
-    for lo, hi, any_valid in key_bounds:
-        if not any_valid:
-            mins.append(0)
-            domains.append(2)
-            continue
-        mins.append(lo)
-        domains.append(hi - lo + 2)  # +1 slot for NULL
-    total = 1
-    for d in domains:
-        total *= d
-        if total > PERFECT_LIMIT:
-            perfect = False
-            break
+    perfect = not any(b is None for b in key_bounds)
+    if perfect:
+        for lo, hi in key_bounds:
+            mins.append(lo)
+            domains.append(hi - lo + 2)  # +1 slot for NULL
+        total = 1
+        for d in domains:
+            total *= d
+            if total > PERFECT_LIMIT:
+                perfect = False
+                break
+
+    # speculative output capacity (≥ group count), learned across runs
+    learned = getattr(node, "_last_n_groups", None)
+    if perfect:
+        bound = total
+        if learned is None and total > (1 << 18):
+            bound = min(total, plen)  # can't exceed live rows either
+    else:
+        bound = plen
+    if learned is not None:
+        bound = min(bound, int(learned * 5 // 4) + 1)
+    out_cap = max(128, pad_bucket(min(bound, plen)))
 
     if perfect:
-        return _perfect_group(key_cols, key_data, key_valid, live, plen, mins,
-                              domains)
-    return _sort_group(key_cols, key_data, key_valid, live, plen)
+        gids, n_groups, reps = _perfect_group(key_cols, key_data, key_valid,
+                                              live, plen, mins, domains,
+                                              out_cap)
+    else:
+        gids, n_groups, reps = _sort_group(key_cols, key_data, key_valid,
+                                           live, plen, out_cap)
+
+    def _learn_groups(v, node=node, out_cap=out_cap):
+        node._last_n_groups = int(v)
+        return int(v) > out_cap  # speculation truncated group ids → rerun
+
+    executor.defer_scalar(n_groups, _learn_groups)
+    return gids, n_groups, reps, out_cap
 
 
-def _perfect_group(key_cols, key_data, key_valid, live, plen, mins, domains):
+def _perfect_group(key_cols, key_data, key_valid, live, plen, mins, domains,
+                   out_cap):
     dense = jnp.zeros((plen,), jnp.int64)
     for kd, kv, lo, dom in zip(key_data, key_valid, mins, domains):
         off = jnp.where(kv, jnp.clip(kd - lo + 1, 0, dom - 1), 0)
@@ -276,37 +302,36 @@ def _perfect_group(key_cols, key_data, key_valid, live, plen, mins, domains):
     for d in domains:
         total *= d
     dense = jnp.where(live, dense, total)  # trash slot
-    # count occupancy, compact to dense group ids
+    # occupancy → compact dense slots to group ids, all on device
     occ = _seg_sum(live.astype(jnp.int32), dense.astype(jnp.int32),
-                              num_segments=total + 1)[:total]
-    n_groups = int(jnp.sum(occ > 0))
-    slot_idx, _ = compact_indices(occ > 0, max(1, pad_bucket(n_groups)))
-    # remap: dense slot → group id
-    remap = jnp.full((total + 1,), n_groups, jnp.int32)
-    remap = remap.at[slot_idx[:max(1, n_groups)]].set(
-        jnp.arange(max(1, n_groups), dtype=jnp.int32)[: max(1, n_groups)]
-    )
-    # guard: if n_groups == 0 the scatter above wrote garbage into slot 0 —
-    # but with zero live rows every gid routes to the trash slot anyway.
+                   num_segments=total + 1)[:total]
+    n_groups = jnp.sum(occ > 0)
+    slot_idx, slot_live = compact_indices(occ > 0, out_cap)
+    # remap: dense slot → group id (padding slots route to the spare slot
+    # `total`, which is then reset to the trash gid)
+    dest = jnp.where(slot_live, slot_idx, total)
+    remap = jnp.full((total + 1,), out_cap, jnp.int32).at[dest].set(
+        jnp.arange(out_cap, dtype=jnp.int32), mode="drop")
+    remap = remap.at[total].set(out_cap)
     gids = remap[dense]
-    # decode representative key values from the dense slot id
-    reps = []
-    slots = slot_idx[: max(1, n_groups)].astype(jnp.int64)
+    # decode representative key values from the compacted dense slot ids
+    slots = slot_idx.astype(jnp.int64)
     stride = 1
     strides = []
     for dom in reversed(domains):
         strides.append(stride)
         stride *= dom
     strides = list(reversed(strides))
+    reps = []
     for c, lo, dom, st in zip(key_cols, mins, domains, strides):
         comp = (slots // jnp.int64(st)) % jnp.int64(dom)
-        validity = comp > 0
+        validity = jnp.logical_and(comp > 0, slot_live)
         vals = comp - 1 + jnp.int64(lo)
         reps.append(_decode_rep(c, vals, validity))
     return gids, n_groups, reps
 
 
-def _sort_group(key_cols, key_data, key_valid, live, plen):
+def _sort_group(key_cols, key_data, key_valid, live, plen, out_cap):
     # sort by (dead, valid_0, key_0, valid_1, key_1, ...)
     iota = jnp.arange(plen, dtype=jnp.int32)
     operands = [jnp.logical_not(live)]
@@ -325,17 +350,16 @@ def _sort_group(key_cols, key_data, key_valid, live, plen):
     change = jnp.logical_and(change, jnp.logical_not(dead_s))
     change = change.at[0].set(jnp.logical_not(dead_s[0]))
     gid_sorted = jnp.cumsum(change.astype(jnp.int32)) - 1
-    n_groups = int(gid_sorted[-1]) + 1
-    if bool(dead_s[0]):
-        n_groups = 0
-    gid_sorted = jnp.where(dead_s, n_groups, gid_sorted)
+    n_groups = gid_sorted[-1] + 1  # device scalar (dead rows sort last,
+    # so the final cumsum value counts live groups; 0 live rows → 0)
+    gid_sorted = jnp.where(dead_s, out_cap, gid_sorted)
     # scatter back to original row order
     gids = jnp.zeros((plen,), jnp.int32).at[perm].set(gid_sorted)
     # representative row index per group = first sorted position
     first_pos = jax.ops.segment_min(
         jnp.arange(plen, dtype=jnp.int32), gid_sorted,
-        num_segments=n_groups + 1, indices_are_sorted=True,
-    )[: max(1, n_groups)]
+        num_segments=out_cap + 1, indices_are_sorted=False,
+    )[:out_cap]
     rep_rows = perm[jnp.clip(first_pos, 0, plen - 1)]
     reps = []
     for c in key_cols:
@@ -638,7 +662,7 @@ def _compute_agg(agg: BoundAggregate, inp, gids, nseg, live, plen, key_data,
             counts.setdefault(g, {})
             counts[g][v] = counts[g].get(v, 0) + 1
         entries = [tuple(sorted(counts.get(g, {}).items()))
-                   for g in range(n_groups)]
+                   for g in range(int(n_groups))]  # host finalize: sync ok
         codes, dvals = encode_objects(entries)
         return Column(data=jnp.asarray(codes), ltype=agg.ltype,
                       validity=nonempty, dict_values=dvals)
@@ -684,7 +708,7 @@ def _compute_agg(agg: BoundAggregate, inp, gids, nseg, live, plen, key_data,
         if agg.distinct:  # list(DISTINCT x): first-seen order; one NULL kept
             for g in parts:
                 parts[g] = list(dict.fromkeys(parts[g]))
-        entries = [tuple(parts.get(g, [])) for g in range(n_groups)]
+        entries = [tuple(parts.get(g, [])) for g in range(int(n_groups))]
         codes, dvals = encode_objects(entries)
         grp_live = _seg_sum(live.astype(jnp.int64), gids,
                                        num_segments=nseg)[:-1] > 0
@@ -726,7 +750,7 @@ def _compute_agg(agg: BoundAggregate, inp, gids, nseg, live, plen, key_data,
                 break
             parts.setdefault(int(h_gid[i]), []).append(
                 str(c.dict_values[h_codes[i]]))
-        strs = [sep.join(parts.get(g, [])) for g in range(n_groups)]
+        strs = [sep.join(parts.get(g, [])) for g in range(int(n_groups))]
         uniq, codes = (np.unique(np.array(strs, dtype=str),
                                  return_inverse=True)
                        if strs else (np.empty(0, object),

@@ -294,6 +294,7 @@ class Result:
 class Executor:
     def __init__(self, catalog: Catalog, scalar_sub_results: Optional[dict] = None):
         self.catalog = catalog
+        self._deferred = []
 
     def _get_table(self, name: str):
         """Table resolution with per-run overrides — the out-of-core driver
@@ -303,6 +304,26 @@ class Executor:
             return ov[name]
         return self.catalog.get_table(name)
 
+    # -- deferred scalars ------------------------------------------------------
+    # Speculative sizing (compaction caps, group counts, key bounds) is
+    # LEARNED across runs instead of host-synced mid-query: the device scalar
+    # rides the final result transfer, a callback records the exact value on
+    # the plan node, and if speculation was wrong the whole plan re-runs with
+    # the now-known size. Mid-query int()/bool() pulls serialize the async
+    # dispatch queue (~80 ms apiece on the tunneled v5e — see PERF.md); the
+    # steady state here is ZERO host syncs before the result transfer.
+    def defer_scalar(self, dev_scalar, callback):
+        """callback(host_value) -> True to request a plan re-run."""
+        self._deferred.append((dev_scalar, callback))
+
+    def _process_deferred(self, host_vals) -> bool:
+        rerun = False
+        for (_, cb), v in zip(self._deferred, host_vals):
+            if cb(v):
+                rerun = True
+        self._deferred = []
+        return rerun
+
     # -- entry ---------------------------------------------------------------
     def run(self, plan: P.PlanNode, output: List[Tuple[str, str, LogicalType]]) -> Result:
         if not getattr(self, "_in_chunked", False):
@@ -310,13 +331,23 @@ class Executor:
             res = try_chunked(self, plan, output)
             if res is not None:
                 return res
+        for _attempt in range(4):
+            res, rerun = self._run_attempt(plan, output)
+            if not rerun:
+                return res
+        res, _ = self._run_attempt(plan, output)
+        return res
+
+    def _run_attempt(self, plan, output) -> Tuple[Result, bool]:
         # per-run plan-node memo: the fused-tail attempt may execute a
         # subtree and then fall back, and DAG plans share subtrees — never
         # execute the same node twice in one run
         self._batch_memo = {}
+        self._deferred = []
         res = self._run_fused_tail(plan, output)
         if res is not None:
-            return res
+            res, host_deferred = res
+            return res, self._process_deferred(host_deferred)
         batch = self.execute(plan)
         n = batch.count_live()
         idx, _ = compact_indices(batch.live, max(1, pad_bucket(n)))
@@ -325,7 +356,9 @@ class Executor:
                    c.data_hi[idx][:n] if c.data_hi is not None else None,
                    _full_valid(c, batch.plen)[idx][:n] if c.validity is not None
                    else None) for c in cols]
-        host = jax.device_get(device)
+        host, host_deferred = jax.device_get(
+            (device, tuple(d for d, _ in self._deferred)))
+        rerun = self._process_deferred(host_deferred)
         columns = []
         for (d, dh, v), c in zip(host, cols):
             if dh is not None:
@@ -335,7 +368,8 @@ class Executor:
                 d = np.array(d, dtype=object)
             columns.append((d, v, c.dict_values))
         return Result(names=[n_ for n_, _, _ in output],
-                      types=[t for _, _, t in output], columns=columns, nrows=n)
+                      types=[t for _, _, t in output], columns=columns,
+                      nrows=n), rerun
 
     def _run_fused_tail(self, plan, output) -> Optional[Result]:
         """Fuse Limit?(Order?(Project(X))) + result materialization into one
@@ -368,9 +402,6 @@ class Executor:
                 fa = build_fused_agg(self, child)
             except (KeyError, B.BindError):
                 fa = None
-            if fa is not None and any(getattr(a, "_wide", False)
-                                      for a in child.aggs):
-                fa = None  # wide sums need the hi-plane-aware eager tail
             if fa is not None and fa.total > (1 << 20):
                 fa = None  # sorting the full dense domain would dominate
             if fa is not None:
@@ -384,19 +415,48 @@ class Executor:
         else:
             batch = self.execute(child)
             inner_plen = batch.plen
-            # wide (>int64) columns carry a hi plane the packed tail would
-            # drop — run the eager path instead
-            for _, e in proj.items:
-                for nn in B.walk(e):
-                    if isinstance(nn, (B.BoundColumnRef, B.BoundAggregateRef)):
-                        try:
-                            if batch.src[nn.key].data_hi is not None:
-                                return None
-                        except KeyError:
-                            pass
 
         overlay = dict(proj.items)
         out_keys = [key for _, key, _ in output]
+
+        # wide (>int64) values carry a (lo, hi) plane pair; the packed tail
+        # supports them for DIRECT output refs (two imat rows recombined
+        # host-side). A wide plane feeding a computed expression or an
+        # ORDER BY key falls back to the eager path.
+        if fa is not None:
+            wide_src = {a.key for a in child.aggs
+                        if getattr(a, "_wide", False)}
+
+            def _is_wide(k):
+                return k in wide_src
+        else:
+            def _is_wide(k):
+                try:
+                    return batch.src[k].data_hi is not None
+                except KeyError:
+                    return False
+
+        wide_flags = []
+        for _, key, _ in output:
+            e = overlay.get(key)
+            if e is None:
+                wide_flags.append(_is_wide(key))
+            elif isinstance(e, (B.BoundColumnRef, B.BoundAggregateRef)):
+                wide_flags.append(_is_wide(e.key))
+            else:
+                for nn in B.walk(e):
+                    if isinstance(nn, (B.BoundColumnRef,
+                                       B.BoundAggregateRef)) \
+                            and _is_wide(nn.key):
+                        return None  # computed expr over a wide plane
+                wide_flags.append(False)
+        if order_node is not None:
+            for e, _, _ in order_node.items:
+                for nn in B.walk(e):
+                    if isinstance(nn, (B.BoundColumnRef,
+                                       B.BoundAggregateRef)) \
+                            and _is_wide(nn.key):
+                        return None  # ordering by a wide plane: eager path
         exprs = [e for _, e in proj.items]
         if order_node:
             exprs = exprs + [it[0] for it in order_node.items]
@@ -447,10 +507,18 @@ class Executor:
             # of column count — tunnel-latency resilience. (No bitcasts: the
             # TPU x64-emulation pass cannot rewrite f64<->s64 bitcasts.)
             ints, floats, valids = [], [], []
-            for k in out_keys:
+            for k, wf in zip(out_keys, wide_flags):
                 c = out_cols[k]
                 data = jnp.broadcast_to(c.data, (plen2,))[rows]
-                if jnp.issubdtype(data.dtype, jnp.floating):
+                if wf:
+                    # wide value: (lo, hi) pair as two imat rows; a column
+                    # that turned out narrow sign-extends into the hi row
+                    ints.append(data.astype(jnp.int64))
+                    hi = (jnp.broadcast_to(c.data_hi, (plen2,))[rows]
+                          if c.data_hi is not None
+                          else data.astype(jnp.int64) >> 63)
+                    ints.append(hi.astype(jnp.int64))
+                elif jnp.issubdtype(data.dtype, jnp.floating):
                     floats.append(data.astype(jnp.float64))
                 else:
                     ints.append(data.astype(jnp.int64))
@@ -479,8 +547,8 @@ class Executor:
                 jax.errors.ConcretizationTypeError,
                 jax.errors.TracerArrayConversionError):
             return None  # host-only function somewhere: general path
-        host_ints, host_floats, host_valids = jax.device_get(
-            (imat, fmat, valids))
+        (host_ints, host_floats, host_valids), host_deferred = jax.device_get(
+            ((imat, fmat, valids), tuple(d for d, _ in self._deferred)))
         n = int(host_ints[-1][0])
         host_ints = host_ints[:-1]
         columns = []
@@ -501,7 +569,12 @@ class Executor:
                 else:
                     dvals = (overlay[key].eval(meta_env).dict_values
                              if key in overlay else None)
-            if t.is_float:
+            if wide_flags[i]:
+                lo, hi = host_ints[ii][:n], host_ints[ii + 1][:n]
+                ii += 2
+                d = np.array([int(h) * (1 << 64) + (int(l) & ((1 << 64) - 1))
+                              for h, l in zip(hi, lo)], dtype=object)
+            elif t.is_float:
                 d = host_floats[fi][:n]
                 fi += 1
             else:
@@ -510,7 +583,8 @@ class Executor:
             v = host_valids[i][:n]
             columns.append((d, None if v.all() else v, dvals))
         return Result(names=[n_ for n_, _, _ in output],
-                      types=[t for _, _, t in output], columns=columns, nrows=n)
+                      types=[t for _, _, t in output], columns=columns,
+                      nrows=n), host_deferred
 
     def execute(self, node: P.PlanNode) -> Batch:
         memo = getattr(self, "_batch_memo", None)
@@ -1366,13 +1440,24 @@ class Executor:
                 k = S.orderable_int64(data, validity, desc, nulls_first)
             norm.append(k)
         perm = S.sort_permutation(norm, b.live)
-        n = b.count_live()
         src = GatherCols(b.src, perm)
-        live = jnp.arange(b.plen) < n
+        # live count stays a device scalar — no host sync
+        live = jnp.arange(b.plen) < jnp.sum(b.live)
         return Batch(src=src, plen=b.plen, live=live)
 
     def _exec_Limit(self, node: P.Limit) -> Batch:
         b = self.execute(node.child)
+        if node.n is not None:
+            # static capacity from the literal limit — no host sync
+            lo = node.offset
+            cap = max(128, pad_bucket(min(b.plen, lo + node.n)))
+            idx, _ = compact_indices(b.live, min(b.plen, max(1, cap)))
+            n_dev = jnp.sum(b.live)
+            out = jnp.clip(n_dev - lo, 0, node.n)
+            pos = jnp.arange(cap)
+            rows = idx[jnp.clip(pos + lo, 0, idx.shape[0] - 1)]
+            return Batch(src=GatherCols(b.src, rows), plen=cap,
+                         live=pos < out)
         n = b.count_live()
         idx, _ = compact_indices(b.live, max(1, pad_bucket(n)))
         lo = min(node.offset, n)

@@ -534,8 +534,20 @@ def try_fused_aggregate(executor, node: P.Aggregate):
 
         occ, flat = run_jitted(node, "agg", fa.base_batch, keyrefs, jit_body)
     names = sorted(fa.out_types)
-    n_groups = int(jnp.sum(occ > 0))
-    out_plen = max(128, pad_bucket(max(1, n_groups)))
+    # group count stays a DEVICE scalar: capacity is learned across runs and
+    # verified via the deferred-scalar channel (rerun on overflow) — no
+    # mid-query host sync (see executor.defer_scalar)
+    n_groups = jnp.sum(occ > 0)
+    learned = getattr(node, "_last_n_groups", None)
+    bound = fa.total if learned is None else min(fa.total,
+                                                 int(learned * 5 // 4) + 1)
+    out_plen = max(128, pad_bucket(min(bound, fa.base_batch.plen)))
+
+    def _learn_groups(v, node=node, out_plen=out_plen):
+        node._last_n_groups = int(v)
+        return int(v) > out_plen
+
+    executor.defer_scalar(n_groups, _learn_groups)
     slot_idx, _ = compact_indices(occ > 0, out_plen)
     out_live = jnp.arange(out_plen) < n_groups
     cols = {}

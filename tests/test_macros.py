@@ -5,6 +5,7 @@ substitutes argument parse trees), src/function/table_macro_function.cpp,
 test/sql/function/generic/test_macros.test.
 """
 
+import os
 import subprocess
 
 import pytest
@@ -107,6 +108,7 @@ def test_macro_persistence(tmp_path):
     assert len(con2.sql("SELECT * FROM nums(3)").rows()) == 3
 
 
+@pytest.mark.skipif(not os.path.exists(REF), reason="no reference binary")
 def test_differential_vs_reference(con):
     """Same macro program on the reference binary must agree."""
     sql = ("CREATE MACRO weighted(a, b, w := 2) AS a + w * b; "
