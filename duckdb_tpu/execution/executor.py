@@ -534,19 +534,24 @@ class Executor:
 
         def body(env):
             if fa is not None:
-                agg_cols, occ = fa.body(env)
+                agg_cols, occ, extras = fa.body(env)
                 env2 = TraceEnv(agg_cols, fa.total, occ > 0, overlay=overlay)
-                return tail(env2)
-            return tail(env)
+                return tail(env2) + (extras,)
+            return tail(env) + ((),)
 
         try:
-            imat, fmat, valids = run_jitted(
+            imat, fmat, valids, extras = run_jitted(
                 proj, "tail", batch, in_exprs, body,
-                overlay=None if fa is not None else overlay)
+                overlay=None if fa is not None else overlay,
+                aux=fa.aux if fa is not None else None,
+                variant=fa.variant if fa is not None else ())
         except (KeyError, B.BindError,
                 jax.errors.ConcretizationTypeError,
                 jax.errors.TracerArrayConversionError):
             return None  # host-only function somewhere: general path
+        if fa is not None:
+            for e, cb in zip(extras, fa.extras_cb):
+                self.defer_scalar(e, cb)
         (host_ints, host_floats, host_valids), host_deferred = jax.device_get(
             ((imat, fmat, valids), tuple(d for d, _ in self._deferred)))
         n = int(host_ints[-1][0])
@@ -751,40 +756,44 @@ class Executor:
                                  probe_live, build_live)
 
     def _build_known_unique(self, node, build_b) -> bool:
-        """True if catalog stats prove the build key (single column or
-        composite, all from one table) is row-unique — skips runtime
-        duplicate/occupancy checks (mid-join host syncs)."""
+        """True if catalog stats prove the build key is row-unique — skips
+        runtime duplicate/occupancy checks (mid-join host syncs). A
+        composite key is unique if the subset owned by ANY single table is
+        already unique (extra key columns can only refine)."""
         from duckdb_tpu.planner.bound import BoundColumnRef
 
         if not node.build_keys or not all(
                 isinstance(e, BoundColumnRef) for e in node.build_keys):
             return False
         keys = [e.key for e in node.build_keys]
-        # walk chain sources to the single TableCols owning ALL keys.
+        # walk chain sources to the TableCols owning each key.
         # GatherCols is OPAQUE: a gather may duplicate rows (join expansion,
         # dim-side gathers), which destroys key uniqueness even when the
         # underlying table column is unique.
-        cols, entry = [], None
+        per_entry: Dict[int, Tuple[TableEntry, list]] = {}
         stack = [build_b.src]
-        while stack and len(cols) < len(keys):
+        n_found = 0
+        while stack and n_found < len(keys):
             s_ = stack.pop()
             if isinstance(s_, ChainCols):
                 stack.extend(s_.sources)
             elif isinstance(s_, TableCols):
                 owned = [k for k in keys if k in s_.keymap]
                 if owned:
-                    if entry is not None and s_.entry is not entry:
-                        return False  # keys span two tables
-                    entry = s_.entry
+                    ent, cols = per_entry.setdefault(
+                        id(s_.entry), (s_.entry, []))
                     cols.extend(s_.keymap[k] for k in owned)
-        if entry is None or len(cols) != len(keys):
-            return False
-        try:
-            if len(cols) == 1:
-                return entry.distinct_count(cols[0]) == entry.nrows
-            return entry.composite_unique(tuple(cols))
-        except Exception:  # noqa: BLE001
-            return False
+                    n_found += len(owned)
+        for ent, cols in per_entry.values():
+            try:
+                if len(cols) == 1:
+                    if ent.distinct_count(cols[0]) == ent.nrows:
+                        return True
+                elif ent.composite_unique(tuple(cols)):
+                    return True
+            except Exception:  # noqa: BLE001
+                continue
+        return False
 
     def _dense_join(self, node, probe_b, build_b, pk, bk, probe_live,
                     build_live, size, known_unique=False):
@@ -1259,8 +1268,7 @@ class Executor:
         mgr = getattr(self.catalog, "settings_manager", None)
         n = int(mgr.get("num_shards", 1)) if mgr else 1
         if n > 1 and len(_jax.devices()) >= n and plen % n == 0:
-            from functools import partial
-            from jax.experimental.shard_map import shard_map
+            from duckdb_tpu.parallel.shard import shard_map_compat
             from jax.sharding import Mesh, PartitionSpec as PS
 
             cache = node.__dict__.setdefault("_probe_cache", {})
@@ -1268,15 +1276,15 @@ class Executor:
             if sig not in cache:
                 mesh = Mesh(np.array(_jax.devices()[:n]), ("dp",))
 
-                @partial(shard_map, mesh=mesh,
-                         in_specs=(PS(), PS("dp"), PS("dp")),
-                         out_specs=(PS("dp"), PS("dp")))
                 def probe(slots, pk, live):
                     in_range = jnp.logical_and(pk >= 0, pk < size)
                     idx = jnp.clip(pk, 0, size - 1).astype(jnp.int32)
                     brow = jnp.where(in_range, slots[idx], -1)
                     return brow, jnp.logical_and(live, brow >= 0)
 
+                probe = shard_map_compat(
+                    probe, mesh, (PS(), PS("dp"), PS("dp")),
+                    (PS("dp"), PS("dp")))
                 cache[sig] = _jax.jit(probe)
             return cache[sig](slots, pk, probe_live)
         in_range = jnp.logical_and(pk >= 0, pk < size)

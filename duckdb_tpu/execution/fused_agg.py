@@ -1,19 +1,34 @@
-"""Fused scan→filter→project→aggregate pipeline: ONE jitted XLA program.
+"""Fused scan→filter→join*→project→aggregate pipeline: ONE jitted XLA program.
 
-This is the TPU answer to the reference's tightest loop — morsel-driven
+This is the TPU answer to the reference's tightest loops — morsel-driven
 scan feeding GroupedAggregateHashTable::AddChunk
-(/root/reference/src/execution/aggregate_hashtable.cpp:371). Instead of a
-per-chunk interpreter, the whole pipeline over the whole padded block is
-traced once per (plan node, block size) and re-dispatched as a single
-fused program: filters, expression arithmetic, dense group-id computation
-and segment reductions all fuse; XLA tiles them across the VPU.
+(/root/reference/src/execution/aggregate_hashtable.cpp:371) and the hash
+join probe chain (/root/reference/src/execution/join_hashtable.cpp:1178).
+Instead of a per-chunk interpreter, the whole pipeline over the whole
+padded block is traced once per (plan node, block size) and re-dispatched
+as a single fused program: filters, join probes, expression arithmetic,
+group-id computation and segment reductions all fuse; XLA tiles them
+across the VPU.
 
-Eligibility (else the general path runs):
-- the aggregate's subtree is Filter*/Project* over one Scan
-- group keys are direct column refs with statically-known domains
-  (dictionary length for VARCHAR, table min/max stats for integers/dates)
-- aggregates in {sum, count, count_star, avg, min, max}, no DISTINCT
-- dense domain product ≤ PERFECT_LIMIT slots
+Join fusion passes build-side state as program INPUTS (aux arrays through
+tracing.run_jitted), not trace constants — capturing multi-MB LUTs as
+constants blew up XLA compile 7× for no warm win (measured round 2,
+PERF.md). Each build side executes eagerly (recursively fusable) and
+becomes either a dense direct-address LUT (small packed-key domain) or a
+sorted key table probed with searchsorted (composite/wide domains); both
+probe as one vectorized gather inside the fused program.
+
+The pipeline compacts IN-TRACE after its restrictive prefix (filters +
+probes against filtered builds): with a learned row-count cap (verified
+through the executor's deferred-scalar channel, rerun on overflow), the
+join tail, expression evaluation, and grouping all run at the compacted
+length. Grouping strategy:
+- dense mixed-radix ids + grouped_reduce when every group key has a
+  statically bounded domain (stats/dict/date-derived) — the
+  PerfectAggregateHashTable analog;
+- otherwise an in-trace sort-group (lax.sort over key columns + segment
+  reductions at the compacted length) — the GroupedAggregateHashTable
+  analog, still inside the same single program.
 
 `build_fused_agg(executor, node)` exposes the traced body so the query
 tail (projection/order/limit, executor._run_fused_tail) can compose the
@@ -22,7 +37,7 @@ ENTIRE query into a single device program — one dispatch, one transfer.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +59,8 @@ from duckdb_tpu.planner import bound as B
 from duckdb_tpu.types import BIGINT, DOUBLE, TypeId
 
 PERFECT_LIMIT = 1 << 23
+DENSE_LUT_LIMIT = 1 << 24  # direct-address join LUT cap (int32 slots)
+_I64_MAX = int(np.iinfo(np.int64).max)
 
 _FUSABLE_AGGS = {"sum", "count", "count_star", "avg", "mean", "min", "max"}
 
@@ -109,87 +126,254 @@ def sum_needs_wide(agg, src, nrows: int) -> bool:
     return b * max(1, nrows) >= (1 << 62)
 
 
+def _expr_lo_hi(expr, lookup) -> Optional[Tuple[int, int]]:
+    """Static (lo, hi) bounds of an integer-valued expression.
+
+    lookup(key) -> (lo, hi)|None resolves column refs (table stats, dict
+    length, build-side stats). Handles the date-part family over bounded
+    DATE columns so `extract(year from o_orderdate)`-style group keys can
+    still take the dense perfect-group path (reference sizes its perfect
+    aggregate HT from stats the same way,
+    src/execution/perfect_aggregate_hashtable.cpp)."""
+    if isinstance(expr, B.BoundLiteral):
+        v = expr.value
+        if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
+            return (int(v), int(v))
+        return None
+    if isinstance(expr, (B.BoundColumnRef, B.BoundAggregateRef)):
+        return lookup(expr)
+    if isinstance(expr, B.BoundCast):
+        if expr.ltype.is_integer or expr.ltype.id in (TypeId.DATE,):
+            inner = _expr_lo_hi(expr.child, lookup)
+            if inner is not None and (expr.child.ltype.is_integer
+                                      or expr.child.ltype.id is TypeId.DATE):
+                return inner
+        return None
+    if isinstance(expr, B.BoundFunction) and len(expr.args) == 1 \
+            and isinstance(expr.args[0], (B.BoundColumnRef,
+                                          B.BoundAggregateRef)) \
+            and expr.args[0].ltype.id is TypeId.DATE:
+        rng = lookup(expr.args[0])
+        if rng is None:
+            return None
+        import datetime
+
+        epoch = datetime.date(1970, 1, 1)
+        try:
+            dlo = epoch + datetime.timedelta(days=rng[0])
+            dhi = epoch + datetime.timedelta(days=rng[1])
+        except OverflowError:
+            return None
+        part = expr.name
+        if part.startswith("extract_"):
+            part = part[len("extract_"):]
+        if part in ("extract", "date_part") and expr.impl is not None:
+            # the part name is baked into the impl closure (functions.py
+            # _extract_impl); recover it for bounds derivation
+            for cell in (expr.impl.__closure__ or ()):
+                if isinstance(cell.cell_contents, str):
+                    part = cell.cell_contents
+                    break
+        if part == "year":
+            return (dlo.year, dhi.year)
+        if part == "month":
+            return (1, 12)
+        if part == "day":
+            return (1, 31)
+        if part == "quarter":
+            return (1, 4)
+        return None
+    if isinstance(expr, B.BoundArithmetic) and expr.op in ("+", "-", "*"):
+        lb = _expr_lo_hi(expr.left, lookup)
+        rb = _expr_lo_hi(expr.right, lookup)
+        if lb is None or rb is None:
+            return None
+        if expr.ltype.id is TypeId.DECIMAL:
+            return None  # scale bookkeeping: not needed for group keys
+        if expr.op == "+":
+            return (lb[0] + rb[0], lb[1] + rb[1])
+        if expr.op == "-":
+            return (lb[0] - rb[1], lb[1] - rb[0])
+        prods = [a * b for a in lb for b in rb]
+        return (min(prods), max(prods))
+    return None
+
+
 class FusedAgg:
     """Prepared fused-aggregate: base batch + a traced body.
 
-    body(env over base columns) → (cols: key→Column sized (total,),
-    occ: int32 (total,)) — group keys decoded in-trace, aggregates with
-    validity planes. Slot `i` is live iff occ[i] > 0.
+    body(env over base columns + aux) → (cols: key→Column sized (total,),
+    occ: int32 (total,), extras: tuple of deferred device scalars).
+    Slot `i` is live iff occ[i] > 0. `extras_cb[j]` is the deferred-scalar
+    callback for extras[j] (executor.defer_scalar channel).
+
+    dense=True additionally provides the distributed split
+    (body_partials + finalize with flat combine kinds) used by the
+    shard_map path.
     """
 
-    def __init__(self, base_batch, needed, body, total, out_types,
-                 body_partials=None, finalize=None, partial_kinds=None):
+    def __init__(self, base_batch, needed, body, total, out_types, aux,
+                 extras_cb, dense, body_partials=None, finalize=None,
+                 partial_kinds=None, variant=()):
+        self.variant = variant  # body-shaping constants → trace cache key
         self.base_batch = base_batch
         self.needed = needed
         self.body = body
         self.total = total
         self.out_types = out_types  # key → (ltype, dict_values|None)
-        # distributed split: per-shard partials + replicated finalize
+        self.aux = aux  # name → device array (program inputs)
+        self.extras_cb = extras_cb
+        self.dense = dense
         self.body_partials = body_partials
         self.finalize = finalize
         self.partial_kinds = partial_kinds  # flat combine kinds (sum/min/max)
 
 
-class _JoinPrep:
-    """Eagerly-prepared dense unique join, applied inside the traced body.
+class _JoinStep:
+    """One fused probe step: build side prepped eagerly, probed in-trace.
 
-    The build side (dimension table/subplan) is executed eagerly; its rows
-    index into a direct-address LUT over the packed key domain. In-trace the
-    probe side computes the slot, gathers the build row index, and build
-    columns register into the trace env — the join costs one gather and adds
-    ZERO extra dispatch stages (the reference pays a hash-table probe per
-    operator; here fact→dim joins fuse into the aggregate program).
-
-    Default OFF (`SET experimental_join_fusion = true` to enable): measured
-    on the tunneled v5e, capturing multi-MB build LUTs as trace constants
-    blows up XLA compile (Q5 SF1: 495 s vs 74 s cold) for no warm win
-    (1.39 s vs 1.10 s — per-PROGRAM dispatches overlap asynchronously on
-    this runtime, unlike in-program serialized scatters, so collapsing
-    programs buys nothing). Round-2 plan: pass build arrays as jit INPUTS
-    (aux-input plumbing through run_jitted) to recover compile-cacheability
-    before re-evaluating.
+    mode "dense": aux lut (size,) int32 — packed key → build row (unique
+    builds, domain ≤ DENSE_LUT_LIMIT).
+    mode "sorted": aux sk (packed build keys, sorted) + sp (row perm) —
+    probe via searchsorted (any domain; unique builds).
+    Build columns the pipeline touches ride as full-plane aux arrays and
+    are gathered at the probe's (compacted) length in-trace.
     """
 
-    def __init__(self, probe_keys, los, rngs, strides, size, lut, build_plen,
-                 src):
+    def __init__(self, pfx, mode, probe_keys, los, rngs, strides, size,
+                 build_plen, aux, build_src):
+        self.pfx = pfx
+        self.mode = mode
         self.probe_keys = probe_keys
         self.los = los
         self.rngs = rngs
         self.strides = strides
         self.size = size
-        self.lut = lut
         self.build_plen = build_plen
-        self.src = src  # build batch ColSource (eager)
-        self.build_cols: Dict[str, Column] = {}  # keys the pipeline touches
+        self.aux = aux  # this step's aux entries (shared dict slice)
+        self.build_src = build_src  # eager ColSource for stats/templates
+        self.build_cols: Dict[str, Column] = {}  # key → template (metadata)
+        self.phase1 = False
+
+    def register_build_col(self, key) -> bool:
+        if key in self.build_cols:
+            return True
+        try:
+            col = self.build_src[key]
+        except KeyError:
+            return False
+        self.build_cols[key] = col
+        self.aux[f"{self.pfx}.{key}.d"] = col.data
+        if col.validity is not None:
+            self.aux[f"{self.pfx}.{key}.v"] = col.validity
+        if col.data_hi is not None:
+            self.aux[f"{self.pfx}.{key}.h"] = col.data_hi
+        return True
+
+    def probe(self, env, p, live):
+        """In-trace probe → (bidx int32 (p,), live∧hit)."""
+        slot = jnp.zeros((p,), jnp.int64)
+        ok = live
+        for e, lo, rng, st_ in zip(self.probe_keys, self.los, self.rngs,
+                                   self.strides):
+            c = e.eval(env)
+            v = jnp.broadcast_to(c.data, (p,)).astype(jnp.int64)
+            okk = jnp.logical_and(v >= lo, v <= lo + rng - 1)
+            if c.validity is not None:
+                okk = jnp.logical_and(okk,
+                                      jnp.broadcast_to(c.validity, (p,)))
+            slot = slot + jnp.clip(v - lo, 0, rng - 1) * jnp.int64(st_)
+            ok = jnp.logical_and(ok, okk)
+        if self.mode == "dense":
+            lut = env.aux[f"{self.pfx}.lut"]
+            bidx = lut[jnp.clip(slot, 0, self.size - 1)]
+        else:
+            sk = env.aux[f"{self.pfx}.sk"]
+            sp = env.aux[f"{self.pfx}.sp"]
+            pos = jnp.searchsorted(sk, slot)
+            posc = jnp.clip(pos, 0, sk.shape[0] - 1)
+            hit = sk[posc] == slot
+            bidx = jnp.where(hit, sp[posc], -1)
+        hit = jnp.logical_and(ok, bidx >= 0)
+        return bidx.astype(jnp.int32), hit
+
+    def register_lazy(self, env, bidx):
+        """Register this step's build columns into env as LAZY providers:
+        the gather at probe length only enters the trace if something
+        downstream actually reads the column (late materialization)."""
+        for k in self.build_cols:
+            env._overlay[k] = _LazyGatherCol(self, k, bidx)
 
 
-def _prep_dense_join(executor, j: P.Join) -> Optional[_JoinPrep]:
-    import numpy as np
+class _LazyGatherCol:
+    """Overlay provider: gathers one build column by the probe's bidx on
+    first access (TraceEnv caches the result in _cols)."""
 
+    def __init__(self, step, key, bidx):
+        self.step = step
+        self.key = key
+        self.bidx = bidx
+
+    def eval(self, env):
+        step, k = self.step, self.key
+        tmpl = step.build_cols[k]
+        bc = jnp.clip(self.bidx, 0, step.build_plen - 1)
+        data = env.aux[f"{step.pfx}.{k}.d"][bc]
+        vkey = f"{step.pfx}.{k}.v"
+        validity = env.aux[vkey][bc] if vkey in env.aux else None
+        hkey = f"{step.pfx}.{k}.h"
+        data_hi = env.aux[hkey][bc] if hkey in env.aux else None
+        return Column(data=data, ltype=tmpl.ltype, validity=validity,
+                      dict_values=tmpl.dict_values, data_hi=data_hi)
+
+
+def _subtree_filters(node) -> bool:
+    """True if the build subtree restricts rows (Filter / semi / anti /
+    inner join anywhere below) — such probes run BEFORE compaction."""
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, (P.Filter, P.Limit)):
+            return True
+        if isinstance(n, P.Join):
+            return True  # any join below can drop build rows
+        for attr in ("child", "probe", "build", "left", "right"):
+            c = getattr(n, attr, None)
+            if c is not None:
+                stack.append(c)
+    return False
+
+
+def _prep_join_step(executor, j: P.Join, pfx: str,
+                    aux: Dict) -> Optional[_JoinStep]:
+    """Execute the build side eagerly and prepare probe state as aux
+    arrays. No host syncs: key bounds come from catalog stats through the
+    lazy ColSource chain; uniqueness from catalog distinct counts
+    (executor._build_known_unique)."""
+    if j.jtype != "inner" or j.extra is not None or j.null_aware:
+        return None
     bb = executor.execute(j.build)
+    if not executor._build_known_unique(j, bb):
+        return None
     env_b = bb.env()
-    live_b = np.asarray(bb.live)
-    ok = live_b.copy()
-    key_vals = []
+    key_cols = []
     for e in j.build_keys:
         c = e.eval(env_b)
-        if c.ltype.id is TypeId.VARCHAR:
-            return None  # cross-dict rank alignment lands in round 2
-        d = np.asarray(jnp.broadcast_to(c.data, (bb.plen,))).astype(np.int64)
-        if c.validity is not None:
-            ok &= np.asarray(jnp.broadcast_to(c.validity, (bb.plen,)))
-        key_vals.append(d)
+        if c.ltype.id is TypeId.VARCHAR or c.ltype.is_float:
+            return None  # dict-rank alignment / float keys: eager path
+        key_cols.append(c)
     los, rngs = [], []
-    for d in key_vals:
-        lv = d[ok]
-        lo = int(lv.min()) if len(lv) else 0
-        hi = int(lv.max()) if len(lv) else 0
+    for e, c in zip(j.build_keys, key_cols):
+        bounds = executor._key_bounds(bb, e)
+        if bounds is None:
+            return None  # no stats → eager path (could learn later)
+        lo, hi = bounds
         los.append(lo)
         rngs.append(max(hi - lo + 1, 1))
     size = 1
     for r in rngs:
         size *= r
-        if size > PERFECT_LIMIT:
+        if size > (1 << 62):
             return None
     strides = []
     st = 1
@@ -197,32 +381,49 @@ def _prep_dense_join(executor, j: P.Join) -> Optional[_JoinPrep]:
         strides.append(st)
         st *= r
     strides.reverse()
-    packed = np.zeros(bb.plen, dtype=np.int64)
-    for d, lo, st_ in zip(key_vals, los, strides):
-        packed += (d - lo) * st_
-    pk = packed[ok]
-    if len(np.unique(pk)) != len(pk):
-        return None  # non-unique build keys: general join path
-    lut = np.full(size, -1, dtype=np.int32)
-    lut[pk] = np.nonzero(ok)[0].astype(np.int32)
-    return _JoinPrep(list(j.probe_keys), los, rngs, strides, size,
-                     jnp.asarray(lut), bb.plen, bb.src)
+    # packed build keys + live mask (device, async)
+    packed = jnp.zeros((bb.plen,), jnp.int64)
+    build_live = bb.live
+    for c, lo, rng, st_ in zip(key_cols, los, rngs, strides):
+        d = jnp.broadcast_to(c.data, (bb.plen,)).astype(jnp.int64)
+        if c.validity is not None:
+            build_live = jnp.logical_and(
+                build_live, jnp.broadcast_to(c.validity, (bb.plen,)))
+        packed = packed + jnp.clip(d - lo, 0, rng - 1) * jnp.int64(st_)
+    step_aux = {}
+    if size <= DENSE_LUT_LIMIT:
+        rows = jnp.arange(bb.plen, dtype=jnp.int32)
+        slot = jnp.where(build_live, packed, size)
+        lut = jnp.full((size + 1,), -1, jnp.int32).at[slot].set(
+            rows, mode="drop")[:size]
+        step_aux[f"{pfx}.lut"] = lut
+        mode = "dense"
+    else:
+        iota = jnp.arange(bb.plen, dtype=jnp.int32)
+        kb = jnp.where(build_live, packed, jnp.int64(_I64_MAX))
+        sk, sp = jax.lax.sort([kb, iota], num_keys=1, is_stable=False)
+        step_aux[f"{pfx}.sk"] = sk
+        step_aux[f"{pfx}.sp"] = sp
+        mode = "sorted"
+    aux.update(step_aux)
+    step = _JoinStep(pfx, mode, list(j.probe_keys), los, rngs, strides,
+                     size, bb.plen, aux, bb.src)
+    step.phase1 = _subtree_filters(j.build)
+    return step
 
 
 def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
-    # 1. peel Filter/Project/(inner dense-unique Join) chain down to a Scan.
-    #    Filters commute with inner joins, so interleaving is not preserved;
-    #    the body applies joins first, then all filters.
-    mgr = getattr(executor.catalog, "settings_manager", None)
-    allow_joins = bool(mgr.get("experimental_join_fusion", False)) if mgr \
-        else False
+    # 1. peel Filter/Project/(inner unique-build Join) chain down to a Scan.
+    #    Filters commute with inner joins; the body applies probes and
+    #    filters in dependency order with a compaction point after the
+    #    restrictive prefix.
     chain = []
     join_nodes = []
     base = node.child
     while isinstance(base, (P.Filter, P.Project, P.Join)):
         if isinstance(base, P.Join):
-            if (not allow_joins or base.jtype != "inner"
-                    or base.extra is not None or base.null_aware):
+            if (base.jtype != "inner" or base.extra is not None
+                    or base.null_aware):
                 return None
             join_nodes.append(base)
             base = base.probe
@@ -234,12 +435,13 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
     chain.reverse()
     join_nodes.reverse()  # innermost (closest to scan) first
 
-    join_preps = []
-    for j in join_nodes:
-        prep = _prep_dense_join(executor, j)
-        if prep is None:
+    aux: Dict[str, jnp.ndarray] = {}
+    join_steps: List[_JoinStep] = []
+    for i, j in enumerate(join_nodes):
+        step = _prep_join_step(executor, j, f"j{i}", aux)
+        if step is None:
             return None
-        join_preps.append(prep)
+        join_steps.append(step)
 
     for agg in node.aggs:
         if agg.func not in _FUSABLE_AGGS or agg.distinct:
@@ -249,7 +451,7 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
         if agg.ltype.id is TypeId.VARCHAR:
             return None  # min/max over strings: dict plumbing → general path
 
-    # 2. group keys must resolve (through projections) to column refs
+    # 2. projection overlay
     project_items = {}
     for nd in chain:
         if isinstance(nd, P.Project):
@@ -261,14 +463,9 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
             e = project_items[e.key]
         return e
 
-    group_resolved = []
-    for gkey, ge in node.groups:
-        r = resolve(ge)
-        if not isinstance(r, B.BoundColumnRef):
-            return None
-        group_resolved.append((gkey, r))
+    group_resolved = [(gkey, resolve(ge)) for gkey, ge in node.groups]
 
-    # 3. base batch + needed columns
+    # 3. base batch + column routing (base scan vs join build sides)
     base_batch = executor.execute(base)
     plen = base_batch.plen
     entry = executor._get_table(base.table)
@@ -285,11 +482,10 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
                 elif nn.key in project_items:
                     continue  # overlay expr, its refs collected separately
                 else:
-                    for prep in join_preps:
-                        if nn.key in prep.build_cols:
+                    for step in join_steps:
+                        if nn.key in step.build_cols:
                             break
-                        if nn.key in prep.src:
-                            prep.build_cols[nn.key] = prep.src[nn.key]
+                        if step.register_build_col(nn.key):
                             break
 
     for nd in chain:
@@ -305,8 +501,8 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
     for agg in node.aggs:
         for a in agg.args:
             collect(a)
-    for prep in join_preps:
-        for e in prep.probe_keys:
+    for step in join_steps:
+        for e in step.probe_keys:
             collect(e)
 
     base_cols = {k: base_batch.src[k] for k in needed}
@@ -314,46 +510,64 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
     def col_lookup(key):
         if key in base_cols:
             return base_cols[key]
-        for prep in join_preps:
-            if key in prep.build_cols:
-                return prep.build_cols[key]
+        for step in join_steps:
+            if key in step.build_cols:
+                return step.build_cols[key]
         return None
 
-    # 4. static per-key domains
-    import numpy as _np
-
-    mins, domains = [], []
-    for _, ref in group_resolved:
+    def ref_bounds(ref):
+        """(lo, hi) for a column ref: base-table stats, dict length, or
+        build-side stats through the lazy source chain."""
         c = col_lookup(ref.key)
         if c is None:
             return None
         if c.ltype.id is TypeId.VARCHAR:
-            mins.append(0)
-            domains.append(len(c.dict_values) + 1)
-        elif c.ltype.is_integer or c.ltype.id in (TypeId.DATE, TypeId.DECIMAL,
-                                                  TypeId.BOOLEAN):
-            if ref.key in key2col:
-                st = entry.stats_for(key2col[ref.key])
-                if st.min_val is None or st.max_val is None:
-                    return None
-                lo, hi = int(st.min_val), int(st.max_val)
-            else:  # build-side key: the batch is eager, min/max is host work
-                d = _np.asarray(c.data)
-                if c.validity is not None:
-                    d = d[_np.asarray(c.validity)]
-                lo = int(d.min()) if len(d) else 0
-                hi = int(d.max()) if len(d) else 0
-            if hi - lo + 2 > PERFECT_LIMIT:
+            return (0, len(c.dict_values)) if c.dict_values is not None \
+                else None
+        if c.ltype.is_float:
+            return None
+        if ref.key in key2col:
+            st = entry.stats_for(key2col[ref.key])
+            if st.min_val is None or st.max_val is None:
                 return None
-            mins.append(lo)
-            domains.append(hi - lo + 2)
-        else:
-            return None
+            return (int(st.min_val), int(st.max_val))
+        for step in join_steps:
+            if ref.key in step.build_cols:
+                try:
+                    rng = step.build_src.stats_range(ref.key)
+                except KeyError:
+                    return None
+                return (int(rng[0]), int(rng[1])) if rng is not None else None
+        return None
+
+    # 4. grouping strategy: dense when every key is statically bounded
+    mins, domains = [], []
+    dense_mode = True
+    for _, ge in group_resolved:
+        c_meta = (col_lookup(ge.key)
+                  if isinstance(ge, (B.BoundColumnRef, B.BoundAggregateRef))
+                  else None)
+        if c_meta is None and isinstance(ge, (B.BoundColumnRef,
+                                              B.BoundAggregateRef)):
+            return None  # unresolvable ref
+        if ge.ltype.id is TypeId.VARCHAR and not isinstance(
+                ge, (B.BoundColumnRef, B.BoundAggregateRef)):
+            return None  # computed VARCHAR group key: dict is data-dependent
+        b = _expr_lo_hi(ge, ref_bounds)
+        if b is None:
+            dense_mode = False
+            break
+        mins.append(b[0])
+        domains.append(b[1] - b[0] + 2)  # +1 slot for NULL
     total = 1
-    for d in domains:
-        total *= d
-        if total > PERFECT_LIMIT:
-            return None
+    if dense_mode:
+        for d in domains:
+            total *= d
+            if total > PERFECT_LIMIT:
+                dense_mode = False
+                break
+    if not dense_mode and not node.groups:
+        return None  # ungrouped always dense (single slot)
 
     from duckdb_tpu.execution.tracing import prefetch_scalar_subqueries
 
@@ -363,16 +577,19 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
             all_exprs += [e for _, e in nd.items]
     for agg in node.aggs:
         all_exprs += agg.args
-    for prep in join_preps:
-        all_exprs += prep.probe_keys
+    for step in join_steps:
+        all_exprs += step.probe_keys
     prefetch_scalar_subqueries(all_exprs)
 
     filters = [nd.expr for nd in chain if isinstance(nd, P.Filter)]
     proj_list = list(project_items.items())
     out_types = {}
-    for (gkey, ref) in group_resolved:
-        c = col_lookup(ref.key)
-        out_types[gkey] = (c.ltype, c.dict_values)
+    for (gkey, ge) in group_resolved:
+        if isinstance(ge, (B.BoundColumnRef, B.BoundAggregateRef)):
+            c = col_lookup(ge.key)
+            out_types[gkey] = (c.ltype, c.dict_values)
+        else:
+            out_types[gkey] = (ge.ltype, None)
     for agg in node.aggs:
         out_types[agg.key] = (agg.ltype, None)
 
@@ -399,41 +616,98 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
     arg_types = [(agg.args[0].ltype if agg.args else BIGINT)
                  for agg in node.aggs]
 
-    def body_partials(env, shard_plen=None):
-        """Per-shard work: filters → dense ids → occ + combinable partials."""
-        from duckdb_tpu.execution.tracing import TraceEnv
+    # phase split: probes against RESTRICTIVE builds (filtered subtrees)
+    # run before compaction so the compacted length reflects their
+    # selectivity; probes against unfiltered dimension builds defer to
+    # phase 2 and run at the compacted length (their masks still apply —
+    # rows they would drop just waste compacted slots)
+    def _all_refs(e, acc):
+        pending = [e]
+        seen = set()
+        while pending:
+            x = pending.pop()
+            for nn in B.walk(x):
+                if isinstance(nn, B.BoundColumnRef):
+                    if nn.key in project_items and nn.key not in seen:
+                        seen.add(nn.key)
+                        pending.append(project_items[nn.key])
+                    elif nn.key not in project_items:
+                        acc.add(nn.key)
 
-        p = shard_plen if shard_plen is not None else plen
+    phase1_steps: List[_JoinStep] = []
+    phase2_steps: List[_JoinStep] = []
+    avail = set(key2col)
+    for step in join_steps:
+        refs = set()
+        for e in step.probe_keys:
+            _all_refs(e, refs)
+        if step.phase1 and refs <= avail:
+            phase1_steps.append(step)
+            avail |= set(step.build_cols)
+        else:
+            phase2_steps.append(step)
+
+    def _refs_build_cols(f):
+        pending = [f]
+        seen = set()
+        while pending:
+            e = pending.pop()
+            for nn in B.walk(e):
+                if isinstance(nn, B.BoundColumnRef):
+                    if nn.key in project_items and nn.key not in seen:
+                        seen.add(nn.key)
+                        pending.append(project_items[nn.key])
+                    elif nn.key not in key2col \
+                            and nn.key not in project_items:
+                        return True
+        return False
+
+    # filters over base columns only run before compaction; anything
+    # touching a join's build columns runs after every probe (phase 2)
+    filters1 = [f for f in filters if not _refs_build_cols(f)]
+    filters2 = [f for f in filters if _refs_build_cols(f)]
+
+    # compaction: single-chip only, blocks > 64k rows, cap learned per node
+    # (falls back to the general aggregate path's learned live count, which
+    # measures the same post-filter/post-join row population)
+    compact_cap = None
+    if plen > (1 << 16) and (join_steps or not dense_mode
+                             or total > (1 << 10)):
+        learned = getattr(node, "_fused_n_live",
+                          getattr(node, "_last_n_live", None))
+        if learned is not None:
+            compact_cap = max(1 << 15, pad_bucket(int(learned * 5 // 4) + 1))
+        else:
+            compact_cap = max(1 << 15, pad_bucket(plen >> 3))
+        if compact_cap >= plen:
+            compact_cap = None
+    if not dense_mode and compact_cap is None:
+        out_cap = max(128, pad_bucket(plen))
+    elif not dense_mode:
+        out_cap = compact_cap
+    else:
+        out_cap = total
+
+    extras_cb: List[Callable] = []
+    if compact_cap is not None:
+        def _learn_live(v, node=node, cap=compact_cap):
+            node._fused_n_live = int(v)
+            return int(v) > cap
+
+        extras_cb.append(_learn_live)
+
+    from duckdb_tpu.execution.tracing import TraceEnv
+
+    def run_phase1(env, p):
+        """→ (env2, live, phase1 bidx per step) at full length. Build
+        columns register as lazy gathers — a column nothing reads before
+        compaction never enters the trace at full length."""
         live = env.live
         env2 = TraceEnv({k: env[k] for k in needed}, p, live,
                         overlay=dict(proj_list))
-        for prep in join_preps:
-            slot = jnp.zeros((p,), jnp.int64)
-            hit = live
-            for e, lo, rng, st_ in zip(prep.probe_keys, prep.los, prep.rngs,
-                                       prep.strides):
-                c = e.eval(env2)
-                v = jnp.broadcast_to(c.data, (p,)).astype(jnp.int64)
-                okk = jnp.logical_and(v >= lo, v <= lo + rng - 1)
-                if c.validity is not None:
-                    okk = jnp.logical_and(
-                        okk, jnp.broadcast_to(c.validity, (p,)))
-                slot = slot + jnp.clip(v - lo, 0, rng - 1) * jnp.int64(st_)
-                hit = jnp.logical_and(hit, okk)
-            bidx = prep.lut[jnp.clip(slot, 0, prep.size - 1)]
-            hit = jnp.logical_and(hit, bidx >= 0)
-            live = hit
-            env2.live = live
-            bc = jnp.clip(bidx, 0, prep.build_plen - 1)
-            for k, col in prep.build_cols.items():
-                env2._cols[k] = Column(
-                    data=col.data[bc], ltype=col.ltype,
-                    validity=(col.validity[bc] if col.validity is not None
-                              else None),
-                    dict_values=col.dict_values,
-                    data_hi=(col.data_hi[bc] if col.data_hi is not None
-                             else None))
-        for f in filters:
+        env2.aux = env.aux
+        bidx1 = []
+        for f in filters1:
             c = f.eval(env2)
             keep = jnp.broadcast_to(c.data.astype(jnp.bool_), (p,))
             if c.validity is not None:
@@ -441,10 +715,65 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
                                        jnp.broadcast_to(c.validity, (p,)))
             live = jnp.logical_and(live, keep)
             env2.live = live
+        for step in phase1_steps:
+            bidx, hit = step.probe(env2, p, live)
+            live = hit
+            env2.live = live
+            bidx1.append(bidx)
+            step.register_lazy(env2, bidx)
+        return env2, live, bidx1
 
+    def run_phase2(env2, p, live):
+        """Probes + filters after compaction; returns final live."""
+        for step in phase2_steps:
+            bidx, hit = step.probe(env2, p, live)
+            live = hit
+            env2.live = live
+            step.register_lazy(env2, bidx)
+        for f in filters2:
+            c = f.eval(env2)
+            keep = jnp.broadcast_to(c.data.astype(jnp.bool_), (p,))
+            if c.validity is not None:
+                keep = jnp.logical_and(keep,
+                                       jnp.broadcast_to(c.validity, (p,)))
+            live = jnp.logical_and(live, keep)
+            env2.live = live
+        return live
+
+    def compact_env(env, env2, live, bidx1, p, cap):
+        """Gather base cols to the compacted length; phase-1 build cols
+        re-register with compaction-composed bidx; projections re-evaluate
+        lazily at the compacted length."""
+        idx, live2 = compact_indices(live, cap)
+        n_live = jnp.sum(live)
+        cols3 = {}
+        for k in needed:
+            c = env[k]
+            cols3[k] = Column(
+                data=jnp.broadcast_to(c.data, (p,))[idx], ltype=c.ltype,
+                validity=(jnp.broadcast_to(c.validity, (p,))[idx]
+                          if c.validity is not None else None),
+                dict_values=c.dict_values,
+                data_hi=(jnp.broadcast_to(c.data_hi, (p,))[idx]
+                         if c.data_hi is not None else None))
+        env3 = TraceEnv(cols3, cap, live2, overlay=dict(proj_list))
+        env3.aux = env2.aux
+        for step, bidx in zip(phase1_steps, bidx1):
+            step.register_lazy(env3, bidx[idx])
+        return env3, live2, n_live
+
+    def agg_partial_vectors(env, live, p):
+        vecs, kinds = [], []
+        for agg in node.aggs:
+            for vec, kind in _slot_agg_partial_vectors(agg, env, live, p):
+                vecs.append(vec)
+                kinds.append(kind)
+        return vecs, kinds
+
+    def dense_ids(env, live, p):
         dense = jnp.zeros((p,), jnp.int64)
-        for (gkey, ref), lo, dom in zip(group_resolved, mins, domains):
-            c = env2[ref.key]
+        for (gkey, ge), lo, dom in zip(group_resolved, mins, domains):
+            c = ge.eval(env)
             kd = jnp.broadcast_to(c.data, (p,)).astype(jnp.int64)
             if c.validity is not None:
                 off = jnp.where(jnp.broadcast_to(c.validity, (p,)),
@@ -452,26 +781,19 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
             else:
                 off = jnp.clip(kd - lo + 1, 0, dom - 1)
             dense = dense * jnp.int64(dom) + off
-        dense = jnp.where(live, dense, total).astype(jnp.int32)
+        return jnp.where(live, dense, total).astype(jnp.int32)
 
-        # All partials (plus occupancy) go through ops.grouped.grouped_reduce,
-        # which picks the TPU-friendly kernel per domain size (masked
-        # broadcast reduce for small slot counts — scatter lowers to a
-        # serialized row loop on TPU; see ops/grouped.py).
+    def dense_reduce(env, live, p):
         from duckdb_tpu.ops.grouped import grouped_reduce
 
-        vecs, kinds = [], []
-        for agg in node.aggs:
-            for vec, kind in _slot_agg_partial_vectors(agg, env2, live, p):
-                vecs.append(vec)
-                kinds.append(kind)
+        dense = dense_ids(env, live, p)
+        vecs, kinds = agg_partial_vectors(env, live, p)
         vecs.append(live.astype(jnp.int32))
         kinds.append("sum")
         res = grouped_reduce(dense, vecs, kinds, total)
-        flat, occ = res[:-1], res[-1].astype(jnp.int32)
-        return occ, flat
+        return res[:-1], res[-1].astype(jnp.int32)
 
-    def finalize(occ, flat):
+    def dense_finalize(occ, flat):
         """Replicated epilogue: decode group keys, finalize aggregates."""
         if not node.groups:
             # ungrouped aggregate: exactly one output row, live even when
@@ -479,15 +801,16 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
             occ = jnp.maximum(occ, 1)
         cols: Dict[str, Column] = {}
         slots = jnp.arange(total, dtype=jnp.int64)
-        for (gkey, ref), lo, dom, st in zip(group_resolved, mins, domains,
-                                            strides):
-            src_col = col_lookup(ref.key)
+        for (gkey, ge), lo, dom, st in zip(group_resolved, mins, domains,
+                                           strides):
+            t, dvals = out_types[gkey]
             comp = (slots // jnp.int64(st)) % jnp.int64(dom)
             validity = jnp.logical_and(comp > 0, occ > 0)
-            vals = (comp - 1 + jnp.int64(lo)).astype(src_col.data.dtype)
-            cols[gkey] = Column(data=vals, ltype=src_col.ltype,
-                                validity=validity,
-                                dict_values=src_col.dict_values)
+            vals = (comp - 1 + jnp.int64(lo))
+            if not t.is_float:
+                vals = vals.astype(t.np_dtype)
+            cols[gkey] = Column(data=vals, ltype=t, validity=validity,
+                                dict_values=dvals)
         i = 0
         for agg, kinds, at in zip(node.aggs, partial_kinds, arg_types):
             parts = flat[i:i + len(kinds)]
@@ -501,13 +824,108 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
                                        validity=valid)
         return cols, occ
 
-    def body(env):
-        occ, flat = body_partials(env)
-        return finalize(occ, flat)
+    def sort_group_reduce(env, live, p):
+        """In-trace sort-group at the compacted length → (cols, occ)."""
+        from duckdb_tpu.execution.aggregate_exec import (_key_data, _seg_sum)
 
-    return FusedAgg(base_batch, needed, body, total, out_types,
-                    body_partials=body_partials, finalize=finalize,
-                    partial_kinds=partial_kinds)
+        key_cols = [ge.eval(env) for _, ge in group_resolved]
+        operands = [jnp.logical_not(live)]
+        for c in key_cols:
+            kv = (jnp.broadcast_to(c.validity, (p,))
+                  if c.validity is not None else jnp.ones((p,), jnp.bool_))
+            operands.append(jnp.logical_not(kv))
+            operands.append(jnp.where(kv, _key_data(c, p), 0))
+        iota = jnp.arange(p, dtype=jnp.int32)
+        operands.append(iota)
+        out = jax.lax.sort(operands, num_keys=len(operands) - 1,
+                           is_stable=False)
+        dead_s = out[0]
+        perm = out[-1]
+        ks = out[1:-1]
+        change = jnp.zeros((p,), jnp.bool_)
+        for k in ks:
+            change = jnp.logical_or(change, k != jnp.roll(k, 1))
+        change = change.at[0].set(True)
+        change = jnp.logical_and(change, jnp.logical_not(dead_s))
+        change = change.at[0].set(jnp.logical_not(dead_s[0]))
+        gid_sorted = jnp.cumsum(change.astype(jnp.int32)) - 1
+        gid_sorted = jnp.where(dead_s, out_cap, gid_sorted)
+        gids = jnp.zeros((p,), jnp.int32).at[perm].set(gid_sorted)
+        nseg = out_cap + 1
+        # representative rows → group key output columns
+        first_pos = jax.ops.segment_min(iota, gid_sorted,
+                                        num_segments=nseg)[:out_cap]
+        rep_rows = perm[jnp.clip(first_pos, 0, p - 1)]
+        cols: Dict[str, Column] = {}
+        occ = _seg_sum(live.astype(jnp.int32), gids,
+                       num_segments=nseg)[:out_cap].astype(jnp.int32)
+        for (gkey, ge), c in zip(group_resolved, key_cols):
+            data = jnp.broadcast_to(c.data, (p,))[rep_rows]
+            validity = (jnp.broadcast_to(c.validity, (p,))[rep_rows]
+                        if c.validity is not None else None)
+            if validity is not None:
+                validity = jnp.logical_and(validity, occ > 0)
+            cols[gkey] = Column(data=data, ltype=c.ltype, validity=validity,
+                                dict_values=c.dict_values)
+        vecs, kinds_flat = agg_partial_vectors(env, live, p)
+        flat = []
+        for vec, kind in zip(vecs, kinds_flat):
+            if kind == "sum":
+                flat.append(_seg_sum(vec, gids, num_segments=nseg)[:out_cap])
+            elif kind == "min":
+                flat.append(jax.ops.segment_min(
+                    vec, gids, num_segments=nseg)[:out_cap])
+            else:
+                flat.append(jax.ops.segment_max(
+                    vec, gids, num_segments=nseg)[:out_cap])
+        i = 0
+        for agg, kinds, at in zip(node.aggs, partial_kinds, arg_types):
+            parts = flat[i:i + len(kinds)]
+            i += len(kinds)
+            data, valid = _slot_agg_finalize(agg, parts, at)
+            if isinstance(data, tuple):
+                cols[agg.key] = Column(data=data[0], ltype=agg.ltype,
+                                       validity=valid, data_hi=data[1])
+            else:
+                cols[agg.key] = Column(data=data, ltype=agg.ltype,
+                                       validity=valid)
+        return cols, occ
+
+    def body(env):
+        """Single-chip fused pipeline → (cols, occ, extras)."""
+        env2, live, bidx1 = run_phase1(env, plen)
+        extras = ()
+        p = plen
+        if compact_cap is not None:
+            env2, live, n_live = compact_env(env, env2, live, bidx1, plen,
+                                             compact_cap)
+            extras = (n_live,)
+            p = compact_cap
+        live = run_phase2(env2, p, live)
+        if dense_mode:
+            flat, occ = dense_reduce(env2, live, p)
+            cols, occ = dense_finalize(occ, flat)
+        else:
+            cols, occ = sort_group_reduce(env2, live, p)
+        return cols, occ, extras
+
+    # distributed split (dense only): per-shard partials + replicated
+    # finalize; no compaction (shards are already 1/n of the block)
+    def body_partials(env, shard_plen=None):
+        p = shard_plen if shard_plen is not None else plen
+        env2, live, bidx1 = run_phase1(env, p)
+        live = run_phase2(env2, p, live)
+        return_occ_flat = dense_reduce(env2, live, p)
+        flat, occ = return_occ_flat
+        return occ, flat
+
+    fa = FusedAgg(base_batch, needed, body, out_cap, out_types, aux,
+                  extras_cb, dense_mode,
+                  body_partials=body_partials if dense_mode else None,
+                  finalize=dense_finalize if dense_mode else None,
+                  partial_kinds=partial_kinds,
+                  variant=(dense_mode, compact_cap, out_cap))
+    return fa
 
 
 def try_fused_aggregate(executor, node: P.Aggregate):
@@ -527,12 +945,16 @@ def try_fused_aggregate(executor, node: P.Aggregate):
         occ, flat = _run_sharded(executor, node, fa, n_shards)
     else:
         def jit_body(env):
-            cols, occ = fa.body(env)
+            cols, occ, extras = fa.body(env)
             flat = [(cols[k].data, cols[k].data_hi, cols[k].validity)
                     for k in sorted(cols)]
-            return occ, flat
+            return occ, flat, extras
 
-        occ, flat = run_jitted(node, "agg", fa.base_batch, keyrefs, jit_body)
+        occ, flat, extras = run_jitted(node, "agg", fa.base_batch, keyrefs,
+                                       jit_body, aux=fa.aux,
+                                       variant=fa.variant)
+        for e, cb in zip(extras, fa.extras_cb):
+            executor.defer_scalar(e, cb)
     names = sorted(fa.out_types)
     # group count stays a DEVICE scalar: capacity is learned across runs and
     # verified via the deferred-scalar channel (rerun on overflow) — no
@@ -570,6 +992,12 @@ def _num_shards(executor, fa) -> int:
     n = int(mgr.get("num_shards", 1)) if mgr else 1
     if n <= 1:
         return 1
+    if not fa.dense:
+        executor._log("WARN", "sharding",
+                      "fused aggregate without static group bounds: "
+                      "sort-group partials are shard-local; aggregate "
+                      "runs single-chip")
+        return 1
     if len(jax.devices()) < n:
         executor._log("WARN", "sharding",
                       f"num_shards={n} requested but only "
@@ -588,17 +1016,20 @@ def _num_shards(executor, fa) -> int:
 def _run_sharded(executor, node, fa: FusedAgg, n: int):
     """Distributed fused aggregate: shard_map over an n-device mesh.
 
-    Row-sharded scan columns; each chip runs the identical partial program
-    on its shard; psum/pmin/pmax collectives merge the dense slot partials
+    Row-sharded scan columns; join build state (LUTs / sorted key tables /
+    build column planes) rides REPLICATED — the reference's broadcast
+    exchange (src/parallel/pipeline_broadcast_exchange.cpp) as a
+    replicated sharding. Each chip runs the identical partial program on
+    its shard; psum/pmin/pmax collectives merge the dense slot partials
     (the reference's Sink→Combine contract as ICI collectives); the
     replicated finalize runs once. This is the morsel-driven parallelism
     table from SURVEY §2.3 realized: morsel cursor → static row sharding,
     thread-local HT → per-chip dense partials, Combine → psum.
     """
     import jax
-    from functools import partial
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import Mesh, PartitionSpec as PS
+
+    from duckdb_tpu.parallel.shard import shard_map_compat
 
     from duckdb_tpu.blocks import Column
     from duckdb_tpu.execution.tracing import TraceEnv
@@ -607,14 +1038,16 @@ def _run_sharded(executor, node, fa: FusedAgg, n: int):
     plen = batch.plen
     cols = {k: batch.src[k] for k in fa.needed}
     cache = node.__dict__.setdefault("_shard_cache", {})
-    sig = (n, plen, tuple(fa.needed))
+    aux_names = tuple(sorted(fa.aux))
+    sig = (n, plen, tuple(fa.needed),
+           tuple((nm, fa.aux[nm].shape) for nm in aux_names))
     if sig not in cache:
         mesh = Mesh(np.array(jax.devices()[:n]), ("dp",))
         templates = dict(cols)
         keys = list(fa.needed)
         kinds_flat = [k for ks in fa.partial_kinds for k in ks]
 
-        def shard_fn(live, *arrays):
+        def shard_fn(live, aux_vals, *arrays):
             tcols = {}
             for i, k in enumerate(keys):
                 t = templates[k]
@@ -625,6 +1058,7 @@ def _run_sharded(executor, node, fa: FusedAgg, n: int):
                     dict_values=t.dict_values)
             shard_plen = plen // n
             env = TraceEnv(tcols, shard_plen, live)
+            env.aux = dict(zip(aux_names, aux_vals))
             occ, flat = fa.body_partials(env, shard_plen=shard_plen)
             occ = jax.lax.psum(occ, "dp")
             out = []
@@ -637,8 +1071,8 @@ def _run_sharded(executor, node, fa: FusedAgg, n: int):
                     out.append(jax.lax.pmax(arr, "dp"))
             return occ, out
 
-        # validity placeholders (shape (0,)) must stay replicated
-        def spec_for(i, arr_shape):
+        # validity placeholders (shape (0,)) and aux stay replicated
+        def spec_for(arr_shape):
             return PS("dp") if arr_shape[0] == plen else PS()
 
         arrays0 = []
@@ -647,13 +1081,12 @@ def _run_sharded(executor, node, fa: FusedAgg, n: int):
             arrays0.append(c.data)
             arrays0.append(c.validity if c.validity is not None
                            else _empty_bool())
-        specs = tuple([PS("dp")] + [spec_for(i, a.shape)
-                                    for i, a in enumerate(arrays0)])
-        mapped = shard_map(shard_fn, mesh=mesh, in_specs=specs,
-                           out_specs=(PS(), PS()), check_rep=False)
+        specs = tuple([PS("dp"), tuple(PS() for _ in aux_names)]
+                      + [spec_for(a.shape) for a in arrays0])
+        mapped = shard_map_compat(shard_fn, mesh, specs, (PS(), PS()))
 
-        def program(live, *arrays):
-            occ, flat = mapped(live, *arrays)
+        def program(live, aux_vals, *arrays):
+            occ, flat = mapped(live, aux_vals, *arrays)
             cols2, occ2 = fa.finalize(occ, flat)
             flat2 = [(cols2[k].data, cols2[k].data_hi, cols2[k].validity)
                      for k in sorted(cols2)]
@@ -667,7 +1100,7 @@ def _run_sharded(executor, node, fa: FusedAgg, n: int):
         arrays.append(c.data)
         arrays.append(c.validity if c.validity is not None
                       else _empty_bool())
-    return fn(batch.live, *arrays)
+    return fn(batch.live, tuple(fa.aux[nm] for nm in aux_names), *arrays)
 
 
 def _slot_agg_partial_vectors(agg, env, live, plen):

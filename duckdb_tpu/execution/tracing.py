@@ -53,6 +53,7 @@ class TraceEnv:
         self.plen = plen
         self.live = live
         self._overlay = overlay or {}
+        self.aux = {}  # named program inputs (join build state etc.)
 
     @property
     def cols(self):
@@ -84,15 +85,22 @@ def prefetch_scalar_subqueries(exprs):
 
 
 def run_jitted(node, tag: str, batch, exprs: Sequence[B.BoundExpr],
-               body: Callable, overlay: Dict[str, B.BoundExpr] = None):
+               body: Callable, overlay: Dict[str, B.BoundExpr] = None,
+               aux: Dict[str, "jnp.ndarray"] = None, variant=()):
     """Run `body(env) -> pytree of arrays` as one jitted program.
 
     `exprs` determines which child columns become program inputs (keys
     provided by `overlay` are computed inside the trace instead). `body`
     receives a TraceEnv and must be a pure function of it (it may call
     expr.eval(env)). Column metadata (ltype, dict) binds at trace time.
+
+    `aux`: extra named device arrays passed as program INPUTS (env.aux) —
+    join build LUTs, sorted key tables, build column planes. Inputs, not
+    trace constants: capturing multi-MB arrays as constants blows up XLA
+    compile time and kills compile-cache reuse (measured round 2, PERF.md).
     """
     overlay = overlay or {}
+    aux = aux or {}
     prefetch_scalar_subqueries(exprs)
     prefetch_scalar_subqueries(overlay.values())
     keys = []
@@ -113,12 +121,17 @@ def run_jitted(node, tag: str, batch, exprs: Sequence[B.BoundExpr],
     for k in keys:
         cols[k] = batch.src[k]
     cache = node.__dict__.setdefault("_trace_cache", {})
-    sig = (tag, batch.plen, tuple(keys))
+    aux_names = tuple(sorted(aux))
+    # `variant` captures body-shaping parameters that are CLOSURE constants
+    # of the trace (learned compaction caps, group capacities): a re-run
+    # with a grown cap must not reuse the stale compiled program
+    sig = (tag, batch.plen, tuple(keys), variant,
+           tuple((n, aux[n].shape, str(aux[n].dtype)) for n in aux_names))
     if sig not in cache:
         templates = dict(cols)
         plen = batch.plen
 
-        def program(live, *arrays):
+        def program(live, aux_vals, *arrays):
             tcols = {}
             for i, k in enumerate(keys):
                 t = templates[k]
@@ -129,6 +142,7 @@ def run_jitted(node, tag: str, batch, exprs: Sequence[B.BoundExpr],
                     dict_values=t.dict_values,
                 )
             env = TraceEnv(tcols, plen, live, overlay)
+            env.aux = dict(zip(aux_names, aux_vals))
             return body(env)
 
         cache[sig] = jax.jit(program)
@@ -139,4 +153,4 @@ def run_jitted(node, tag: str, batch, exprs: Sequence[B.BoundExpr],
         arrays.append(c.data)
         arrays.append(c.validity if c.validity is not None
                       else _empty_bool())
-    return fn(batch.live, *arrays)
+    return fn(batch.live, tuple(aux[n] for n in aux_names), *arrays)

@@ -22,8 +22,34 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def shard_map_compat(f, mesh, in_specs, out_specs, check=False):
+    """jax.shard_map across API generations: the stable `jax.shard_map`
+    (check_vma kwarg) with fallback to the deprecated
+    jax.experimental.shard_map (check_rep kwarg)."""
+    try:
+        from jax import shard_map as _sm
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=check)
+    try:
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_vma=check)
+    except TypeError:
+        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+def shard_map(f=None, *, mesh=None, in_specs=None, out_specs=None,
+              check_rep=False, **kw):
+    """Drop-in for the legacy decorator/call styles used in this module."""
+    if f is None:
+        return lambda fn: shard_map_compat(fn, mesh, in_specs, out_specs,
+                                           check=check_rep)
+    return shard_map_compat(f, mesh, in_specs, out_specs, check=check_rep)
 
 
 def q1_local_partial(qty, price, disc, tax, gid, live, num_groups: int):

@@ -51,9 +51,9 @@ def test_full_join_all_matched(con):
     assert rows == [(2,)]
 
 
-def test_experimental_join_fusion_matches_general_path():
-    """The gated join-fusion prototype (SET experimental_join_fusion) must
-    agree with the general join path on a Q5-shaped star query."""
+def test_join_fusion_matches_general_path():
+    """Fused probe pipeline (default on) must agree with the general join
+    path on a Q5-shaped star query — and must actually engage."""
     import duckdb_tpu
 
     con = duckdb_tpu.connect()
@@ -68,19 +68,33 @@ def test_experimental_join_fusion_matches_general_path():
     q = ("SELECT name, region, sum(v), count(*) FROM fact, dim, dim2 "
          "WHERE fact.k = dim.k AND fact.j = dim2.j AND v < 900 "
          "GROUP BY name, region ORDER BY 1, 2")
-    base = con.sql(q).rows()
-    con.sql("SET experimental_join_fusion = true")
     import duckdb_tpu.execution.fused_agg as FA
 
     called = []
-    orig = FA._prep_dense_join
-    FA._prep_dense_join = lambda ex, j: called.append(1) or orig(ex, j)
+    orig = FA._prep_join_step
+    FA._prep_join_step = (
+        lambda ex, j, pfx, aux: called.append(1) or orig(ex, j, pfx, aux))
     try:
         fused = con.sql(q).rows()
     finally:
-        FA._prep_dense_join = orig
-        con.sql("SET experimental_join_fusion = false")
+        FA._prep_join_step = orig
     assert called, "join fusion did not engage"
+    # general path: force the fused builder off
+    orig2 = FA.build_fused_agg
+    FA.build_fused_agg = lambda ex, node: None
+    try:
+        con2 = duckdb_tpu.connect()
+        con2.sql("CREATE TABLE dim (k INT, name VARCHAR)")
+        con2.sql("INSERT INTO dim VALUES (1,'a'),(2,'b'),(3,'c')")
+        con2.sql("CREATE TABLE dim2 (j INT, region VARCHAR)")
+        con2.sql("INSERT INTO dim2 VALUES (10,'x'),(20,'y')")
+        con2.sql("CREATE TABLE fact (k INT, j INT, v INT)")
+        con2.sql("INSERT INTO fact SELECT 1 + range % 3, "
+                 "CASE WHEN range % 2 = 0 THEN 10 ELSE 20 END, range "
+                 "FROM range(1000)")
+        base = con2.sql(q).rows()
+    finally:
+        FA.build_fused_agg = orig2
     assert fused == base
 
 
