@@ -392,6 +392,9 @@ class Executor:
             limit_node, node = node, node.child
         if isinstance(node, P.Order):
             order_node, node = node, node.child
+            if len(order_node.items) == 1 and self._join_shards() > 1:
+                return None  # single-key sorts under SET num_shards
+                # distribute via _exec_Order's range-partition path
         if not isinstance(node, P.Project):
             return None
         proj, child = node, node.child
@@ -733,12 +736,18 @@ class Executor:
                 return out
         unique = self._build_known_unique(node, build_b)
         n_shards = self._join_shards()
-        if n_shards > 1 and unique:
+        if n_shards > 1:
             mgr = self.catalog.settings_manager
             thresh = int(mgr.get("exchange_join_threshold", 1 << 24))
             if dense_size > thresh:
-                out = self._exchange_join(node, probe_b, build_b, pk, bk,
-                                          probe_live, build_live, n_shards)
+                if unique:
+                    out = self._exchange_join(node, probe_b, build_b, pk, bk,
+                                              probe_live, build_live,
+                                              n_shards)
+                else:
+                    out = self._exchange_join_dup(node, probe_b, build_b, pk,
+                                                  bk, probe_live, build_live,
+                                                  n_shards)
                 if out is not None:
                     return out
         if dense_size <= self.DENSE_JOIN_LIMIT:
@@ -980,6 +989,102 @@ class Executor:
             GatherCols(build_b.src, br_c, null_rows=~matched),
         ])
         return Batch(src=src, plen=out_plen, live=routed)
+
+    def _exchange_join_dup(self, node, probe_b, build_b, pk, bk, probe_live,
+                           build_live, n):
+        """Distributed join with DUPLICATE build keys: all_to_all hash
+        repartitioning of both sides, then each chip resolves its
+        partition with a sorted-build RANGE probe (counts + pair
+        expansion). The pair capacity per chip is learned across runs; an
+        overflow (send bucket or expansion) falls back single-chip.
+
+        Reference analog: radix-partitioned hash join,
+        /root/reference/src/execution/radix_partitioned_hashtable.cpp:531-691.
+        """
+        if node.jtype not in ("inner", "semi", "anti"):
+            return None
+        import math
+
+        from duckdb_tpu.parallel.shard import get_exchange_join_dup
+
+        plen, blen = probe_b.plen, build_b.plen
+        plen2 = plen + ((-plen) % n)
+        blen2 = blen + ((-blen) % n)
+        r_p, r_b = plen2 // n, blen2 // n
+        cap_p = max(64, math.ceil(r_p / n * self.EXCHANGE_SLACK))
+        cap_b = max(64, math.ceil(r_b / n * self.EXCHANGE_SLACK))
+        # per-chip pair capacity learned from the kernel's own pmax'd
+        # demand count (exact even when this attempt truncates)
+        learned = getattr(node, "_exchange_pairs", None)
+        if learned is not None:
+            cap_out = max(128, pad_bucket(int(learned * 5 // 4) + 1))
+        else:
+            cap_out = max(128, pad_bucket(2 * cap_p))
+        step = get_exchange_join_dup(n, cap_p, cap_b, cap_out)
+
+        def pad(x, m, fill):
+            extra = m - x.shape[0]
+            if extra == 0:
+                return x
+            return jnp.concatenate([x, jnp.full((extra,), fill, x.dtype)])
+
+        pr, br, pm, prr, overflow, pair_max = step(
+            pad(jnp.where(probe_live, pk, jnp.int64(-2)), plen2, 0),
+            pad(probe_live, plen2, False),
+            jnp.arange(plen2, dtype=jnp.int32),
+            pad(bk, blen2, 0), pad(build_live, blen2, False),
+            jnp.arange(blen2, dtype=jnp.int32))
+        host_ovf, host_pmax = jax.device_get((overflow, pair_max))  # 1 sync
+        node._exchange_pairs = int(host_pmax)
+        if int(host_ovf) > 0:
+            if int(host_pmax) > cap_out:
+                # pair expansion overflow: retry once at the exact size
+                retried = getattr(node, "_exchange_retried", False)
+                if not retried:
+                    node._exchange_retried = True
+                    try:
+                        return self._exchange_join_dup(
+                            node, probe_b, build_b, pk, bk, probe_live,
+                            build_live, n)
+                    finally:
+                        node._exchange_retried = False
+            self._log("WARN", "exchange_join",
+                      f"dup-key exchange overflow ({int(host_ovf)} rows) "
+                      f"at num_shards={n}; falling back to single-chip")
+            return None
+        self._log("INFO", "exchange_join",
+                  f"dup-key join repartitioned over {n} shards "
+                  f"(cap_p={cap_p}, cap_b={cap_b}, cap_out={cap_out})")
+        if node.jtype in ("semi", "anti"):
+            m = jnp.zeros((plen2 + 1,), jnp.bool_).at[
+                jnp.where(prr >= 0, prr, plen2)].max(
+                pm, mode="drop")[:plen]
+            if node.extra is not None:
+                return None  # residual predicates need the pair list
+            if node.jtype == "semi":
+                live = jnp.logical_and(probe_b.live, m)
+            else:
+                live = jnp.logical_and(probe_b.live, ~m)
+                if node.null_aware:
+                    live = self._null_aware_anti(live, probe_b, build_b,
+                                                 probe_live, build_live)
+            return Batch(src=probe_b.src, plen=plen, live=live)
+        out_plen = pr.shape[0]
+        pr_c = jnp.clip(pr, 0, plen - 1)
+        br_c = jnp.clip(br, 0, blen - 1)
+        pair_live = pr >= 0
+        src = ChainCols([
+            GatherCols(probe_b.src, pr_c),
+            GatherCols(build_b.src, br_c),
+        ])
+        if node.extra is not None:
+            env = EvalEnv(cols=src, plen=out_plen, live=pair_live)
+            c = node.extra.eval(env)
+            em = jnp.logical_and(c.data.astype(jnp.bool_),
+                                 _full_valid(c, out_plen))
+            pair_live = jnp.logical_and(pair_live,
+                                        jnp.broadcast_to(em, (out_plen,)))
+        return Batch(src=src, plen=out_plen, live=pair_live)
 
     # bucket table width cap: gathers materialize (plen, B) candidate
     # matrices, so bound B by a memory budget over the probe block
@@ -1447,11 +1552,53 @@ class Executor:
             else:
                 k = S.orderable_int64(data, validity, desc, nulls_first)
             norm.append(k)
+        n_shards = self._join_shards()
+        if n_shards > 1 and len(norm) == 1 and b.plen >= (1 << 14):
+            out = self._sharded_order(node, b, norm[0], n_shards)
+            if out is not None:
+                return out
         perm = S.sort_permutation(norm, b.live)
         src = GatherCols(b.src, perm)
         # live count stays a device scalar — no host sync
         live = jnp.arange(b.plen) < jnp.sum(b.live)
         return Batch(src=src, plen=b.plen, live=live)
+
+    def _sharded_order(self, node, b, key, n) -> Optional[Batch]:
+        """Distributed ORDER BY: sample-split range partitioning over the
+        mesh + local sorts (parallel/shard.make_sharded_sort). Output rows
+        ride shard-major in global order with dead gaps at shard tails —
+        downstream compaction preserves order. Skew overflow (a range
+        bucket past 2× the uniform share) falls back to single-chip.
+
+        Reference analog: per-thread sorted runs + parallel merge,
+        /root/reference/src/common/sort/sorted_run_merger.cpp.
+        """
+        from duckdb_tpu.parallel.shard import get_sharded_sort
+
+        plen = b.plen
+        plen2 = plen + ((-plen) % n)
+        cap = 2 * (plen2 // n)
+        step = get_sharded_sort(n, cap)
+
+        def pad(x, m, fill):
+            extra = m - x.shape[0]
+            if extra == 0:
+                return x
+            return jnp.concatenate([x, jnp.full((extra,), fill, x.dtype)])
+
+        rows, out_live, overflow = step(
+            pad(key, plen2, np.iinfo(np.int64).max),
+            pad(b.live, plen2, False),
+            jnp.arange(plen2, dtype=jnp.int32))
+        if int(overflow) > 0:  # host sync
+            self._log("WARN", "sharded_sort",
+                      f"range-partition skew overflow at num_shards={n}; "
+                      "sorting single-chip")
+            return None
+        self._log("INFO", "sharded_sort",
+                  f"ORDER BY range-partitioned over {n} shards (cap={cap})")
+        src = GatherCols(b.src, jnp.clip(rows, 0, plen - 1))
+        return Batch(src=src, plen=rows.shape[0], live=out_live)
 
     def _exec_Limit(self, node: P.Limit) -> Batch:
         b = self.execute(node.child)

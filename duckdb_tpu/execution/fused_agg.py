@@ -232,16 +232,22 @@ class FusedAgg:
 class _JoinStep:
     """One fused probe step: build side prepped eagerly, probed in-trace.
 
-    mode "dense": aux lut (size,) int32 — packed key → build row (unique
-    builds, domain ≤ DENSE_LUT_LIMIT).
-    mode "sorted": aux sk (packed build keys, sorted) + sp (row perm) —
-    probe via searchsorted (any domain; unique builds).
+    mode "dense": aux lut (size,) int32 — full packed key → build row
+    (unique builds, full domain ≤ DENSE_LUT_LIMIT).
+    mode "bucket": direct-address on ONE subset key with Bc candidate
+    rows per slot, resolved by comparing the FULL packed key (aux bt =
+    (S·Bc,) build rows, aux bk = full packed build keys). Bc=1 is the
+    unique-subset fast path (e.g. a composite key whose first column is
+    already a PK); Bc>1 covers low-duplication subset keys (partsupp's
+    ps_partkey). One gather of Bc candidates — no searchsorted chain.
+    mode "sorted": aux sk/sp — searchsorted fallback for wide domains.
     Build columns the pipeline touches ride as full-plane aux arrays and
     are gathered at the probe's (compacted) length in-trace.
     """
 
     def __init__(self, pfx, mode, probe_keys, los, rngs, strides, size,
-                 build_plen, aux, build_src):
+                 build_plen, aux, build_src, subset_idx=0, bucket_width=1,
+                 subset_size=0):
         self.pfx = pfx
         self.mode = mode
         self.probe_keys = probe_keys
@@ -254,6 +260,10 @@ class _JoinStep:
         self.build_src = build_src  # eager ColSource for stats/templates
         self.build_cols: Dict[str, Column] = {}  # key → template (metadata)
         self.phase1 = False
+        self.subset_idx = subset_idx  # bucket mode: which key addresses
+        self.bucket_width = bucket_width  # Bc
+        self.subset_size = subset_size  # S
+        self.aux_entries: Dict[str, jnp.ndarray] = {}  # this step's inputs
 
     def register_build_col(self, key) -> bool:
         if key in self.build_cols:
@@ -263,17 +273,22 @@ class _JoinStep:
         except KeyError:
             return False
         self.build_cols[key] = col
-        self.aux[f"{self.pfx}.{key}.d"] = col.data
+        self.aux_entries[f"{self.pfx}.{key}.d"] = col.data
         if col.validity is not None:
-            self.aux[f"{self.pfx}.{key}.v"] = col.validity
+            self.aux_entries[f"{self.pfx}.{key}.v"] = col.validity
         if col.data_hi is not None:
-            self.aux[f"{self.pfx}.{key}.h"] = col.data_hi
+            self.aux_entries[f"{self.pfx}.{key}.h"] = col.data_hi
+        for k2 in (f"{self.pfx}.{key}.d", f"{self.pfx}.{key}.v",
+                   f"{self.pfx}.{key}.h"):
+            if k2 in self.aux_entries:
+                self.aux[k2] = self.aux_entries[k2]
         return True
 
     def probe(self, env, p, live):
         """In-trace probe → (bidx int32 (p,), live∧hit)."""
-        slot = jnp.zeros((p,), jnp.int64)
+        packed = jnp.zeros((p,), jnp.int64)
         ok = live
+        digits = []
         for e, lo, rng, st_ in zip(self.probe_keys, self.los, self.rngs,
                                    self.strides):
             c = e.eval(env)
@@ -282,17 +297,29 @@ class _JoinStep:
             if c.validity is not None:
                 okk = jnp.logical_and(okk,
                                       jnp.broadcast_to(c.validity, (p,)))
-            slot = slot + jnp.clip(v - lo, 0, rng - 1) * jnp.int64(st_)
+            digit = jnp.clip(v - lo, 0, rng - 1)
+            digits.append(digit)
+            packed = packed + digit * jnp.int64(st_)
             ok = jnp.logical_and(ok, okk)
         if self.mode == "dense":
             lut = env.aux[f"{self.pfx}.lut"]
-            bidx = lut[jnp.clip(slot, 0, self.size - 1)]
+            bidx = lut[jnp.clip(packed, 0, self.size - 1)]
+        elif self.mode == "bucket":
+            bt = env.aux[f"{self.pfx}.bt"]
+            bk = env.aux[f"{self.pfx}.bk"]
+            Bc = self.bucket_width
+            sv = digits[self.subset_idx].astype(jnp.int32)
+            cand = bt.reshape(self.subset_size, Bc)[
+                jnp.clip(sv, 0, self.subset_size - 1)]  # (p, Bc)
+            ck = bk[jnp.clip(cand, 0, self.build_plen - 1)]
+            eq = jnp.logical_and(cand >= 0, ck == packed[:, None])
+            bidx = jnp.max(jnp.where(eq, cand, -1), axis=1)
         else:
             sk = env.aux[f"{self.pfx}.sk"]
             sp = env.aux[f"{self.pfx}.sp"]
-            pos = jnp.searchsorted(sk, slot)
+            pos = jnp.searchsorted(sk, packed)
             posc = jnp.clip(pos, 0, sk.shape[0] - 1)
-            hit = sk[posc] == slot
+            hit = sk[posc] == packed
             bidx = jnp.where(hit, sp[posc], -1)
         hit = jnp.logical_and(ok, bidx >= 0)
         return bidx.astype(jnp.int32), hit
@@ -344,14 +371,66 @@ def _subtree_filters(node) -> bool:
     return False
 
 
+def _scan_versions(executor, node):
+    """(table, version) for every Scan under `node` — the build-prep cache
+    key. None if any table is override-substituted (chunked views)."""
+    out = []
+    stack = [node]
+    ov = getattr(executor, "_scan_overrides", None)
+    while stack:
+        n = stack.pop()
+        if isinstance(n, P.Scan):
+            if ov is not None and n.table in ov:
+                return None
+            ent = executor.catalog.get_table(n.table)
+            out.append((n.table, ent.nrows, getattr(ent, "version", 0)))
+        for attr in ("child", "probe", "build", "left", "right"):
+            c = getattr(n, attr, None)
+            if c is not None:
+                stack.append(c)
+    return tuple(sorted(out))
+
+
+# build-prep cache row-count bound: cached steps pin build column planes
+# in device memory, so very large builds re-prep each run instead
+PREP_CACHE_MAX_BUILD = 1 << 22
+
+
 def _prep_join_step(executor, j: P.Join, pfx: str,
                     aux: Dict) -> Optional[_JoinStep]:
     """Execute the build side eagerly and prepare probe state as aux
     arrays. No host syncs: key bounds come from catalog stats through the
     lazy ColSource chain; uniqueness from catalog distinct counts
-    (executor._build_known_unique)."""
+    (executor._build_known_unique).
+
+    The prepped step (LUT/bucket table + build planes) is CACHED on the
+    join node keyed by the build subtree's table versions: a warm query
+    skips the entire build-side execution — the reference's hash table
+    lives for one query (join_hashtable.cpp), ours persists like an index
+    until the data changes."""
     if j.jtype != "inner" or j.extra is not None or j.null_aware:
         return None
+    vkey = _scan_versions(executor, j.build)
+    forced_sorted = getattr(j, "_bucket_overflowed", False)
+    cache = j.__dict__.setdefault("_prep_cache", {})
+    if vkey is not None:
+        cached = cache.get((vkey, forced_sorted))
+        if cached is not None:
+            step = cached
+            # re-link into this run's shared aux dict
+            aux.update(step.aux_entries)
+            step.aux = aux
+            return step
+    step = _prep_join_step_fresh(executor, j, pfx, aux, forced_sorted)
+    if step is not None and vkey is not None \
+            and step.build_plen <= PREP_CACHE_MAX_BUILD:
+        cache.clear()
+        cache[(vkey, forced_sorted)] = step
+    return step
+
+
+def _prep_join_step_fresh(executor, j: P.Join, pfx: str, aux: Dict,
+                          forced_sorted: bool) -> Optional[_JoinStep]:
     bb = executor.execute(j.build)
     if not executor._build_known_unique(j, bb):
         return None
@@ -391,6 +470,9 @@ def _prep_join_step(executor, j: P.Join, pfx: str,
                 build_live, jnp.broadcast_to(c.validity, (bb.plen,)))
         packed = packed + jnp.clip(d - lo, 0, rng - 1) * jnp.int64(st_)
     step_aux = {}
+    subset_idx = 0
+    bucket_width = 1
+    subset_size = 0
     if size <= DENSE_LUT_LIMIT:
         rows = jnp.arange(bb.plen, dtype=jnp.int32)
         slot = jnp.where(build_live, packed, size)
@@ -399,17 +481,91 @@ def _prep_join_step(executor, j: P.Join, pfx: str,
         step_aux[f"{pfx}.lut"] = lut
         mode = "dense"
     else:
-        iota = jnp.arange(bb.plen, dtype=jnp.int32)
-        kb = jnp.where(build_live, packed, jnp.int64(_I64_MAX))
-        sk, sp = jax.lax.sort([kb, iota], num_keys=1, is_stable=False)
-        step_aux[f"{pfx}.sk"] = sk
-        step_aux[f"{pfx}.sp"] = sp
-        mode = "sorted"
+        # full domain too wide for a direct LUT: address on ONE subset key
+        # with ≤Bc candidate rows per slot, resolved by a full packed-key
+        # compare (a searchsorted chain at probe length costs ~20 serial
+        # gather rounds on TPU — measured 4.8 s on Q5; the bucket probe is
+        # one Bc-wide gather). Bc comes from catalog duplication stats
+        # with 2× slack, verified by a deferred overflow counter that
+        # falls back to the sorted mode and re-runs.
+        best = None  # (Bc, idx)
+        if not forced_sorted:
+            for i, (e, rng) in enumerate(zip(j.build_keys, rngs)):
+                own = _key_owner(bb.src, e.key)
+                if own is None:
+                    continue
+                ent, cn = own
+                try:
+                    dc = max(1, ent.distinct_count(cn))
+                except Exception:  # noqa: BLE001
+                    continue
+                dup = -(-ent.nrows // dc)  # ceil
+                Bc = 1 if dup == 1 else 1 << (dup * 2 - 1).bit_length()
+                if Bc <= 16 and rng * Bc <= DENSE_LUT_LIMIT \
+                        and (best is None or Bc < best[0]):
+                    best = (Bc, i, rng)
+        if best is not None:
+            bucket_width, subset_idx, subset_size = best[0], best[1], best[2]
+            Bc, S = bucket_width, subset_size
+            sv = ((packed // jnp.int64(strides[subset_idx]))
+                  % jnp.int64(rngs[subset_idx])).astype(jnp.int32)
+            slot_b = jnp.where(build_live, sv, S)
+            iota = jnp.arange(bb.plen, dtype=jnp.int32)
+            sorted_slot, perm_s = jax.lax.sort([slot_b, iota], num_keys=1,
+                                               is_stable=False)
+            boundary = jnp.concatenate([
+                jnp.ones((1,), jnp.bool_),
+                sorted_slot[1:] != sorted_slot[:-1]])
+            starts = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(boundary, iota, 0))
+            pos = iota - starts
+            live_sorted = jnp.logical_and(sorted_slot < S, pos < Bc)
+            flat = jnp.where(live_sorted,
+                             sorted_slot * Bc + pos, S * Bc)
+            bt = jnp.full((S * Bc + 1,), -1, jnp.int32).at[flat].set(
+                jnp.where(live_sorted, perm_s, -1), mode="drop")[:-1]
+            overflow = jnp.sum(jnp.logical_and(sorted_slot < S, pos >= Bc))
+
+            def _check_overflow(v, j=j):
+                if int(v) > 0:
+                    j._bucket_overflowed = True
+                    return True
+                return False
+
+            executor.defer_scalar(overflow, _check_overflow)
+            step_aux[f"{pfx}.bt"] = bt
+            step_aux[f"{pfx}.bk"] = jnp.where(build_live, packed,
+                                              jnp.int64(-1))
+            mode = "bucket"
+        else:
+            iota = jnp.arange(bb.plen, dtype=jnp.int32)
+            kb = jnp.where(build_live, packed, jnp.int64(_I64_MAX))
+            sk, sp = jax.lax.sort([kb, iota], num_keys=1, is_stable=False)
+            step_aux[f"{pfx}.sk"] = sk
+            step_aux[f"{pfx}.sp"] = sp
+            mode = "sorted"
     aux.update(step_aux)
     step = _JoinStep(pfx, mode, list(j.probe_keys), los, rngs, strides,
-                     size, bb.plen, aux, bb.src)
+                     size, bb.plen, aux, bb.src, subset_idx=subset_idx,
+                     bucket_width=bucket_width, subset_size=subset_size)
+    step.aux_entries.update(step_aux)
     step.phase1 = _subtree_filters(j.build)
     return step
+
+
+def _key_owner(src, key):
+    """(entry, colname) if `key` reaches a NON-GATHERED TableCols (one
+    output row per table row); None otherwise."""
+    from duckdb_tpu.execution.executor import ChainCols, TableCols
+
+    stack = [src]
+    while stack:
+        s_ = stack.pop()
+        if isinstance(s_, ChainCols):
+            stack.extend(s_.sources)
+        elif isinstance(s_, TableCols) and key in s_.keymap:
+            return (s_.entry, s_.keymap[key])
+    return None
 
 
 def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:

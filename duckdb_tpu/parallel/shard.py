@@ -226,3 +226,158 @@ def make_exchange_join(mesh: Mesh, n: int, cap_p: int, cap_b: int,
         return rp_r, brow, overflow
 
     return jax.jit(step)
+
+
+def make_exchange_join_dup(mesh: Mesh, n: int, cap_p: int, cap_b: int,
+                           cap_out: int, axis: str = "dp"):
+    """Duplicate-key exchange join: hash-repartition both sides, then each
+    chip resolves its partition with a sorted-build RANGE probe (counts +
+    expansion) — arbitrary build-key duplication, unlike make_exchange_join
+    which requires proven-unique builds.
+
+    Reference analog: the radix-partitioned hash join's repartition +
+    chained-bucket probe (/root/reference/src/execution/
+    radix_partitioned_hashtable.cpp:531-691,
+    src/execution/operator/join/physical_hash_join.cpp:345).
+
+    Outputs per shard (flattened over the mesh):
+    pr/br — matched (probe, build) global row id pairs, -1 padded, up to
+    cap_out pairs per chip; pm — per routed probe row whether it matched
+    at least once (for semi/anti/left, aligned with routed probe slots);
+    prr — the routed probe row ids; overflow — replicated count of dropped
+    rows (send buckets or pair expansion): >0 ⇒ caller falls back.
+    """
+    sent_b = jnp.iinfo(jnp.int64).max
+    sent_p = jnp.iinfo(jnp.int64).max - 1
+
+    def step(pk, p_live, p_rows, bk, b_live, b_rows):
+        ps_k, ps_r, p_drop = _bucketize(pk, p_live, p_rows, n, cap_p, sent_p)
+        bs_k, bs_r, b_drop = _bucketize(bk, b_live, b_rows, n, cap_b, sent_b)
+        rp_k = jax.lax.all_to_all(ps_k, axis, 0, 0, tiled=False).reshape(-1)
+        rp_r = jax.lax.all_to_all(ps_r, axis, 0, 0, tiled=False).reshape(-1)
+        rb_k = jax.lax.all_to_all(bs_k, axis, 0, 0, tiled=False).reshape(-1)
+        rb_r = jax.lax.all_to_all(bs_r, axis, 0, 0, tiled=False).reshape(-1)
+        nb = rb_k.shape[0]
+        npr = rp_k.shape[0]
+        iota_b = jnp.arange(nb, dtype=jnp.int32)
+        sk, sperm = jax.lax.sort([rb_k, iota_b], num_keys=1, is_stable=False)
+        srows = rb_r[sperm]
+        lo = jnp.searchsorted(sk, rp_k, side="left", method="sort")
+        hi = jnp.searchsorted(sk, rp_k, side="right", method="sort")
+        counts = jnp.where(rp_r >= 0, (hi - lo).astype(jnp.int32), 0)
+        ends = jnp.cumsum(counts)
+        total = ends[-1]
+        # pair j ↦ probe slot via one searchsorted over the end offsets
+        j = jnp.arange(cap_out, dtype=jnp.int32)
+        slot = jnp.searchsorted(ends, j, side="right", method="sort")
+        slot_c = jnp.clip(slot, 0, npr - 1)
+        k = j - (ends[slot_c] - counts[slot_c])
+        pair_live = j < total
+        pr = jnp.where(pair_live, rp_r[slot_c], -1)
+        br_idx = jnp.clip(lo[slot_c] + k, 0, nb - 1)
+        br = jnp.where(pair_live, srows[br_idx], -1)
+        pair_drop = jnp.maximum(total - cap_out, 0)
+        overflow = jax.lax.psum(p_drop + b_drop + pair_drop, axis)
+        pair_max = jax.lax.pmax(total, axis)  # true per-chip demand,
+        # counted BEFORE truncation — sizes the retry capacity exactly
+        return pr, br, counts > 0, rp_r, overflow, pair_max
+
+    mapped = shard_map_compat(
+        step, mesh, (P(axis),) * 6,
+        (P(axis), P(axis), P(axis), P(axis), P(), P()))
+    return jax.jit(mapped)
+
+
+def make_sharded_sort(mesh: Mesh, n: int, cap: int, axis: str = "dp"):
+    """Distributed ORDER BY: sample-based range partitioning + local sort.
+
+    Each chip sorts its shard, publishes quantile samples (all_gather),
+    and routes rows to the owner of their splitter range via one
+    all_to_all; a final local sort per chip yields a globally ordered
+    shard-major concatenation. The reference's parallel sort builds
+    per-thread sorted runs and k-way-merges them
+    (/root/reference/src/common/sort/sorted_run_merger.cpp); range
+    partitioning replaces the merge with a collective so no single chip
+    touches the full row set.
+
+    Inputs (sharded): normalized int64 sort keys, live mask, global row
+    ids. Outputs: row ids in global sort order (shard-major, dead slots
+    padded -1), live mask, replicated overflow count.
+    """
+    SENT = jnp.iinfo(jnp.int64).max
+    S = 64  # samples per shard
+
+    def step(keys, live, rows):
+        r = keys.shape[0]
+        k_mask = jnp.where(live, keys, SENT)
+        iota = jnp.arange(r, dtype=jnp.int32)
+        k_sorted, _ = jax.lax.sort([k_mask, iota], num_keys=1,
+                                   is_stable=False)
+        n_local = jnp.sum(live)
+        pos = jnp.clip((jnp.arange(S) * n_local) // S, 0, r - 1)
+        samples = jnp.where(n_local > 0, k_sorted[pos], SENT)
+        all_samples = jax.lax.all_gather(samples, axis).reshape(-1)
+        ss = jnp.sort(all_samples)
+        # n-1 splitters at the global sample quantiles
+        spl = ss[jnp.clip((jnp.arange(1, n) * (n * S)) // n,
+                          0, n * S - 1)]
+        dest = jnp.searchsorted(spl, k_mask, side="right",
+                                method="sort").astype(jnp.int32)
+        dest = jnp.where(live, dest, n)
+        # route (key, row) to the owner shard
+        sd, perm = jax.lax.sort([dest, iota], num_keys=1, is_stable=False)
+        boundary = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                    sd[1:] != sd[:-1]])
+        starts = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(boundary, iota, 0))
+        posb = iota - starts
+        ok = jnp.logical_and(sd < n, posb < cap)
+        flat = jnp.where(ok, sd * cap + posb, n * cap)
+        send_k = jnp.full((n * cap + 1,), SENT, keys.dtype).at[flat].set(
+            jnp.where(ok, k_mask[perm], SENT), mode="drop")[:-1]
+        send_r = jnp.full((n * cap + 1,), -1, jnp.int32).at[flat].set(
+            jnp.where(ok, rows[perm], -1), mode="drop")[:-1]
+        dropped = jnp.sum(jnp.logical_and(sd < n, ~ok).astype(jnp.int32))
+        rk = jax.lax.all_to_all(send_k.reshape(n, cap), axis, 0, 0,
+                                tiled=False).reshape(-1)
+        rr = jax.lax.all_to_all(send_r.reshape(n, cap), axis, 0, 0,
+                                tiled=False).reshape(-1)
+        # sort received rows; liveness rides the ROW ID (-1 = pad slot): a
+        # real NULLS-LAST key normalizes to INT64_MAX and must not be
+        # confused with the pad sentinel. Pad gaps among equal keys are
+        # harmless — downstream compaction preserves position order.
+        _, or_ = jax.lax.sort([rk, rr], num_keys=1, is_stable=True)
+        out_live = or_ >= 0
+        overflow = jax.lax.psum(dropped, axis)
+        return jnp.where(out_live, or_, -1), out_live, overflow
+
+    mapped = shard_map_compat(step, mesh, (P(axis),) * 3,
+                              (P(axis), P(axis), P()))
+    return jax.jit(mapped)
+
+
+_DUP_CACHE: dict = {}
+_SORT_CACHE: dict = {}
+
+
+def get_exchange_join_dup(n: int, cap_p: int, cap_b: int, cap_out: int):
+    import numpy as _np
+
+    devs = jax.devices()[:n]
+    key = (n, cap_p, cap_b, cap_out, tuple(d.id for d in devs))
+    if key not in _DUP_CACHE:
+        mesh = Mesh(_np.array(devs), ("dp",))
+        _DUP_CACHE[key] = make_exchange_join_dup(mesh, n, cap_p, cap_b,
+                                                 cap_out)
+    return _DUP_CACHE[key]
+
+
+def get_sharded_sort(n: int, cap: int):
+    import numpy as _np
+
+    devs = jax.devices()[:n]
+    key = (n, cap, tuple(d.id for d in devs))
+    if key not in _SORT_CACHE:
+        mesh = Mesh(_np.array(devs), ("dp",))
+        _SORT_CACHE[key] = make_sharded_sort(mesh, n, cap)
+    return _SORT_CACHE[key]

@@ -98,3 +98,92 @@ def test_sharded_minmax(data_dir):
            "ORDER BY l_returnflag")
     single, sharded = _run_both(sql, data_dir)
     assert single == sharded
+
+
+def test_exchange_join_duplicate_build_keys(data_dir):
+    """Dup-key exchange join (fact-fact shape): 8-shard must match
+    single-chip bit-exactly, and the dup path must actually run."""
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE l (k INT, v INT)")
+    con.sql("INSERT INTO l SELECT range % 50, range FROM range(4000)")
+    con.sql("CREATE TABLE r (k INT, w INT)")
+    con.sql("INSERT INTO r SELECT range % 50, range * 3 FROM range(300)")
+    # median defeats the fused-aggregate path (which would replicate the
+    # build instead) so the general join path + exchange runs
+    q = ("SELECT l.k, median(l.v + r.w), count(*) FROM l JOIN r ON l.k = r.k "
+         "GROUP BY l.k ORDER BY l.k")
+    single = con.sql(q).rows()
+    con.sql("SET num_shards = 8")
+    con.sql("SET exchange_join_threshold = 0")
+    con._plan_cache.clear()
+    sharded = con.sql(q).rows()
+    assert single == sharded
+    n_ex = con.sql("SELECT count(*) FROM duckdb_logs() WHERE "
+                   "type = 'exchange_join' AND message LIKE "
+                   "'dup-key join repartitioned%'").rows()[0][0]
+    assert n_ex >= 1, "dup-key exchange path did not run"
+
+
+def test_exchange_join_dup_semi_anti(data_dir):
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE l (k INT, v INT)")
+    con.sql("INSERT INTO l SELECT range % 37, range FROM range(3000)")
+    con.sql("CREATE TABLE r (k INT)")
+    con.sql("INSERT INTO r SELECT range % 11 FROM range(200)")
+    for q in (
+        "SELECT count(*) FROM l WHERE EXISTS "
+        "(SELECT 1 FROM r WHERE r.k = l.k)",
+        "SELECT count(*) FROM l WHERE NOT EXISTS "
+        "(SELECT 1 FROM r WHERE r.k = l.k)",
+    ):
+        single = con.sql(q).rows()
+        con.sql("SET num_shards = 8")
+        con.sql("SET exchange_join_threshold = 0")
+        con._plan_cache.clear()
+        sharded = con.sql(q).rows()
+        con.sql("SET num_shards = 1")
+        con._plan_cache.clear()
+        assert single == sharded, q
+
+
+def test_sharded_order_by(data_dir):
+    """Distributed ORDER BY: sample-range partition + local sorts must
+    reproduce the single-chip ordering bit-exactly."""
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE t (a BIGINT, b INT)")
+    con.sql("INSERT INTO t SELECT (range * 2654435761) % 1000000, range "
+            "FROM range(20000)")
+    q = "SELECT a FROM t ORDER BY a"
+    single = con.sql(q).rows()
+    con.sql("SET num_shards = 8")
+    con._plan_cache.clear()
+    sharded = con.sql(q).rows()
+    assert single == sharded
+    n_s = con.sql("SELECT count(*) FROM duckdb_logs() WHERE "
+                  "type = 'sharded_sort' AND message LIKE "
+                  "'ORDER BY range-partitioned%'").rows()[0][0]
+    assert n_s >= 1, "sharded sort path did not run"
+
+
+def test_sharded_order_by_desc_nulls(data_dir):
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE t (a BIGINT)")
+    con.sql("INSERT INTO t SELECT CASE WHEN range % 97 = 0 THEN NULL "
+            "ELSE (range * 48271) % 99991 END FROM range(17000)")
+    for q in ("SELECT a FROM t ORDER BY a DESC",
+              "SELECT a FROM t ORDER BY a NULLS FIRST"):
+        single = con.sql(q).rows()
+        con.sql("SET num_shards = 8")
+        con._plan_cache.clear()
+        sharded = con.sql(q).rows()
+        con.sql("SET num_shards = 1")
+        con._plan_cache.clear()
+        assert single == sharded, q
