@@ -27,6 +27,11 @@ SF = float(os.environ.get("BENCH_SF", "1"))
 DATA = os.path.join(ROOT, "data", f"sf{SF:g}")
 LINEITEM_ROWS = {0.01: 60175, 0.1: 600572, 1: 6001215, 10: 59986052}
 REF_QUERIES = "/root/reference/extension/tpch/dbgen/queries"
+# secondary scale factor: SF1 latencies sit near the tunneled runtime's
+# ~30 ms per-query dispatch floor (PERF.md), so SF10 is the
+# compute-dominated comparison when data + budget allow
+SF2 = float(os.environ.get("BENCH_SF2", "10"))
+DATA2 = os.path.join(ROOT, "data", f"sf{SF2:g}")
 
 Q1 = """
 SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
@@ -41,7 +46,8 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
 
-SECONDARY = ["q03", "q06", "q09"]
+SECONDARY = ["q03", "q05", "q06", "q09"]
+SECONDARY_SF2 = ["q01", "q03", "q09"]
 
 
 def ensure_data():
@@ -55,9 +61,12 @@ def ensure_data():
                    stdout=subprocess.DEVNULL)
 
 
-def timed(con, sql, runs=5, warmups=1):
+def timed(con, sql, runs=5, warmups=3):
+    # steady state needs THREE runs: run 1 populates the plan cache, run 2
+    # learns stage cardinalities (compaction caps, group counts) and
+    # re-traces with the learned shapes, run 3 is steady
     for _ in range(warmups):
-        con.sql(sql)  # warmup: compile (first run also populates plan cache)
+        con.sql(sql)
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -112,6 +121,25 @@ def main():
         rt = base.get(f"{q}_sf{SF:g}_s")
         if rt:
             secondary[f"{q}_sf{SF:g}_vs_baseline"] = round(rt / t, 3)
+
+    # compute-dominated comparison at SF10 (skip when data/budget missing)
+    if SF2 != SF and os.path.isdir(os.path.join(DATA2, "lineitem")) \
+            and _remaining() > 240:
+        con2 = duckdb_tpu.connect()
+        con2.load_tpch(DATA2)
+        for q in SECONDARY_SF2:
+            path = os.path.join(REF_QUERIES, f"{q}.sql")
+            if not os.path.exists(path) or _remaining() < 90:
+                break
+            try:
+                t = timed(con2, open(path).read(), runs=2, warmups=3)
+            except Exception as e:  # noqa: BLE001
+                secondary[f"{q}_sf{SF2:g}_error"] = type(e).__name__
+                continue
+            secondary[f"{q}_sf{SF2:g}_s"] = round(t, 4)
+            rt = base.get(f"{q}_sf{SF2:g}_s")
+            if rt:
+                secondary[f"{q}_sf{SF2:g}_vs_baseline"] = round(rt / t, 3)
 
     print(json.dumps({
         "metric": f"tpch_q1_sf{SF:g}_rows_per_s",

@@ -823,36 +823,183 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
     filters1 = [f for f in filters if not _refs_build_cols(f)]
     filters2 = [f for f in filters if _refs_build_cols(f)]
 
-    # compaction: single-chip only, blocks > 64k rows, cap learned per node
-    # (falls back to the general aggregate path's learned live count, which
-    # measures the same post-filter/post-join row population)
-    compact_cap = None
-    if plen > (1 << 16) and (join_steps or not dense_mode
-                             or total > (1 << 10)):
-        learned = getattr(node, "_fused_n_live",
-                          getattr(node, "_last_n_live", None))
-        if learned is not None:
-            compact_cap = max(1 << 15, pad_bucket(int(learned * 5 // 4) + 1))
-        else:
-            compact_cap = max(1 << 15, pad_bucket(plen >> 3))
-        if compact_cap >= plen:
-            compact_cap = None
-    if not dense_mode and compact_cap is None:
-        out_cap = max(128, pad_bucket(plen))
-    elif not dense_mode:
-        out_cap = compact_cap
+    # ---- staged schedule with learned cardinalities (single-chip) -------
+    # Each stage's post-stage live count is LEARNED across runs (deferred
+    # scalars riding the result transfer); restrictive probes sort by
+    # learned selectivity (dependencies permitting) and a compaction is
+    # inserted whenever the expected row count falls ≥2× below the current
+    # frame — downstream probes/expressions then run at the shrunken
+    # length. Stale caps (data drift) truncate, are detected by the same
+    # deferred counters, and re-run the plan. Reference analog: join-order
+    # selectivity + SelectionVector chaining (src/optimizer/join_order/,
+    # DataChunk slicing), recast as static program shapes + learning.
+    stage_counts: Dict = node.__dict__.setdefault("_fused_stage_counts", {})
+
+    def _stage_id(step):
+        return ("probe", join_steps.index(step))
+
+    order_hint = {s: stage_counts.get(_stage_id(s), None)
+                  for s in phase1_steps}
+    # sort restrictive probes by learned post-probe count (unknown last),
+    # then repair dependency order (probe keys over earlier build cols)
+    p1 = sorted(phase1_steps,
+                key=lambda s: (order_hint[s] is None,
+                               order_hint[s] if order_hint[s] is not None
+                               else 0))
+    ordered, avail2 = [], set(key2col)
+    pending = list(p1)
+    while pending:
+        moved = False
+        for s in list(pending):
+            refs = set()
+            for e in s.probe_keys:
+                _all_refs(e, refs)
+            if refs <= avail2:
+                ordered.append(s)
+                avail2 |= set(s.build_cols)
+                pending.remove(s)
+                moved = True
+        if not moved:  # cycle (cannot happen): keep original order
+            ordered.extend(pending)
+            break
+    phase1_ordered = ordered
+
+    allow_compact = plen > (1 << 16)
+    schedule = [("filters", "f1")]
+    for s in phase1_ordered:
+        schedule.append(("probe", s))
+    for s in phase2_steps:
+        schedule.append(("probe", s))
+    schedule.append(("filters", "f2"))
+
+    # insert compaction points from learned counts
+    final_cap = plen
+    if allow_compact:
+        cur_cap = plen
+        out_sched = []
+        fallback = getattr(node, "_fused_n_live",
+                           getattr(node, "_last_n_live", None))
+        for i, op in enumerate(schedule):
+            out_sched.append(op)
+            if op[0] == "filters" and op[1] == "f2":
+                break
+            # a compaction only pays when something downstream runs at the
+            # shrunken length: more probes, a sort-group, or a wide dense
+            # domain (a cheap masked-reduce tail is faster un-compacted)
+            probes_after = any(o[0] == "probe" for o in schedule[i + 1:])
+            if not (probes_after or not dense_mode or total > (1 << 10)):
+                continue
+            sid = ("filters", "f1") if op[0] == "filters" \
+                else _stage_id(op[1])
+            cnt = stage_counts.get(sid)
+            if cnt is None and i == 0 and fallback is None \
+                    and op[0] == "filters" and filters1:
+                cnt = plen >> 3  # first-run guess after base filters
+            if cnt is not None:
+                cap = max(1 << 15, pad_bucket(int(cnt * 5 // 4) + 1))
+                if cap <= cur_cap // 2:
+                    out_sched.append(("compact", cap, sid))
+                    cur_cap = cap
+        schedule = out_sched
+        final_cap = cur_cap
+
+    if not dense_mode:
+        out_cap = max(128, pad_bucket(final_cap))
     else:
         out_cap = total
 
-    extras_cb: List[Callable] = []
-    if compact_cap is not None:
-        def _learn_live(v, node=node, cap=compact_cap):
-            node._fused_n_live = int(v)
-            return int(v) > cap
+    # stage-count learning callbacks, built STATICALLY in schedule order
+    # (the traced body may be a cache hit that never re-executes Python,
+    # so the extras→callback pairing cannot be built at trace time)
+    _caps_after = {}
+    for op in schedule:
+        if op[0] == "compact":
+            _caps_after[op[2]] = op[1]
 
-        extras_cb.append(_learn_live)
+    def _make_learn(sid, node=node):
+        cap = _caps_after.get(sid)
+
+        def cb(v, node=node, sid=sid, cap=cap):
+            node._fused_stage_counts[sid] = int(v)
+            # stale compaction cap (data drift) truncated rows → rerun
+            return cap is not None and int(v) > cap
+
+        return cb
+
+    extras_cb: List[Callable] = []
+    if allow_compact:
+        for op in schedule:
+            if op[0] == "filters" and op[1] == "f1" and filters1:
+                extras_cb.append(_make_learn(("filters", "f1")))
+            elif op[0] == "probe":
+                extras_cb.append(_make_learn(_stage_id(op[1])))
 
     from duckdb_tpu.execution.tracing import TraceEnv
+
+    class _LazyBaseCol:
+        """Post-compaction base column: one gather from the ORIGINAL plane
+        through the composed row selection, evaluated only on access."""
+
+        def __init__(self, col, sel):
+            self.col = col
+            self.sel = sel
+
+        def eval(self, env):
+            c, sel = self.col, self.sel
+            return Column(
+                data=jnp.broadcast_to(c.data, (plen,))[sel], ltype=c.ltype,
+                validity=(jnp.broadcast_to(c.validity, (plen,))[sel]
+                          if c.validity is not None else None),
+                dict_values=c.dict_values,
+                data_hi=(jnp.broadcast_to(c.data_hi, (plen,))[sel]
+                         if c.data_hi is not None else None))
+
+    def run_pipeline(env):
+        """Execute the staged schedule → (env2, live, p, extras)."""
+        p = plen
+        live = env.live
+        env2 = TraceEnv({k: env[k] for k in needed}, p, live,
+                        overlay=dict(proj_list))
+        env2.aux = env.aux
+        sel = None  # composed selection into the original frame
+        bidx_map = {}
+        extras = []
+        for op in schedule:
+            if op[0] == "filters":
+                fs = filters1 if op[1] == "f1" else filters2
+                for f in fs:
+                    c = f.eval(env2)
+                    keep = jnp.broadcast_to(c.data.astype(jnp.bool_), (p,))
+                    if c.validity is not None:
+                        keep = jnp.logical_and(
+                            keep, jnp.broadcast_to(c.validity, (p,)))
+                    live = jnp.logical_and(live, keep)
+                    env2.live = live
+                if op[1] == "f1" and allow_compact and filters1:
+                    extras.append(jnp.sum(live))
+            elif op[0] == "probe":
+                step = op[1]
+                bidx, hit = step.probe(env2, p, live)
+                live = hit
+                env2.live = live
+                bidx_map[step] = bidx
+                step.register_lazy(env2, bidx)
+                if allow_compact:
+                    extras.append(jnp.sum(live))
+            else:  # compact
+                cap = op[1]
+                idx, live = compact_indices(live, cap)
+                sel = idx if sel is None else sel[idx]
+                env2 = TraceEnv({}, cap, live, overlay=dict(proj_list))
+                env2.aux = env.aux
+                for k in needed:
+                    env2._overlay[k] = _LazyBaseCol(env[k], sel)
+                for st, b in list(bidx_map.items()):
+                    b2 = b[idx]
+                    bidx_map[st] = b2
+                    st.register_lazy(env2, b2)
+                p = cap
+        return env2, live, p, tuple(extras)
 
     def run_phase1(env, p):
         """→ (env2, live, phase1 bidx per step) at full length. Build
@@ -895,28 +1042,6 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
             live = jnp.logical_and(live, keep)
             env2.live = live
         return live
-
-    def compact_env(env, env2, live, bidx1, p, cap):
-        """Gather base cols to the compacted length; phase-1 build cols
-        re-register with compaction-composed bidx; projections re-evaluate
-        lazily at the compacted length."""
-        idx, live2 = compact_indices(live, cap)
-        n_live = jnp.sum(live)
-        cols3 = {}
-        for k in needed:
-            c = env[k]
-            cols3[k] = Column(
-                data=jnp.broadcast_to(c.data, (p,))[idx], ltype=c.ltype,
-                validity=(jnp.broadcast_to(c.validity, (p,))[idx]
-                          if c.validity is not None else None),
-                dict_values=c.dict_values,
-                data_hi=(jnp.broadcast_to(c.data_hi, (p,))[idx]
-                         if c.data_hi is not None else None))
-        env3 = TraceEnv(cols3, cap, live2, overlay=dict(proj_list))
-        env3.aux = env2.aux
-        for step, bidx in zip(phase1_steps, bidx1):
-            step.register_lazy(env3, bidx[idx])
-        return env3, live2, n_live
 
     def agg_partial_vectors(env, live, p):
         vecs, kinds = [], []
@@ -1049,15 +1174,7 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
 
     def body(env):
         """Single-chip fused pipeline → (cols, occ, extras)."""
-        env2, live, bidx1 = run_phase1(env, plen)
-        extras = ()
-        p = plen
-        if compact_cap is not None:
-            env2, live, n_live = compact_env(env, env2, live, bidx1, plen,
-                                             compact_cap)
-            extras = (n_live,)
-            p = compact_cap
-        live = run_phase2(env2, p, live)
+        env2, live, p, extras = run_pipeline(env)
         if dense_mode:
             flat, occ = dense_reduce(env2, live, p)
             cols, occ = dense_finalize(occ, flat)
@@ -1080,7 +1197,10 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
                   body_partials=body_partials if dense_mode else None,
                   finalize=dense_finalize if dense_mode else None,
                   partial_kinds=partial_kinds,
-                  variant=(dense_mode, compact_cap, out_cap))
+                  variant=(dense_mode, out_cap,
+                           tuple((op[0], op[1]) if op[0] != "probe"
+                                 else ("probe", join_steps.index(op[1]))
+                                 for op in schedule)))
     return fa
 
 
