@@ -53,6 +53,9 @@ SETTINGS = [
             "Dense-table size above which multi-shard joins repartition "
             "via all_to_all exchange instead of replicating the build "
             "(0 = always exchange when num_shards > 1)"),
+    Setting("pallas_grouped_sum", "auto", "VARCHAR", "GLOBAL",
+            "Exact int64 grouped sums via the Pallas limb-matmul MXU "
+            "kernel: 'auto' (on for TPU backends), 'on', 'off'"),
     Setting("experimental_join_fusion", False, "BOOLEAN", "GLOBAL",
             "Fuse dense unique inner joins into aggregate programs "
             "(constant-capture prototype; see fused_agg._JoinPrep)"),
@@ -106,6 +109,14 @@ class SettingsManager:
             from duckdb_tpu.catalog.catalog import set_memory_limit
 
             set_memory_limit(parse_bytes(value))
+        elif name == "pallas_grouped_sum":
+            from duckdb_tpu.ops import pallas_agg
+
+            mode = str(value).lower()
+            if mode not in ("auto", "on", "off"):
+                raise ValueError(
+                    "pallas_grouped_sum must be 'auto', 'on', or 'off'")
+            pallas_agg.MODE = mode
 
     def reset(self, name: str):
         name = name.lower()

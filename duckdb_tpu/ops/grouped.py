@@ -72,6 +72,27 @@ def grouped_sum_single(dense: jnp.ndarray, vec: jnp.ndarray,
 
 
 def _masked_bcast(dense, vectors, kinds, nseg):
+    # int64 sums: on TPU the masked reduce is x64-EMULATED per row × slot;
+    # the Pallas limb-matmul kernel does the same sums exactly on the MXU
+    # in int32/bf16 (ops/pallas_agg.py). Other kinds/dtypes stay here.
+    from duckdb_tpu.ops import pallas_agg
+
+    if pallas_agg.enabled():
+        i64_sum = [i for i, (v, k) in enumerate(zip(vectors, kinds))
+                   if k == "sum" and v.dtype in (jnp.int64, jnp.uint64)]
+        if i64_sum:
+            sums = pallas_agg.grouped_sum_i64(
+                dense, [vectors[i] for i in i64_sum], nseg)
+            rest_idx = [i for i in range(len(vectors)) if i not in i64_sum]
+            results = [None] * len(vectors)
+            for i, s in zip(i64_sum, sums):
+                results[i] = s.astype(vectors[i].dtype)
+            if rest_idx:
+                rest = _masked_bcast(dense, [vectors[i] for i in rest_idx],
+                                     [kinds[i] for i in rest_idx], nseg)
+                for i, r in zip(rest_idx, rest):
+                    results[i] = r
+            return results
     oh = dense[:, None] == jnp.arange(nseg, dtype=dense.dtype)[None, :]
     out = []
     # group same-kind same-dtype vectors into one (N, nseg, K) fused reduce
