@@ -52,6 +52,19 @@ static int32_t parse_date(const char *s) {
 	return (int32_t)days_from_civil(y, (unsigned)m, (unsigned)d);
 }
 
+static void mkdirs(const std::string &path) {
+	/* create path and any missing parents; error out if that fails */
+	for (size_t i = 1; i <= path.size(); i++) {
+		if (i == path.size() || path[i] == '/') {
+			std::string p = path.substr(0, i);
+			if (mkdir(p.c_str(), 0755) != 0 && errno != EEXIST) {
+				perror(("mkdir " + p).c_str());
+				exit(1);
+			}
+		}
+	}
+}
+
 struct ColWriter {
 	FILE *f = nullptr;
 	FILE *bytes = nullptr;
@@ -94,7 +107,7 @@ struct TableWriter {
 
 	void open(const std::string &out, const char *table) {
 		dir = out + "/" + table;
-		mkdir(dir.c_str(), 0755);
+		mkdirs(dir);
 		cols.reserve(24); // callers hold references; never reallocate
 	}
 	ColWriter &num(const char *col, const char *k) {
@@ -130,7 +143,7 @@ int main(int argc, char **argv) {
 	}
 	fprintf(stderr, "start\n"); double flt_scale = atof(argv[1]);
 	std::string out = argv[2];
-	mkdir(out.c_str(), 0755);
+	mkdirs(out);
 
 	DBGenContext ctx;
 	// globals the TPC core reads (normally set by the host program)
