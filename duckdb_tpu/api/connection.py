@@ -133,6 +133,11 @@ class Connection:
         self.log = (getattr(self._db.catalog, "log_manager", None)
                     or LogManager())
         self._db.catalog.log_manager = self.log
+        # string host-loop observability: the device-plane module logs a
+        # WARN through the most recent connection's manager (ops/strings.py)
+        from duckdb_tpu.ops import strings as _dstr
+
+        _dstr.GLOBAL_LOG = self.log
         # plan cache: SQL text → (plan, output), invalidated on DDL/DML
         self._plan_cache = {}
         # connection-local TEMPORARY views

@@ -107,8 +107,7 @@ TPCH_SCHEMA = {
 
 def _load_col(table_dir: str, name: str, kind: str):
     if kind == "str":
-        values = binary_dir.read_string_column(table_dir, name)
-        codes, uniq = binary_dir.dict_encode(values)
+        codes, uniq = binary_dir.load_string_dict(table_dir, name)
         return codes, None, uniq
     return binary_dir.read_numeric_column(table_dir, name, kind), None, None
 

@@ -702,11 +702,25 @@ def concat_pair(env, a, b):
     valid = B._and_validity(a.validity, b.validity)
     na, nb = len(a.dict_values), len(b.dict_values)
     if nb == 1 and b.validity is None:
-        c = F.dict_transform(a, lambda s: s + b.dict_values[0])
+        sfx = str(b.dict_values[0])
+        dev = None
+        if sfx.isascii():
+            from duckdb_tpu.ops.strings import op_concat_const
+
+            dev = lambda p, le: op_concat_const(p, le, "", sfx)  # noqa: E731
+        c = F.dict_transform(a, lambda s: s + sfx, device=dev,
+                             device_key=f"concat:*:{sfx}")
         return B.Column(data=c.data, ltype=c.ltype, validity=valid,
                         dict_values=c.dict_values)
     if na == 1 and a.validity is None:
-        c = F.dict_transform(b, lambda s: a.dict_values[0] + s)
+        pre = str(a.dict_values[0])
+        dev = None
+        if pre.isascii():
+            from duckdb_tpu.ops.strings import op_concat_const
+
+            dev = lambda p, le: op_concat_const(p, le, pre, "")  # noqa: E731
+        c = F.dict_transform(b, lambda s: pre + s, device=dev,
+                             device_key=f"concat:{pre}:*")
         return B.Column(data=c.data, ltype=c.ltype, validity=valid,
                         dict_values=c.dict_values)
     if na * nb <= (1 << 18):

@@ -777,15 +777,17 @@ class BoundLike(BoundExpr):
         assert c.ltype.id is TypeId.VARCHAR and c.dict_values is not None
         lut = None
         if len(c.dict_values) >= 1:
-            from duckdb_tpu.ops.strings import (DEVICE_LIKE_MIN_DICT,
-                                                device_like_lut)
+            from duckdb_tpu.ops import strings as dstr
 
-            if len(c.dict_values) >= DEVICE_LIKE_MIN_DICT:
+            if len(c.dict_values) >= dstr.DEVICE_LIKE_MIN_DICT:
                 # near-unique columns: vectorized device matching over the
                 # packed dictionary byte plane instead of a Python loop per
-                # distinct value (ops/strings.py)
-                lut = device_like_lut(c.dict_values, self.pattern,
-                                      self.case_insensitive)
+                # distinct value (ops/strings.py); handles %, _, escapes
+                lut = dstr.device_like_lut(c.dict_values, self.pattern,
+                                           self.case_insensitive)
+                if lut is None:
+                    dstr.note_host_loop(f"like:{self.pattern}",
+                                        len(c.dict_values))
         if lut is None:
             rx = like_to_regex(self.pattern)
             flags = re.IGNORECASE if self.case_insensitive else 0

@@ -38,30 +38,79 @@ from duckdb_tpu.types import (
 )
 
 
-def dict_transform(col: Column, fn) -> Column:
-    """Apply a host string→string fn per distinct value; re-encode codes."""
+def dict_transform(col: Column, fn, device=None, device_key=None) -> Column:
+    """Apply a string→string fn per distinct value; re-encode codes.
+
+    When `device` is given (a plane op from ops/strings.py) and the
+    dictionary is large, the transform runs vectorized on device and only
+    distinct RESULTS are decoded; the host per-value loop is the
+    low-cardinality / non-ASCII fallback."""
     if col.dict_values is None:  # typed-NULL input (e.g. fn(NULL))
         return Column(data=jnp.zeros_like(col.data), ltype=VARCHAR,
                       validity=jnp.zeros(col.data.shape, jnp.bool_),
                       dict_values=np.array([""], dtype=object))
+    from duckdb_tpu.ops import strings as dstr
+
+    nd = len(col.dict_values)
+    if device is not None and nd >= dstr.DEVICE_STR_MIN_DICT:
+        res = dstr.device_transform_lut(col.dict_values, device_key, device)
+        if res is not None:
+            remap, uniq = res
+            codes = jnp.asarray(remap)[jnp.clip(col.data, 0, nd - 1)]
+            return Column(data=codes, ltype=VARCHAR, validity=col.validity,
+                          dict_values=uniq)
+    dstr.note_host_loop(device_key or getattr(fn, "__name__", "transform"),
+                        nd)
     new_vals = np.array([fn(s) for s in col.dict_values], dtype=object)
     uniq, inv = np.unique(new_vals.astype(str), return_inverse=True)
     lut = jnp.asarray(inv.astype(np.int32))
-    codes = lut[jnp.clip(col.data, 0, len(col.dict_values) - 1)]
+    codes = lut[jnp.clip(col.data, 0, nd - 1)]
     return Column(data=codes, ltype=VARCHAR, validity=col.validity,
                   dict_values=uniq.astype(object))
 
 
-def dict_predicate(col: Column, fn) -> Column:
-    """Host per-distinct-value predicate → device boolean via LUT gather."""
+def dict_predicate(col: Column, fn, device=None, device_key=None) -> Column:
+    """Per-distinct-value predicate → device boolean via LUT gather.
+    `device` (plane op) evaluates the LUT on device for large dicts."""
     if col.dict_values is None:  # typed-NULL input
         return Column(data=jnp.zeros(col.data.shape, jnp.bool_),
                       ltype=BOOLEAN,
                       validity=jnp.zeros(col.data.shape, jnp.bool_))
-    lut = np.fromiter((fn(s) for s in col.dict_values), dtype=np.bool_,
-                      count=len(col.dict_values))
+    from duckdb_tpu.ops import strings as dstr
+
+    nd = len(col.dict_values)
+    lut = None
+    if device is not None and nd >= dstr.DEVICE_STR_MIN_DICT:
+        lut = dstr.device_value_lut(col.dict_values, device_key, device)
+    if lut is None:
+        dstr.note_host_loop(device_key or getattr(fn, "__name__", "pred"), nd)
+        lut = np.fromiter((fn(s) for s in col.dict_values), dtype=np.bool_,
+                          count=nd)
     d = jnp.asarray(lut)[jnp.clip(col.data, 0, len(lut) - 1)]
     return Column(data=d, ltype=BOOLEAN, validity=col.validity)
+
+
+def dict_int(col: Column, fn, device=None, device_key=None) -> Column:
+    """Per-distinct-value int fn → BIGINT column via LUT gather, device
+    plane op when available."""
+    if col.dict_values is None:  # typed-NULL input
+        return Column(data=jnp.zeros(col.data.shape, jnp.int64),
+                      ltype=BIGINT,
+                      validity=jnp.zeros(col.data.shape, jnp.bool_))
+    from duckdb_tpu.ops import strings as dstr
+
+    nd = len(col.dict_values)
+    lut = None
+    if device is not None and nd >= dstr.DEVICE_STR_MIN_DICT:
+        lut = dstr.device_value_lut(col.dict_values, device_key, device)
+        if lut is not None:
+            lut = lut.astype(np.int64)
+    if lut is None:
+        dstr.note_host_loop(device_key or getattr(fn, "__name__", "int"), nd)
+        lut = np.fromiter((fn(s) for s in col.dict_values), dtype=np.int64,
+                          count=nd)
+    d = jnp.asarray(lut)[jnp.clip(col.data, 0, len(lut) - 1)]
+    return Column(data=d, ltype=BIGINT, validity=col.validity)
 
 
 # -- date part extraction ----------------------------------------------------
@@ -158,40 +207,64 @@ def _bind_substring(arg_exprs):
     length = arg_exprs[2].const_value() if len(arg_exprs) > 2 else None
 
     def impl(env, cols, node):
+        from duckdb_tpu.ops import strings as dstr
+
         c = cols[0]
         s0 = int(start) - 1
+        ln = None if length is None else int(length)
+        dev = None
+        if s0 >= 0 and (ln is None or ln >= 0):
+            dev = lambda p, le: dstr.op_substring(p, le, s0, ln)  # noqa: E731
         if length is None:
-            return dict_transform(c, lambda s: s[s0:])
-        return dict_transform(c, lambda s: s[s0:s0 + int(length)])
+            return dict_transform(c, lambda s: s[s0:], device=dev,
+                                  device_key=f"substr:{s0}:")
+        return dict_transform(c, lambda s: s[s0:s0 + int(length)],
+                              device=dev, device_key=f"substr:{s0}:{ln}")
 
     return VARCHAR, impl, arg_exprs[:1]
 
 
-@register("upper")
-@register("ucase")
-def _bind_upper(arg_exprs):
-    return VARCHAR, (lambda env, cols, node: dict_transform(cols[0], str.upper)), arg_exprs
+def _case_impl(upper: bool):
+    from duckdb_tpu.ops import strings as dstr
+
+    def impl(env, cols, node):
+        return dict_transform(
+            cols[0], str.upper if upper else str.lower,
+            device=lambda p, le: dstr.op_case(p, le, upper),
+            device_key=f"case:{upper}")
+    return impl
 
 
-@register("lower")
-@register("lcase")
-def _bind_lower(arg_exprs):
-    return VARCHAR, (lambda env, cols, node: dict_transform(cols[0], str.lower)), arg_exprs
+REGISTRY["upper"] = REGISTRY["ucase"] = \
+    lambda arg_exprs: (VARCHAR, _case_impl(True), arg_exprs)
+REGISTRY["lower"] = REGISTRY["lcase"] = \
+    lambda arg_exprs: (VARCHAR, _case_impl(False), arg_exprs)
 
 
-@register("trim")
-def _bind_trim(arg_exprs):
-    return VARCHAR, (lambda env, cols, node: dict_transform(cols[0], str.strip)), arg_exprs
+def _trim_bind(left: bool, right: bool, host_fn):
+    def bind(arg_exprs):
+        from duckdb_tpu.ops import strings as dstr
+
+        chars = " "
+        if len(arg_exprs) > 1:
+            chars = str(arg_exprs[1].const_value())
+        try:
+            cb = chars.encode("ascii")
+            dev = lambda p, le: dstr.op_trim(p, le, cb, left, right)  # noqa: E731
+        except UnicodeEncodeError:
+            dev = None
+
+        def impl(env, cols, node):
+            return dict_transform(cols[0], lambda s: host_fn(s, chars),
+                                  device=dev,
+                                  device_key=f"trim:{left}:{right}:{chars}")
+        return VARCHAR, impl, arg_exprs[:1]
+    return bind
 
 
-@register("ltrim")
-def _bind_ltrim(arg_exprs):
-    return VARCHAR, (lambda env, cols, node: dict_transform(cols[0], str.lstrip)), arg_exprs
-
-
-@register("rtrim")
-def _bind_rtrim(arg_exprs):
-    return VARCHAR, (lambda env, cols, node: dict_transform(cols[0], str.rstrip)), arg_exprs
+REGISTRY["trim"] = _trim_bind(True, True, lambda s, c: s.strip(c))
+REGISTRY["ltrim"] = _trim_bind(True, False, lambda s, c: s.lstrip(c))
+REGISTRY["rtrim"] = _trim_bind(False, True, lambda s, c: s.rstrip(c))
 
 
 @register("length")
@@ -199,21 +272,24 @@ def _bind_rtrim(arg_exprs):
 @register("strlen")
 def _bind_length(arg_exprs):
     def impl(env, cols, node):
-        c = cols[0]
-        lut = np.fromiter((len(s) for s in c.dict_values), dtype=np.int64,
-                          count=len(c.dict_values))
-        d = jnp.asarray(lut)[jnp.clip(c.data, 0, len(lut) - 1)]
-        return Column(data=d, ltype=BIGINT, validity=c.validity)
+        return dict_int(cols[0], len, device=lambda p, le: le,
+                        device_key="len")
 
     return BIGINT, impl, arg_exprs
 
 
 @register("contains")
 def _bind_contains(arg_exprs):
+    from duckdb_tpu.ops import strings as dstr
+
     needle = arg_exprs[1].const_value()
 
     def impl(env, cols, node):
-        return dict_predicate(cols[0], lambda s: needle in s)
+        dev = None
+        if isinstance(needle, str) and needle.isascii():
+            dev = lambda p, le: dstr.op_contains(p, le, needle)  # noqa: E731
+        return dict_predicate(cols[0], lambda s: needle in s, device=dev,
+                              device_key=f"contains:{needle}")
 
     return BOOLEAN, impl, arg_exprs[:1]
 
@@ -221,10 +297,16 @@ def _bind_contains(arg_exprs):
 @register("starts_with")
 @register("prefix")
 def _bind_starts_with(arg_exprs):
+    from duckdb_tpu.ops import strings as dstr
+
     pre = arg_exprs[1].const_value()
 
     def impl(env, cols, node):
-        return dict_predicate(cols[0], lambda s: s.startswith(pre))
+        dev = None
+        if isinstance(pre, str) and pre.isascii():
+            dev = lambda p, le: dstr.op_prefix(p, le, pre)  # noqa: E731
+        return dict_predicate(cols[0], lambda s: s.startswith(pre),
+                              device=dev, device_key=f"prefix:{pre}")
 
     return BOOLEAN, impl, arg_exprs[:1]
 

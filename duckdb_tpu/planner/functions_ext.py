@@ -222,32 +222,62 @@ def _bind_if(arg_exprs):
     return t, impl, arg_exprs
 
 
-# -- strings (per-distinct-value host work → device LUT) ---------------------
-def _str_transform(name, fn_builder, nconst=0):
+# -- strings (device plane ops; host per-distinct loop as fallback) ----------
+def _str_transform(name, fn_builder, nconst=0, dev_builder=None):
     def bind(arg_exprs):
         consts = [a.const_value() for a in arg_exprs[1:1 + nconst]]
         fn = fn_builder(*consts)
+        dev = None
+        if dev_builder is not None:
+            try:
+                dev = dev_builder(*consts)
+            except Exception:  # non-ASCII / unsupported consts → host
+                dev = None
+        dkey = f"{name}:{consts!r}"
 
         def impl(env, cols, node):
-            return dict_transform(cols[0], fn)
+            return dict_transform(cols[0], fn, device=dev, device_key=dkey)
         return VARCHAR, impl, arg_exprs[:1]
     REGISTRY[name] = bind
 
 
-_str_transform("reverse", lambda: lambda s: s[::-1])
-_str_transform("left", lambda n: lambda s: s[:int(n)] if n >= 0 else s[:len(s) + int(n)], 1)
-_str_transform("right", lambda n: lambda s: s[-int(n):] if n > 0 else s[len(s) and -int(-n) or len(s):], 1)
-_str_transform("lpad", lambda n, p=" ": lambda s: s.rjust(int(n), p)[:int(n)], 2)
-_str_transform("rpad", lambda n, p=" ": lambda s: s.ljust(int(n), p)[:int(n)], 2)
-_str_transform("repeat", lambda n: lambda s: s * int(n), 1)
+def _dev(opname):
+    from duckdb_tpu.ops import strings as dstr
+
+    return getattr(dstr, opname)
+
+
+_str_transform("reverse", lambda: lambda s: s[::-1],
+               dev_builder=lambda: _dev("op_reverse"))
+_str_transform("left", lambda n: lambda s: s[:int(n)] if n >= 0 else s[:len(s) + int(n)], 1,
+               dev_builder=lambda n: lambda p, le: _dev("op_left")(p, le, int(n)))
+_str_transform("right", lambda n: lambda s: s[-int(n):] if n > 0 else s[len(s) and -int(-n) or len(s):], 1,
+               dev_builder=lambda n: lambda p, le: _dev("op_right")(p, le, int(n)))
+_str_transform("lpad", lambda n, p=" ": lambda s: _host_pad(s, int(n), p, True), 2,
+               dev_builder=lambda n, p=" ": lambda pl, le: _dev("op_pad")(pl, le, int(n), str(p), True))
+_str_transform("rpad", lambda n, p=" ": lambda s: _host_pad(s, int(n), p, False), 2,
+               dev_builder=lambda n, p=" ": lambda pl, le: _dev("op_pad")(pl, le, int(n), str(p), False))
+_str_transform("repeat", lambda n: lambda s: s * int(n), 1,
+               dev_builder=lambda n: lambda p, le: _dev("op_repeat")(p, le, int(n)))
 _str_transform("replace", lambda a, b: lambda s: s.replace(a, b), 2)
 _str_transform("split_part",
                lambda sep, i: lambda s: (s.split(sep)[int(i) - 1]
                                          if 0 < int(i) <= len(s.split(sep))
                                          else ""), 2)
-_str_transform("initcap", lambda: lambda s: s[:1].upper() + s[1:].lower())
+_str_transform("initcap", lambda: lambda s: s[:1].upper() + s[1:].lower(),
+               dev_builder=lambda: _dev("op_initcap"))
 _str_transform("md5", lambda: lambda s: __import__("hashlib").md5(
     s.encode()).hexdigest())
+
+
+def _host_pad(s: str, n: int, p: str, left: bool) -> str:
+    """duckdb lpad/rpad: cycle the pad string, truncate the result to n."""
+    if n <= 0:
+        return ""
+    if len(s) >= n or not p:
+        return s[:n]
+    fill = (p * n)[:n - len(s)]
+    return (fill + s) if left else (s + fill)
 
 
 @register("concat_ws")
@@ -270,25 +300,26 @@ def _bind_concat_ws(arg_exprs):
 @register("position")
 @register("instr")
 def _bind_strpos(arg_exprs):
+    from duckdb_tpu.planner.functions import dict_int
+
     needle = arg_exprs[1].const_value()
 
     def impl(env, cols, node):
-        c = cols[0]
-        lut = np.fromiter(((s.find(needle) + 1) for s in c.dict_values),
-                          dtype=np.int64, count=len(c.dict_values))
-        d = jnp.asarray(lut)[jnp.clip(c.data, 0, len(lut) - 1)]
-        return Column(data=d, ltype=BIGINT, validity=c.validity)
+        dev = None
+        if isinstance(needle, str) and needle.isascii():
+            dev = lambda p, le: _dev("op_strpos")(p, le, needle)  # noqa: E731
+        return dict_int(cols[0], lambda s: s.find(needle) + 1, device=dev,
+                        device_key=f"strpos:{needle}")
     return BIGINT, impl, arg_exprs[:1]
 
 
 @register("ascii")
 def _bind_ascii(arg_exprs):
+    from duckdb_tpu.planner.functions import dict_int
+
     def impl(env, cols, node):
-        c = cols[0]
-        lut = np.fromiter((ord(s[0]) if s else 0 for s in c.dict_values),
-                          dtype=np.int64, count=len(c.dict_values))
-        d = jnp.asarray(lut)[jnp.clip(c.data, 0, len(lut) - 1)]
-        return Column(data=d, ltype=BIGINT, validity=c.validity)
+        return dict_int(cols[0], lambda s: ord(s[0]) if s else 0,
+                        device=_dev("op_ascii"), device_key="ascii")
     return BIGINT, impl, arg_exprs
 
 
@@ -347,7 +378,11 @@ def _bind_ends_with(arg_exprs):
     suf = arg_exprs[1].const_value()
 
     def impl(env, cols, node):
-        return dict_predicate(cols[0], lambda s: s.endswith(suf))
+        dev = None
+        if isinstance(suf, str) and suf.isascii():
+            dev = lambda p, le: _dev("op_suffix")(p, le, suf)  # noqa: E731
+        return dict_predicate(cols[0], lambda s: s.endswith(suf),
+                              device=dev, device_key=f"suffix:{suf}")
     return BOOLEAN, impl, arg_exprs[:1]
 
 
