@@ -40,6 +40,9 @@ SETTINGS = [
             "Device-mesh shards for distributed execution (1 = single chip)"),
     Setting("disabled_optimizers", "", "VARCHAR", "LOCAL",
             "Comma-separated optimizer passes to skip"),
+    Setting("join_order", "dp", "VARCHAR", "LOCAL",
+            "Join order enumeration: 'dp' (cardinality-costed dynamic "
+            "program, reference src/optimizer/join_order/) or 'greedy'"),
     Setting("max_expression_depth", 1000, "BIGINT", "LOCAL",
             "Parser recursion guard"),
     Setting("timezone", "UTC", "VARCHAR", "LOCAL", "Session time zone"),

@@ -1082,15 +1082,35 @@ class Planner:
                 key2atom[k] = a.id
         by_id = {a.id: a for a in atoms}
 
-        # push single-atom predicates
+        # push single-atom predicates (scaling the atom's row estimate —
+        # feeds both the DP cost model and the greedy spine choice)
+        from duckdb_tpu.planner.join_order import (dp_join_order,
+                                                   estimate_selectivity)
+
         multi = []
         for p in preds:
             sup = self._atoms_of(p, key2atom)
             if len(sup) <= 1:
                 aid = next(iter(sup)) if sup else atoms[0].id
-                by_id[aid].plan = P.Filter(by_id[aid].plan, p)
+                a = by_id[aid]
+                a.plan = P.Filter(a.plan, p)
+                try:
+                    sel = estimate_selectivity(self, p, a)
+                except Exception:
+                    sel = 0.5
+                a.rows = max(1, int(a.rows * sel))
             else:
                 multi.append(p)
+
+        # DP join ordering over the query graph (reference:
+        # src/optimizer/join_order/); greedy below is the fallback for
+        # oversized / disconnected graphs or when disabled via SET
+        mgr = getattr(self.catalog, "settings_manager", None)
+        jo_mode = str(mgr.get("join_order", "dp")) if mgr else "dp"
+        if jo_mode == "dp" and len(by_id) >= 3:
+            dp_plan = dp_join_order(self, by_id, multi)
+            if dp_plan is not None:
+                return dp_plan
 
         # snowflake collapse: pre-join fanout-1 dimension chains into their
         # parent atom, bottom-up, so the fact spine probes each chain ONCE.
