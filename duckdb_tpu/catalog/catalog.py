@@ -266,11 +266,38 @@ class Catalog:
         self.attached: Dict[str, dict] = {}  # alias -> {path, read_only}
         self._file_tables: Dict[tuple, str] = {}  # (path, mtime) -> table name
 
-    def ensure_file_table(self, path: str) -> str:
-        """Register a CSV/parquet file as a scannable table (replacement
-        scan, the reference's `SELECT * FROM 'file.csv'` behavior)."""
+    def ensure_file_table(self, path, union_by_name: bool = False,
+                          hive_partitioning=None,
+                          filename: bool = False) -> str:
+        """Register CSV/parquet/JSON file(s) as a scannable table
+        (replacement scan, `SELECT * FROM 'file.csv'`). Accepts a single
+        path, a glob pattern, or a list of either; multi-file scans merge
+        schemas (union_by_name), detect hive key=value partitions, and can
+        add a filename column (reference: src/common/multi_file/)."""
         import os
 
+        from duckdb_tpu.storage import multi_file as mf
+
+        files = mf.expand_patterns(path)
+        if not files:
+            raise ValueError(f'No files found that match the pattern "{path}"')
+        opts = (union_by_name, bool(hive_partitioning), filename)
+        if len(files) > 1 or opts != (False, False, False) \
+                or files[0] != (path if isinstance(path, str) else None):
+            key = (tuple(os.path.abspath(f) for f in files),
+                   tuple(os.path.getmtime(f) for f in files),
+                   union_by_name,
+                   None if hive_partitioning is None else bool(hive_partitioning),
+                   filename)
+            if key in self._file_tables:
+                return self._file_tables[key]
+            name = f"__file_{len(self._file_tables)}"
+            entry = mf.build_entry(name, files, union_by_name,
+                                   hive_partitioning, filename)
+            self.create_table(entry, or_replace=True)
+            self._file_tables[key] = name
+            return name
+        path = files[0]
         mtime = os.path.getmtime(path)
         key = (os.path.abspath(path), mtime)
         if key in self._file_tables:

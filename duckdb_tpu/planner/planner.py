@@ -812,12 +812,38 @@ class Planner:
 
         name = ref.name.lower()
         binder = ExprBinder(Scope())
-        args = [binder.bind(a).const_value() for a in ref.args]
+        # split out named parameters (ident := expr / ident => expr; a bare
+        # `ident = expr` in a TF arg list is also a named param — there are
+        # no columns in scope to compare against)
+        named = {}
+        pos_args = []
+        for a in ref.args:
+            if (isinstance(a, N.BinaryOp) and a.op in (":=", "=>", "=", "==")
+                    and isinstance(a.left, N.ColumnRef)):
+                named[a.left.parts[-1].lower()] = \
+                    binder.bind(a.right).const_value()
+            else:
+                pos_args.append(a)
+
+        def _const(a):
+            # list literals (['a.csv', 'b.csv']) fold element-wise
+            if isinstance(a, N.FunctionCall) and a.name == "list_value":
+                return [_const(x) for x in a.args]
+            return binder.bind(a).const_value()
+
+        args = [_const(a) for a in pos_args]
         alias = (ref.alias or name).lower()
         if name in ("read_csv", "read_csv_auto", "read_parquet",
                     "parquet_scan", "read_json", "read_json_auto",
                     "read_ndjson", "__file_scan"):
-            tname = self.catalog.ensure_file_table(str(args[0]))
+            paths = args[0]
+            if not isinstance(paths, (list, tuple, np.ndarray)):
+                paths = str(paths)
+            tname = self.catalog.ensure_file_table(
+                paths,
+                union_by_name=bool(named.get("union_by_name", False)),
+                hive_partitioning=named.get("hive_partitioning"),
+                filename=bool(named.get("filename", False)))
         elif name == "repeat":
             # repeat(value, count) table function (reference:
             # src/function/table/repeat.cpp)
