@@ -274,7 +274,9 @@ class Connection:
         from duckdb_tpu.storage.persist import checkpoint, wal_append
         import os
 
-        wal_append(self.database, query, meta)
+        cat = self._db.catalog
+        cat._wal_seq = getattr(cat, "_wal_seq", 0) + 1
+        wal_append(self.database, query, meta, seq=cat._wal_seq)
         wal_path = os.path.join(self.database, "wal.sql")
         threshold = 16 << 20
         if (os.path.exists(wal_path)
@@ -616,6 +618,17 @@ class Connection:
         TransactionException and the transaction rolls back."""
         txn, self._txn = self._txn, None
         shared = self._db.catalog
+        if self.settings.get("debug_force_commit_failure", False):
+            # fault injection (reference: debug-only commit-failure hooks
+            # in settings.json): the transaction must roll back cleanly —
+            # nothing published, nothing WAL-logged
+            from duckdb_tpu.planner import functions_ext as _fx
+
+            _fx.ACTIVE_SEQUENCES = shared.sequences
+            self._plan_cache.clear()
+            raise TransactionException(
+                "TransactionContext Error: Failed to commit: forced "
+                "commit failure (debug_force_commit_failure)")
         with self._db.lock:
             written, dropped = txn.written_tables()
             for k in written | dropped:

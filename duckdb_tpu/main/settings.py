@@ -62,6 +62,14 @@ SETTINGS = [
     Setting("experimental_join_fusion", False, "BOOLEAN", "GLOBAL",
             "Fuse dense unique inner joins into aggregate programs "
             "(constant-capture prototype; see fused_agg._JoinPrep)"),
+    # fault-injection hooks (reference: debug_* settings in
+    # src/common/settings.json; crash-consistency test harness)
+    Setting("debug_checkpoint_abort", "none", "VARCHAR", "GLOBAL",
+            "Abort CHECKPOINT at a stage: none | before_data | "
+            "before_header | before_truncate (crash-recovery testing)"),
+    Setting("debug_force_commit_failure", False, "BOOLEAN", "GLOBAL",
+            "Force every explicit COMMIT to fail after validation "
+            "(rollback-path testing)"),
     # accepted-for-compatibility knobs (single storage format / macro
     # dependency tracking not applicable here; reference settings.json)
     Setting("storage_compatibility_version", "latest", "VARCHAR", "GLOBAL",

