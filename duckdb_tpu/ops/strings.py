@@ -40,10 +40,48 @@ import numpy as np
 _PLANE_CACHE: dict = {}
 _PLANE_CACHE_MAX = 8
 
+# pre-packed byte matrices registered at ingest (load_string_dict already
+# has the fixed-width bytes — skips the slow UTF-32 repack of millions of
+# Python strings): id(dict_values) → (sentinel, u8 matrix, lens)
+_PREPACKED: dict = {}
+_PREPACKED_MAX = 8
+
+
+def register_plane(dvals: np.ndarray, fixed_bytes: np.ndarray,
+                   lens: np.ndarray):
+    """Attach the raw fixed-width byte matrix for a dictionary so
+    _pack_dict can skip re-deriving it from Python strings."""
+    mat = np.ascontiguousarray(fixed_bytes).view(np.uint8).reshape(
+        len(dvals), -1)
+    _cache_put(_PREPACKED, _PREPACKED_MAX, id(dvals),
+               (dvals, mat, np.asarray(lens, np.int32)))
+
+
+def _lut_device():
+    """Device for dictionary-LUT programs. On the tunneled 'axon' runtime
+    a dictionary plane upload rides a slow RPC link (measured ~17 MB/s —
+    minutes for an SF10 comment column, HTTP 413 above the request cap),
+    so per-dictionary constants compute on the local CPU backend; the
+    per-ROW code gathers stay on the TPU. On a directly-attached TPU
+    (backend 'tpu') host→HBM is ~10s of GB/s and the plane lives in HBM."""
+    try:
+        if jax.default_backend() == "axon":
+            return jax.devices("cpu")[0]
+    except Exception:
+        pass
+    return None
+
 # (id(dict_values), op_key) → result LUT (bool/int np arrays, or
 # (remap codes, uniq values) for transforms)
 _LUT_CACHE: dict = {}
 _LUT_CACHE_MAX = 64
+
+# (op key, plane width) → jitted plane program. Plane ops ALWAYS run as
+# jitted programs with the plane as an argument: the tunneled runtime
+# rejects multi-MB inline constants (HTTP 413) and charges ~30 ms per
+# eager dispatch, so one program per op is both required and fastest.
+_JIT_CACHE: dict = {}
+_JIT_CACHE_MAX = 128
 
 # below this cardinality the host loop is cheap and avoids device work
 DEVICE_LIKE_MIN_DICT = 4096
@@ -84,27 +122,39 @@ def _pack_dict(dvals: np.ndarray) -> Optional[Tuple[jnp.ndarray, jnp.ndarray]]:
     hit = _PLANE_CACHE.get(key)
     if hit is not None and hit[0] is dvals:
         return hit[1], hit[2]
-    u = dvals.astype("U")  # fixed-width UTF-32, zero-padded
-    n = len(u)
-    if n == 0:
-        return None
-    width = u.dtype.itemsize // 4
-    if width == 0:
-        return None
-    cp = np.ascontiguousarray(u).view(np.uint32).reshape(n, width)
-    if cp.max(initial=0) > 127:
-        return None
-    lens = (cp != 0).sum(axis=1).astype(np.int32)
-    # reject embedded NULs: length must equal the position of the first 0
-    first_zero = np.argmax(cp == 0, axis=1)
-    full = (cp != 0).all(axis=1)
-    if not np.array_equal(np.where(full, width, first_zero), lens):
-        return None
+    pre = _PREPACKED.get(key)
+    if pre is not None and pre[0] is dvals:
+        mat, lens = pre[1], pre[2]
+        if mat.size and int(mat.max()) > 127:
+            return None  # non-ASCII: host regex path (same rule as below)
+    else:
+        u = dvals.astype("U")  # fixed-width UTF-32, zero-padded
+        n = len(u)
+        if n == 0:
+            return None
+        width = u.dtype.itemsize // 4
+        if width == 0:
+            return None
+        cp = np.ascontiguousarray(u).view(np.uint32).reshape(n, width)
+        if cp.max(initial=0) > 127:
+            return None
+        lens = (cp != 0).sum(axis=1).astype(np.int32)
+        # reject embedded NULs: length = position of the first 0
+        first_zero = np.argmax(cp == 0, axis=1)
+        full = (cp != 0).all(axis=1)
+        if not np.array_equal(np.where(full, width, first_zero), lens):
+            return None
+        mat = cp.astype(np.uint8)
     # the plane is a per-dictionary constant: upload it OUTSIDE any active
     # jit trace (device_put is a primitive — inside a trace it would yield
     # a Tracer, poisoning the cache for later queries)
-    with jax.ensure_compile_time_eval():
-        plane = jnp.asarray(cp.astype(np.uint8))
+    import contextlib
+
+    dev = _lut_device()
+    ctx = jax.default_device(dev) if dev is not None \
+        else contextlib.nullcontext()
+    with jax.ensure_compile_time_eval(), ctx:
+        plane = jnp.asarray(mat)
         lens_d = jnp.asarray(lens)
     _cache_put(_PLANE_CACHE, _PLANE_CACHE_MAX, key, (dvals, plane, lens_d))
     return plane, lens_d
@@ -171,15 +221,24 @@ def device_like_lut(dvals: np.ndarray, pattern: str, ci: bool) -> Optional[np.nd
     packed = _pack_dict(dvals)
     if packed is None:
         return None
-    # dictionary LUTs are per-dictionary constants: when the caller is
-    # itself being traced (fused aggregate programs), evaluate eagerly so
-    # the host transfer below stays legal
+    # One jitted program per (pattern, ci, plane width): the plane rides as
+    # a jit ARGUMENT (data channel — the tunneled runtime rejects multi-MB
+    # inline constants with HTTP 413, and one program beats ~30 ms/op eager
+    # dispatch). ensure_compile_time_eval keeps this legal when the caller
+    # is itself being traced (fused aggregate programs).
+    segs_key = tuple(tuple(s) for s in segs)
+    jk = ("like", segs_key, ci, packed[0].shape[1])
+    jfn = _JIT_CACHE.get(jk)
+    if jfn is None:
+        jfn = jax.jit(lambda plane, lens: _like_match(plane, lens, segs, ci))
+        _cache_put(_JIT_CACHE, _JIT_CACHE_MAX, jk, jfn)
     with jax.ensure_compile_time_eval():
-        return _like_lut_inner(dvals, packed, segs, ci, ck)
+        lut = np.asarray(jfn(*packed))
+    _cache_put(_LUT_CACHE, _LUT_CACHE_MAX, ck, (dvals, lut))
+    return lut
 
 
-def _like_lut_inner(dvals, packed, segs, ci, ck):
-    plane, lens = packed
+def _like_match(plane, lens, segs, ci):
     if ci:
         # ASCII lowercase: fold A-Z
         is_up = jnp.logical_and(plane >= 65, plane <= 90)
@@ -239,9 +298,7 @@ def _like_lut_inner(dvals, packed, segs, ci, ck):
                 eq = jnp.logical_or(got == jnp.asarray(lit),
                                     jnp.asarray(anych)[None, :])
                 ok = jnp.logical_and(ok, jnp.all(eq, axis=1))
-    lut = np.asarray(ok)
-    _cache_put(_LUT_CACHE, _LUT_CACHE_MAX, ck, (dvals, lut))
-    return lut
+    return ok
 
 
 # ---------------------------------------------------------------------------
@@ -517,9 +574,14 @@ def device_transform_lut(dvals: np.ndarray, op_key: str,
     packed = _pack_dict(dvals)
     if packed is None:
         return None
+    jk = ("t", op_key, packed[0].shape[1])
+    jfn = _JIT_CACHE.get(jk)
+    if jfn is None:
+        jfn = jax.jit(fn)
+        _cache_put(_JIT_CACHE, _JIT_CACHE_MAX, jk, jfn)
     with jax.ensure_compile_time_eval():  # legal under an outer trace
         try:
-            plane2, lens2 = fn(*packed)
+            plane2, lens2 = jfn(*packed)
         except ValueError:
             return None
         remap, uniq = _decode_plane(plane2, lens2)
@@ -537,8 +599,13 @@ def device_value_lut(dvals: np.ndarray, op_key: str,
     packed = _pack_dict(dvals)
     if packed is None:
         return None
+    jk = ("v", op_key, packed[0].shape[1])
+    jfn = _JIT_CACHE.get(jk)
+    if jfn is None:
+        jfn = jax.jit(fn)
+        _cache_put(_JIT_CACHE, _JIT_CACHE_MAX, jk, jfn)
     with jax.ensure_compile_time_eval():  # legal under an outer trace
-        lut = np.asarray(fn(*packed))
+        lut = np.asarray(jfn(*packed))
     _cache_put(_LUT_CACHE, _LUT_CACHE_MAX, ck, (dvals, lut))
     return lut
 

@@ -107,9 +107,25 @@ def dict_encode(values: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     if values.dtype.kind == "S":
         uniq_b, codes = np.unique(values, return_inverse=True)
         uniq = np.char.decode(uniq_b, "utf-8").astype(object)
+        _register_plane(uniq, uniq_b)
         return codes.astype(np.int32), uniq
     uniq, codes = np.unique(values, return_inverse=True)
     return codes.astype(np.int32), uniq.astype(object)
+
+
+def _register_plane(uniq: np.ndarray, uniq_b: np.ndarray, lens=None):
+    """Hand the raw dictionary bytes to the device-string module so LIKE/
+    transform planes skip the Python-string repack (ops/strings.py)."""
+    if len(uniq) == 0:
+        return
+    try:
+        from duckdb_tpu.ops import strings as dstr
+
+        if lens is None:
+            lens = np.char.str_len(uniq_b)
+        dstr.register_plane(uniq, uniq_b, lens)
+    except Exception:
+        pass
 
 
 def load_string_dict(table_dir: str, name: str) -> Tuple[np.ndarray, np.ndarray]:
@@ -127,6 +143,7 @@ def load_string_dict(table_dir: str, name: str) -> Tuple[np.ndarray, np.ndarray]
                             dtype=np.uint8)
         fixed = _ragged_to_fixed(dblob, dlens)
         uniq = np.char.decode(fixed, "utf-8").astype(object)
+        _register_plane(uniq, fixed, dlens.astype(np.int32))
         return codes, uniq
     values = read_string_column(table_dir, name)
     codes, uniq = dict_encode(values)
