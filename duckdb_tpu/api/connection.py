@@ -133,11 +133,6 @@ class Connection:
         self.log = (getattr(self._db.catalog, "log_manager", None)
                     or LogManager())
         self._db.catalog.log_manager = self.log
-        # string host-loop observability: the device-plane module logs a
-        # WARN through the most recent connection's manager (ops/strings.py)
-        from duckdb_tpu.ops import strings as _dstr
-
-        _dstr.GLOBAL_LOG = self.log
         # plan cache: SQL text → (plan, output), invalidated on DDL/DML
         self._plan_cache = {}
         # connection-local TEMPORARY views
@@ -153,6 +148,7 @@ class Connection:
         self._catalog_version = 0
         self.last_profile = None
         self._txn: Optional[_Txn] = None
+        self._pending_wal = None  # WAL entry awaiting the implicit commit
         if database not in (":memory:", "") and not attached:
             from duckdb_tpu.storage.persist import open_database
 
@@ -208,9 +204,15 @@ class Connection:
                         "seed": _random.getrandbits(63)}
             _fx.REPLAY_TIME_MICROS = wal_meta["t"]
             _fx.REPLAY_RNG = _random.Random(wal_meta["seed"])
+            # implicit-commit statements log their WAL entry INSIDE the
+            # commit's lock scope (consumed by _commit_txn) so a concurrent
+            # checkpoint can never capture the published data with a
+            # wal_seq that predates the entry (double-apply on recovery)
+            self._pending_wal = (query, wal_meta)
         try:
             res = self._sql_statements(stmts, muts, query)
         finally:
+            pending, self._pending_wal = self._pending_wal, None
             if wal_meta is not None:
                 from duckdb_tpu.planner import functions_ext as _fx
 
@@ -222,7 +224,9 @@ class Connection:
                 # ROLLBACK discards (the reference writes the WAL at commit
                 # time, src/transaction/wal_write_state.cpp)
                 self._txn.wal.append((query, wal_meta))
-            else:
+            elif pending is not None:
+                # not consumed by an implicit commit (statement classes
+                # that publish without a transaction): log it now
                 self._wal_write(query, wal_meta)
         return res
 
@@ -275,8 +279,12 @@ class Connection:
         import os
 
         cat = self._db.catalog
-        cat._wal_seq = getattr(cat, "_wal_seq", 0) + 1
-        wal_append(self.database, query, meta, seq=cat._wal_seq)
+        # seq allocation + append are atomic with commits/checkpoints: a
+        # checkpoint capturing wal_seq under the same lock either contains
+        # this entry's data (seq <= recorded) or replays it (seq >)
+        with self._db.lock:
+            cat._wal_seq = getattr(cat, "_wal_seq", 0) + 1
+            wal_append(self.database, query, meta, seq=cat._wal_seq)
         wal_path = os.path.join(self.database, "wal.sql")
         threshold = 16 << 20
         if (os.path.exists(wal_path)
@@ -668,13 +676,24 @@ class Connection:
             shared.attached.update(txn.catalog.attached)
             shared.user_types.clear()
             shared.user_types.update(txn.catalog.user_types)
+            # WAL entries flush inside the SAME lock scope as publication:
+            # a checkpoint (which snapshots tables + wal_seq under this
+            # lock) sees either publication+log or neither — the entry's
+            # seq is consistent with whether the checkpoint contains the
+            # data (reference: commit_state.cpp writes the WAL while the
+            # transaction manager's commit lock is held)
+            wal_entries = list(txn.wal)
+            pending = getattr(self, "_pending_wal", None)
+            if txn.implicit and pending is not None:
+                wal_entries.append(pending)
+                self._pending_wal = None
+            if (wal_entries and self.database not in (":memory:", "")
+                    and not getattr(self, "_replaying", False)):
+                for q, meta in wal_entries:
+                    self._wal_write(q, meta)
         from duckdb_tpu.planner import functions_ext as _fx
 
         _fx.ACTIVE_SEQUENCES = shared.sequences
-        if (txn.wal and self.database not in (":memory:", "")
-                and not getattr(self, "_replaying", False)):
-            for q, meta in txn.wal:
-                self._wal_write(q, meta)
         return None
 
     # -- DDL / DML ------------------------------------------------------------

@@ -282,7 +282,11 @@ class Catalog:
         if not files:
             raise ValueError(f'No files found that match the pattern "{path}"')
         opts = (union_by_name, bool(hive_partitioning), filename)
-        if len(files) > 1 or opts != (False, False, False) \
+        # single literal files still auto-detect hive partitions from
+        # their path (reference auto-detects for single files too)
+        auto_hive = (hive_partitioning is None
+                     and mf.hive_parts(files) is not None)
+        if len(files) > 1 or opts != (False, False, False) or auto_hive \
                 or files[0] != (path if isinstance(path, str) else None):
             key = (tuple(os.path.abspath(f) for f in files),
                    tuple(os.path.getmtime(f) for f in files),

@@ -326,6 +326,16 @@ class Executor:
 
     # -- entry ---------------------------------------------------------------
     def run(self, plan: P.PlanNode, output: List[Tuple[str, str, LogicalType]]) -> Result:
+        from duckdb_tpu.ops import strings as _dstr
+
+        tok = _dstr.ACTIVE_LOG.set(
+            getattr(self.catalog, "log_manager", None))
+        try:
+            return self._run_outer(plan, output)
+        finally:
+            _dstr.ACTIVE_LOG.reset(tok)
+
+    def _run_outer(self, plan, output) -> Result:
         if not getattr(self, "_in_chunked", False):
             from duckdb_tpu.execution.chunked import try_chunked
             res = try_chunked(self, plan, output)

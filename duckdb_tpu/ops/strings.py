@@ -92,17 +92,26 @@ DEVICE_STR_MIN_DICT = 4096
 # so tests (and `duckdb_logs()`, when a connection attaches its manager)
 # can assert the device path actually ran. [(fn_name, n_distinct), ...]
 host_loop_events: List[Tuple[str, int]] = []
-GLOBAL_LOG = None  # set by Connection: duckdb_tpu.main.logging.LogManager
+
+# the executing query's LogManager (set by Executor.run from its catalog,
+# NOT a most-recent-connection global: warnings land in the session that
+# actually ran the host loop, and closed connections' managers aren't
+# kept alive)
+import contextvars as _contextvars
+
+ACTIVE_LOG: "_contextvars.ContextVar" = _contextvars.ContextVar(
+    "duckdb_tpu_active_log", default=None)
 
 
 def note_host_loop(fn_name: str, n_distinct: int):
     """Record a per-distinct host loop (only noteworthy when large)."""
     if n_distinct >= DEVICE_STR_MIN_DICT:
         host_loop_events.append((fn_name, n_distinct))
-        if GLOBAL_LOG is not None:
-            GLOBAL_LOG.warn("StringHostLoop",
-                            f"{fn_name} over {n_distinct} distinct values "
-                            "ran on host (device plane unavailable)")
+        log = ACTIVE_LOG.get()
+        if log is not None:
+            log.warn("StringHostLoop",
+                     f"{fn_name} over {n_distinct} distinct values "
+                     "ran on host (device plane unavailable)")
 
 
 def _cache_put(cache, maxlen, key, value):

@@ -833,9 +833,22 @@ class Planner:
 
         args = [_const(a) for a in pos_args]
         alias = (ref.alias or name).lower()
-        if name in ("read_csv", "read_csv_auto", "read_parquet",
-                    "parquet_scan", "read_json", "read_json_auto",
-                    "read_ndjson", "__file_scan"):
+        # named parameters validate against the target function's accepted
+        # set — unknown names (typos like union_by_names=true) raise
+        # instead of silently dropping (reference: named-parameter binding
+        # in src/planner/binder/tableref/bind_table_function.cpp)
+        _FILE_FNS = ("read_csv", "read_csv_auto", "read_parquet",
+                     "parquet_scan", "read_json", "read_json_auto",
+                     "read_ndjson", "__file_scan")
+        accepted = ({"union_by_name", "hive_partitioning", "filename"}
+                    if name in _FILE_FNS else set())
+        for pname in named:
+            if pname not in accepted:
+                raise BindError(
+                    f'Invalid named parameter "{pname}" for function {name}'
+                    + (f"; accepted: {', '.join(sorted(accepted))}"
+                       if accepted else ""))
+        if name in _FILE_FNS:
             paths = args[0]
             if not isinstance(paths, (list, tuple, np.ndarray)):
                 paths = str(paths)

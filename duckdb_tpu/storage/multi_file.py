@@ -265,6 +265,14 @@ def build_entry(name: str, files: List[str], union_by_name: bool,
     hp = hive_parts(files) if hive is None or hive else None
     if hive is False:
         hp = None
+    if hive and hp is None:
+        # explicit hive_partitioning=true with missing or inconsistent
+        # key=value path segments is an error, not a silent no-op
+        # (reference: hive partition mismatch errors in
+        # src/common/multi_file/multi_file_column_mapper.cpp)
+        raise ValueError(
+            "hive_partitioning was enabled explicitly, but the file paths "
+            "do not have consistent key=value partition directories")
     extra = {}
     if hp is not None:
         taken = {n for n, _ in cols}

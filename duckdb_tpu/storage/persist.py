@@ -19,8 +19,10 @@ WAL (crash recovery).
 
 from __future__ import annotations
 
+import glob as _glob
 import json
 import os
+import shutil
 from typing import Dict
 
 import numpy as np
@@ -100,30 +102,53 @@ def _abort_point(abort_mode: str, point: str):
                             "(debug_checkpoint_abort)")
 
 
+class _NullLock:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
 def checkpoint(con, path: str):
     """Write the full catalog + data to the database directory; attached
     databases checkpoint to their own directories (reference checkpoints
-    each AttachedDatabase separately, src/storage/storage_manager.cpp)."""
+    each AttachedDatabase separately, src/storage/storage_manager.cpp).
+
+    The catalog snapshot and the WAL epoch are captured atomically under
+    the database commit lock: a commit landing mid-checkpoint is either
+    fully inside the snapshot (its seq <= the recorded wal_seq) or fully
+    outside it (seq > wal_seq, so recovery replays it) — never silently
+    dropped (the reference serializes checkpoints against commits via the
+    transaction manager's checkpoint lock, duck_transaction_manager.cpp)."""
     cat = con.catalog
     abort_mode = "none"
     settings = getattr(con, "settings", None)
     if settings is not None:
         abort_mode = str(settings.get("debug_checkpoint_abort", "none"))
-    attached = getattr(cat, "attached", {})
-    prefixes = tuple(a + "." for a in attached)
-    tables = {k: e for k, e in cat.tables.items()
-              if not (prefixes and k.startswith(prefixes))}
-    views = {k: v for k, v in cat.views.items()
-             if not (prefixes and k.startswith(prefixes))}
+    db = getattr(con, "_db", None)
+    lock = getattr(db, "lock", None) or _NullLock()
+    with lock:
+        attached = dict(getattr(cat, "attached", {}))
+        prefixes = tuple(a + "." for a in attached)
+        tables = {k: e for k, e in cat.tables.items()
+                  if not (prefixes and k.startswith(prefixes))}
+        views = {k: v for k, v in cat.views.items()
+                 if not (prefixes and k.startswith(prefixes))}
+        schemas = sorted(cat.schemas - {"main"} - set(attached))
+        sequences = {k: dict(v) for k, v in cat.sequences.items()}
+        macros = [m.sql_text for m in list(cat.macros.values())
+                  + list(getattr(cat, "table_macros", {}).values())
+                  if m.sql_text]
+        user_types = {k: dict(v) for k, v in
+                      getattr(cat, "user_types", {}).items()}
+        wal_seq = getattr(cat, "_wal_seq", 0)
     _write_db(path, tables, views,
-              schemas=sorted(cat.schemas - {"main"} - set(attached)),
-              sequences={k: dict(v) for k, v in cat.sequences.items()},
-              macros=[m.sql_text for m in list(cat.macros.values())
-                      + list(getattr(cat, "table_macros", {}).values())
-                      if m.sql_text],
-              user_types={k: dict(v) for k, v in
-                          getattr(cat, "user_types", {}).items()},
-              wal_seq=getattr(cat, "_wal_seq", 0),
+              schemas=schemas,
+              sequences=sequences,
+              macros=macros,
+              user_types=user_types,
+              wal_seq=wal_seq,
               abort_mode=abort_mode)
     for alias, info in attached.items():
         if info.get("read_only") or info["path"] == ":memory:":
@@ -152,16 +177,60 @@ def checkpoint_attached(cat, alias: str, path: str):
               macros=macros)
 
 
+def _data_gen_dir(path: str, gen: int) -> str:
+    """Directory holding generation `gen`'s table data (gen 0 = the legacy
+    un-generational `data/` layout)."""
+    return os.path.join(path, "data" if gen == 0 else f"data.g{gen}")
+
+
+def _cleanup_stale_generations(path: str, keep_gen: int):
+    """Remove data generations other than the live one (leftovers of
+    aborted checkpoints, or the superseded generation after a successful
+    header swap)."""
+    keep = _data_gen_dir(path, keep_gen)
+    candidates = _glob.glob(os.path.join(path, "data.g*"))
+    if keep_gen != 0:
+        candidates.append(os.path.join(path, "data"))
+    for d in candidates:
+        if os.path.abspath(d) != os.path.abspath(keep) and os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _current_gen(path: str) -> int:
+    cat_path = os.path.join(path, "catalog.json")
+    if os.path.exists(cat_path):
+        try:
+            with open(cat_path) as f:
+                return int(json.load(f).get("data_gen", 0))
+        except (ValueError, OSError):
+            return 0
+    return 0
+
+
 def _write_db(path: str, tables: dict, views: dict, schemas, sequences,
               macros, user_types=None, wal_seq: int = 0,
               abort_mode: str = "none"):
+    # Checkpoint data is STAGED: each checkpoint writes a fresh
+    # generation directory (data.g<N>) and the catalog.json header swap
+    # atomically switches to it. A crash any time before the header swap
+    # leaves the previous generation untouched, so WAL replay applies
+    # against the data state the header describes — never against
+    # half-written new data (the reference writes new blocks and switches
+    # at the header, src/storage/single_file_block_manager.cpp
+    # alternating meta headers).
     _abort_point(abort_mode, "before_data")
-    os.makedirs(os.path.join(path, "data"), exist_ok=True)
-    meta = {"tables": [], "views": {}, "schemas": list(schemas)}
+    old_gen = _current_gen(path)
+    gen = old_gen + 1
+    data_root = _data_gen_dir(path, gen)
+    if os.path.isdir(data_root):  # leftover of an aborted checkpoint
+        shutil.rmtree(data_root)
+    os.makedirs(data_root)
+    meta = {"tables": [], "views": {}, "schemas": list(schemas),
+            "data_gen": gen}
     for name, entry in tables.items():
         if name.startswith("__"):
             continue  # ephemeral file/table-function tables
-        tdir = os.path.join(path, "data", name)
+        tdir = os.path.join(data_root, name)
         os.makedirs(tdir, exist_ok=True)
         cols_meta = []
         for cd in entry.columns:
@@ -195,8 +264,6 @@ def _write_db(path: str, tables: dict, views: dict, schemas, sequences,
             if valid is not None:
                 with open(base + ".validz", "wb") as f:
                     f.write(_comp.compress_validity(np.asarray(valid)))
-            elif os.path.exists(base + ".validz"):
-                os.remove(base + ".validz")
             cm = {"name": cd.name, "kind": kind}
             if kind == "z":
                 cm["enc"] = enc
@@ -236,6 +303,10 @@ def _write_db(path: str, tables: dict, views: dict, schemas, sequences,
     wal = os.path.join(path, "wal.sql")
     if os.path.exists(wal):
         os.remove(wal)
+    # the previous generation is unreachable from the new header; every
+    # column it held was forced resident by host_column() above, so no
+    # live lazy loader points into it
+    _cleanup_stale_generations(path, gen)
 
 
 def wal_append(path: str, sql: str, meta=None, seq: int = None):
@@ -264,12 +335,17 @@ def open_database(con, path: str):
         with open(cat_path) as f:
             meta = json.load(f)
         ckpt_seq = int(meta.get("wal_seq", 0))
+        data_gen = int(meta.get("data_gen", 0))
+        # drop generations orphaned by a checkpoint that crashed between
+        # data staging and the header swap (or between swap and cleanup)
+        _cleanup_stale_generations(path, data_gen)
+        data_root = _data_gen_dir(path, data_gen)
         from duckdb_tpu.storage import binary_dir
         from functools import partial
 
         con.catalog.schemas |= set(meta.get("schemas", []))
         for t in meta["tables"]:
-            tdir = os.path.join(path, "data", t["name"])
+            tdir = os.path.join(data_root, t["name"])
             cols = [ColumnDef(c["name"], _type_from_json(c["type"]))
                     for c in t["columns"]]
             entry = TableEntry(t["name"], cols)

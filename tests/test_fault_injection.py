@@ -86,6 +86,55 @@ def test_wal_epoch_no_double_apply(tmp_path):
     con2.close()
 
 
+@pytest.mark.parametrize("point", ["before_data", "before_header",
+                                   "before_truncate"])
+def test_checkpoint_abort_with_deletes_updates(tmp_path, point):
+    """DELETE/UPDATE between checkpoints, then a crashed checkpoint: the
+    advisor's round-3 repro — in-place data writes before the header swap
+    made WAL replay apply deletes against already-updated files (boolean
+    index size mismatch). Generation-staged data writes fix it."""
+    db = _fresh(tmp_path, f"db_dml_{point}")
+    con = _open(db)
+    con.sql("CREATE TABLE t (i BIGINT, s VARCHAR)")
+    con.sql("INSERT INTO t VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d'), (5,'e')")
+    con.sql("CHECKPOINT")
+    con.sql("DELETE FROM t WHERE i IN (2, 4)")
+    con.sql("UPDATE t SET s = 'z' WHERE i = 5")
+    con.sql(f"SET debug_checkpoint_abort = '{point}'")
+    with pytest.raises(Exception, match="checkpoint aborted"):
+        con.sql("CHECKPOINT")
+    _crash(con)
+    con2 = _open(db)
+    assert con2.sql("SELECT i, s FROM t ORDER BY i").rows() == [
+        (1, "a"), (3, "c"), (5, "z")]
+    # and the database stays writable + re-checkpointable after recovery
+    con2.sql("DELETE FROM t WHERE i = 1")
+    con2.sql("CHECKPOINT")
+    con2.close()
+    con3 = _open(db)
+    assert con3.sql("SELECT i, s FROM t ORDER BY i").rows() == [
+        (3, "c"), (5, "z")]
+    con3.close()
+
+
+def test_checkpoint_generation_cleanup(tmp_path):
+    """Successive checkpoints must not accumulate generation dirs."""
+    import glob
+
+    db = _fresh(tmp_path, "db_gens")
+    con = _open(db)
+    con.sql("CREATE TABLE t (i BIGINT)")
+    for k in range(3):
+        con.sql(f"INSERT INTO t VALUES ({k})")
+        con.sql("CHECKPOINT")
+    gens = glob.glob(os.path.join(db, "data*"))
+    assert len(gens) == 1, gens
+    con.close()
+    con2 = _open(db)
+    assert con2.sql("SELECT count(*) FROM t").rows() == [(3,)]
+    con2.close()
+
+
 def test_forced_commit_failure_rolls_back(tmp_path):
     db = _fresh(tmp_path, "db_commit")
     con = _open(db)

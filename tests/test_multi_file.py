@@ -124,3 +124,29 @@ def test_list_of_paths(con, csv_dir):
 def test_no_files_error(con):
     with pytest.raises(Exception, match="[Nn]o files"):
         con.sql("SELECT * FROM read_csv('/nonexistent/dir/*.csv')").rows()
+
+
+def test_hive_explicit_mismatch_errors(con, csv_dir):
+    # explicit hive_partitioning=true with no key=value segments: error,
+    # not a silent no-op (advisor round-3 finding)
+    with pytest.raises(Exception, match="hive_partitioning"):
+        con.sql(f"SELECT * FROM read_csv('{csv_dir}/*.csv',"
+                " hive_partitioning=1)").rows()
+
+
+def test_hive_single_file_auto_detect(con, tmp_path):
+    d = tmp_path / "single" / "year=2024"
+    d.mkdir(parents=True)
+    (d / "x.csv").write_text("v\n9\n")
+    rows = con.sql(
+        f"SELECT year, v FROM read_csv('{d}/x.csv')").rows()
+    assert rows == [(2024, 9)]
+    # literal single-path replacement scan detects it too
+    rows = con.sql(f"SELECT year, v FROM '{d}/x.csv'").rows()
+    assert rows == [(2024, 9)]
+
+
+def test_unknown_named_parameter_errors(con, csv_dir):
+    with pytest.raises(Exception, match="union_by_names"):
+        con.sql(f"SELECT * FROM read_csv('{csv_dir}/a.csv',"
+                " union_by_names=true)").rows()
