@@ -47,7 +47,7 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 SECONDARY = ["q03", "q05", "q06", "q09"]
-SECONDARY_SF2 = ["q01", "q03", "q09"]
+SECONDARY_SF2 = ["q01", "q03", "q05", "q06", "q09"]
 
 
 def ensure_data():
@@ -76,7 +76,10 @@ def timed(con, sql, runs=5, warmups=3):
 
 
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
-_T_START = time.time()
+# the budget clock starts AFTER data generation/loading: a first run on a
+# fresh machine pays one-time dbgen cost without starving the measurements
+# (data persists in data/ across runs)
+_T_START = None
 
 
 def _remaining():
@@ -84,11 +87,13 @@ def _remaining():
 
 
 def main():
+    global _T_START
     ensure_data()
     import duckdb_tpu
 
     con = duckdb_tpu.connect()
     con.load_tpch(DATA)
+    _T_START = time.time()
 
     base = {}
     baseline_path = os.path.join(ROOT, "BASELINE_MEASURED.json")
@@ -107,7 +112,7 @@ def main():
         path = os.path.join(REF_QUERIES, f"{q}.sql")
         if not os.path.exists(path):
             continue
-        if _remaining() < 60:
+        if _remaining() < 45:
             # out of wall budget: report partial results rather than risk the
             # driver's timeout swallowing the headline JSON line
             secondary[f"{q}_sf{SF:g}_skipped"] = "budget"
@@ -122,17 +127,24 @@ def main():
         if rt:
             secondary[f"{q}_sf{SF:g}_vs_baseline"] = round(rt / t, 3)
 
-    # compute-dominated comparison at SF10 (skip when data/budget missing)
-    if SF2 != SF and os.path.isdir(os.path.join(DATA2, "lineitem")) \
-            and _remaining() > 240:
+    # compute-dominated comparison at SF10: SF1 latencies sit near the
+    # tunneled runtime's ~30 ms dispatch floor, so SF10 is the number that
+    # measures the engine rather than the RTT (PERF.md). The SF10 load is
+    # excluded from the budget like the SF1 load above.
+    if SF2 != SF and os.path.isdir(os.path.join(DATA2, "lineitem")):
+        spent = time.time() - _T_START
         con2 = duckdb_tpu.connect()
         con2.load_tpch(DATA2)
+        _T_START = time.time() - spent  # don't charge the data load
         for q in SECONDARY_SF2:
             path = os.path.join(REF_QUERIES, f"{q}.sql")
-            if not os.path.exists(path) or _remaining() < 90:
-                break
+            if not os.path.exists(path):
+                continue
+            if _remaining() < 45:
+                secondary[f"{q}_sf{SF2:g}_skipped"] = "budget"
+                continue
             try:
-                t = timed(con2, open(path).read(), runs=2, warmups=3)
+                t = timed(con2, open(path).read(), runs=2, warmups=2)
             except Exception as e:  # noqa: BLE001
                 secondary[f"{q}_sf{SF2:g}_error"] = type(e).__name__
                 continue

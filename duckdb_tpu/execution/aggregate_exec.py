@@ -476,7 +476,8 @@ def _compute_agg(agg: BoundAggregate, inp, gids, nseg, live, plen, key_data,
         d = op(x.astype(jnp.int32), gids, num_segments=nseg)[:-1] > 0
         return Column(data=d, ltype=agg.ltype, validity=nonempty)
 
-    if f in ("first", "last", "any_value", "arg_min", "arg_max"):
+    if f in ("first", "last", "any_value", "arg_min", "arg_max",
+             "arg_min_null", "arg_max_null"):
         iota = jnp.arange(plen, dtype=jnp.int64)
         if f in ("first", "any_value", "last") and order_cols:
             from duckdb_tpu.ops.sort import orderable_int64
@@ -503,7 +504,10 @@ def _compute_agg(agg: BoundAggregate, inp, gids, nseg, live, plen, key_data,
         else:
             by = extra[0]
             by_data = jnp.broadcast_to(by.data, (plen,))
-            bmask = mask
+            # arg_min_null/arg_max_null: NULL argument values are
+            # candidates (reference: arg_min_null in
+            # core_functions/aggregate/distributive/arg_min_max.cpp)
+            bmask = live if f.endswith("_null") else mask
             if by.validity is not None:
                 bmask = jnp.logical_and(
                     bmask, jnp.broadcast_to(by.validity, (plen,)))
@@ -512,7 +516,7 @@ def _compute_agg(agg: BoundAggregate, inp, gids, nseg, live, plen, key_data,
             key = orderable_int64(
                 by_data.astype(jnp.int64)
                 if by.ltype.id is TypeId.VARCHAR else by_data,
-                None, f == "arg_max", False)
+                None, f.startswith("arg_max"), False)
             best = jax.ops.segment_min(
                 jnp.where(bmask, key, _I64_MAX), gids, num_segments=nseg)[:-1]
             at_best = jnp.logical_and(
@@ -666,6 +670,116 @@ def _compute_agg(agg: BoundAggregate, inp, gids, nseg, live, plen, key_data,
         codes, dvals = encode_objects(entries)
         return Column(data=jnp.asarray(codes), ltype=agg.ltype,
                       validity=nonempty, dict_values=dvals)
+
+    if f in ("approx_top_k", "bitstring_agg", "histogram_exact", "lttb"):
+        # host-finalize family like histogram/list: group-sort on device,
+        # per-group python finalize, results become new dictionary entries
+        # (reference: core_functions/aggregate/nested/{approx_top_k,
+        # histogram}.cpp, src/.../bit/bitstring_agg.cpp, lttb in
+        # core_functions/aggregate/nested/)
+        from duckdb_tpu.planner.functions_nested import encode_objects
+
+        iota32 = jnp.arange(plen, dtype=jnp.int32)
+        out = jax.lax.sort([jnp.logical_not(mask), gids.astype(jnp.int32),
+                            iota32], num_keys=2, is_stable=True)
+        dead_s, gid_s, perm = out[0], out[1], out[2]
+        vals_s = jnp.broadcast_to(c.data, (plen,))[perm]
+        h_dead = np.asarray(dead_s)
+        h_gid = np.asarray(gid_s)
+        h_vals = np.asarray(vals_s)
+        h_extra = []
+        for ec in extra:
+            h_extra.append(np.asarray(
+                jnp.broadcast_to(ec.data, (plen,))[perm]))
+
+        def pv(i):
+            v = h_vals[i]
+            if c.ltype.id is TypeId.VARCHAR:
+                return str(c.dict_values[v])
+            if c.ltype.is_float:
+                return float(v)
+            return int(v)
+
+        groups: dict = {}
+        for i in range(plen):
+            if h_dead[i]:
+                break
+            groups.setdefault(int(h_gid[i]), []).append(i)
+        grp_live = _seg_sum(live.astype(jnp.int64), gids,
+                            num_segments=nseg)[:-1] > 0
+        entries = []
+        if f == "approx_top_k":
+            k = int(np.asarray(h_extra[0])[0]) if h_extra else 5
+            for g in range(int(n_groups)):
+                counts: dict = {}
+                for i in groups.get(g, []):
+                    v = pv(i)
+                    counts[v] = counts.get(v, 0) + 1
+                top = sorted(counts.items(), key=lambda kv: -kv[1])[:k]
+                entries.append(tuple(v for v, _ in top))
+        elif f == "bitstring_agg":
+            # '1' bits at the positions of the values within [min, max]
+            all_vals = [pv(i) for idxs in groups.values() for i in idxs]
+            if h_extra:
+                lo = int(np.asarray(h_extra[0])[0])
+                hi = int(np.asarray(h_extra[1])[0])
+            else:
+                lo = min(all_vals) if all_vals else 0
+                hi = max(all_vals) if all_vals else 0
+            width = max(hi - lo + 1, 1)
+            for g in range(int(n_groups)):
+                bits = ["0"] * width
+                for i in groups.get(g, []):
+                    p = int(pv(i)) - lo
+                    if 0 <= p < width:
+                        bits[p] = "1"
+                entries.append("".join(bits))
+        elif f == "histogram_exact":
+            bins_c = extra[0]
+            bin_vals = (tuple(bins_c.dict_values[int(
+                np.asarray(bins_c.data).reshape(-1)[0])])
+                        if bins_c.dict_values is not None else ())
+            for g in range(int(n_groups)):
+                counts = {b: 0 for b in bin_vals}
+                for i in groups.get(g, []):
+                    v = pv(i)
+                    if v in counts:
+                        counts[v] += 1
+                entries.append(tuple(counts.items()))
+        else:  # lttb(x, y, n): largest-triangle-three-buckets downsample
+            n_out = int(np.asarray(h_extra[1])[0]) if len(h_extra) > 1 \
+                else 100
+            for g in range(int(n_groups)):
+                pts = sorted((pv(i), float(h_extra[0][i]))
+                             for i in groups.get(g, []))
+                m = len(pts)
+                if m <= n_out or n_out < 3:
+                    entries.append(tuple(pts))
+                    continue
+                sel = [pts[0]]
+                bucket = (m - 2) / (n_out - 2)
+                a_pt = pts[0]
+                for bi in range(n_out - 2):
+                    s = int(1 + bi * bucket)
+                    e = min(int(1 + (bi + 1) * bucket), m - 1)
+                    ns = min(int(1 + (bi + 1) * bucket), m - 1)
+                    ne = min(int(1 + (bi + 2) * bucket), m)
+                    nxt = pts[ns:ne] or [pts[-1]]
+                    cx = sum(p[0] for p in nxt) / len(nxt)
+                    cy = sum(p[1] for p in nxt) / len(nxt)
+                    best, best_area = pts[s], -1.0
+                    for p in pts[s:e]:
+                        area = abs((a_pt[0] - cx) * (p[1] - a_pt[1])
+                                   - (a_pt[0] - p[0]) * (cy - a_pt[1]))
+                        if area > best_area:
+                            best, best_area = p, area
+                    sel.append(best)
+                    a_pt = best
+                sel.append(pts[-1])
+                entries.append(tuple(sel))
+        codes, dvals = encode_objects(entries)
+        return Column(data=jnp.asarray(codes), ltype=agg.ltype,
+                      validity=grp_live, dict_values=dvals)
 
     if f in ("list", "array_agg"):
         # host-side finalize like string_agg: the per-group tuples become new

@@ -247,7 +247,8 @@ class _JoinStep:
 
     def __init__(self, pfx, mode, probe_keys, los, rngs, strides, size,
                  build_plen, aux, build_src, subset_idx=0, bucket_width=1,
-                 subset_size=0):
+                 subset_size=0, kdt=jnp.int64):
+        self.kdt = kdt  # packed-key dtype (int32 when the domain fits)
         self.pfx = pfx
         self.mode = mode
         self.probe_keys = probe_keys
@@ -286,20 +287,46 @@ class _JoinStep:
 
     def probe(self, env, p, live):
         """In-trace probe → (bidx int32 (p,), live∧hit)."""
-        packed = jnp.zeros((p,), jnp.int64)
+        kdt = self.kdt
+        packed = jnp.zeros((p,), kdt)
         ok = live
         digits = []
         for e, lo, rng, st_ in zip(self.probe_keys, self.los, self.rngs,
                                    self.strides):
             c = e.eval(env)
-            v = jnp.broadcast_to(c.data, (p,)).astype(jnp.int64)
-            okk = jnp.logical_and(v >= lo, v <= lo + rng - 1)
+            v = jnp.broadcast_to(c.data, (p,))
+            # range check in the column's own dtype (probe values may
+            # exceed the packed domain); the in-range digit then fits kdt.
+            # Bounds outside the dtype's representable range clamp (the
+            # comparison is then vacuous / impossible, decided statically)
+            hi = lo + rng - 1
+            info = np.iinfo(v.dtype) if v.dtype.kind in "iu" else None
+            if info is not None and (lo > info.max or hi < info.min):
+                # domains are statically disjoint: no probe row can match
+                okk = jnp.zeros((p,), jnp.bool_)
+                digit = jnp.zeros((p,), kdt)
+            else:
+                lo_c = lo if info is None else max(lo, int(info.min))
+                hi_c = hi if info is None else min(hi, int(info.max))
+                okk = jnp.logical_and(v >= v.dtype.type(lo_c),
+                                      v <= v.dtype.type(hi_c))
+                # digit only needs to be exact where okk holds (dead rows
+                # are masked by `ok`; all gathers clip)
+                if v.dtype.itemsize >= 8:
+                    # int64 probe values: subtract in-source, then narrow
+                    digit = jnp.clip(v - v.dtype.type(lo), 0,
+                                     rng - 1).astype(kdt)
+                elif kdt == jnp.int32 and -(2 ** 31) <= lo < 2 ** 31:
+                    digit = jnp.clip(v.astype(kdt) - kdt(lo), kdt(0),
+                                     kdt(rng - 1))
+                else:
+                    digit = jnp.clip(v.astype(jnp.int64) - lo, 0,
+                                     rng - 1).astype(kdt)
             if c.validity is not None:
                 okk = jnp.logical_and(okk,
                                       jnp.broadcast_to(c.validity, (p,)))
-            digit = jnp.clip(v - lo, 0, rng - 1)
             digits.append(digit)
-            packed = packed + digit * jnp.int64(st_)
+            packed = packed + digit * kdt(st_)
             ok = jnp.logical_and(ok, okk)
         if self.mode == "dense":
             lut = env.aux[f"{self.pfx}.lut"]
@@ -460,15 +487,25 @@ def _prep_join_step_fresh(executor, j: P.Join, pfx: str, aux: Dict,
         strides.append(st)
         st *= r
     strides.reverse()
+    # packed-key dtype: int32 whenever the full packed domain fits — the
+    # TPU has no native 64-bit, so int64 multiply-accumulate chains and
+    # int64 gather indices are x64-EMULATED (~2-4× cost, PERF.md); the
+    # packed value is bounded by `size` by construction so the narrow
+    # dtype is exact
+    kdt = jnp.int32 if size < (1 << 31) - 1 else jnp.int64
     # packed build keys + live mask (device, async)
-    packed = jnp.zeros((bb.plen,), jnp.int64)
+    packed = jnp.zeros((bb.plen,), kdt)
     build_live = bb.live
     for c, lo, rng, st_ in zip(key_cols, los, rngs, strides):
-        d = jnp.broadcast_to(c.data, (bb.plen,)).astype(jnp.int64)
+        d = jnp.broadcast_to(c.data, (bb.plen,))
         if c.validity is not None:
             build_live = jnp.logical_and(
                 build_live, jnp.broadcast_to(c.validity, (bb.plen,)))
-        packed = packed + jnp.clip(d - lo, 0, rng - 1) * jnp.int64(st_)
+        if d.dtype == jnp.int64:
+            digit = jnp.clip(d - lo, 0, rng - 1).astype(kdt)
+        else:
+            digit = jnp.clip(d.astype(kdt) - kdt(lo), kdt(0), kdt(rng - 1))
+        packed = packed + digit * kdt(st_)
     step_aux = {}
     subset_idx = 0
     bucket_width = 1
@@ -507,8 +544,8 @@ def _prep_join_step_fresh(executor, j: P.Join, pfx: str, aux: Dict,
         if best is not None:
             bucket_width, subset_idx, subset_size = best[0], best[1], best[2]
             Bc, S = bucket_width, subset_size
-            sv = ((packed // jnp.int64(strides[subset_idx]))
-                  % jnp.int64(rngs[subset_idx])).astype(jnp.int32)
+            sv = ((packed // kdt(strides[subset_idx]))
+                  % kdt(rngs[subset_idx])).astype(jnp.int32)
             slot_b = jnp.where(build_live, sv, S)
             iota = jnp.arange(bb.plen, dtype=jnp.int32)
             sorted_slot, perm_s = jax.lax.sort([slot_b, iota], num_keys=1,
@@ -534,12 +571,13 @@ def _prep_join_step_fresh(executor, j: P.Join, pfx: str, aux: Dict,
 
             executor.defer_scalar(overflow, _check_overflow)
             step_aux[f"{pfx}.bt"] = bt
-            step_aux[f"{pfx}.bk"] = jnp.where(build_live, packed,
-                                              jnp.int64(-1))
+            step_aux[f"{pfx}.bk"] = jnp.where(build_live, packed, kdt(-1))
             mode = "bucket"
         else:
             iota = jnp.arange(bb.plen, dtype=jnp.int32)
-            kb = jnp.where(build_live, packed, jnp.int64(_I64_MAX))
+            sentinel = kdt(np.iinfo(np.int32 if kdt == jnp.int32
+                                    else np.int64).max)
+            kb = jnp.where(build_live, packed, sentinel)
             sk, sp = jax.lax.sort([kb, iota], num_keys=1, is_stable=False)
             step_aux[f"{pfx}.sk"] = sk
             step_aux[f"{pfx}.sp"] = sp
@@ -547,7 +585,8 @@ def _prep_join_step_fresh(executor, j: P.Join, pfx: str, aux: Dict,
     aux.update(step_aux)
     step = _JoinStep(pfx, mode, list(j.probe_keys), los, rngs, strides,
                      size, bb.plen, aux, bb.src, subset_idx=subset_idx,
-                     bucket_width=bucket_width, subset_size=subset_size)
+                     bucket_width=bucket_width, subset_size=subset_size,
+                     kdt=kdt)
     step.aux_entries.update(step_aux)
     step.phase1 = _subtree_filters(j.build)
     return step
@@ -1052,17 +1091,25 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
         return vecs, kinds
 
     def dense_ids(env, live, p):
-        dense = jnp.zeros((p,), jnp.int64)
+        # group-slot arithmetic is pure int32: total <= PERFECT_LIMIT
+        # (2^23) by construction, and int64 is x64-emulated on TPU
+        dense = jnp.zeros((p,), jnp.int32)
         for (gkey, ge), lo, dom in zip(group_resolved, mins, domains):
             c = ge.eval(env)
-            kd = jnp.broadcast_to(c.data, (p,)).astype(jnp.int64)
-            if c.validity is not None:
-                off = jnp.where(jnp.broadcast_to(c.validity, (p,)),
-                                jnp.clip(kd - lo + 1, 0, dom - 1), 0)
+            kd = jnp.broadcast_to(c.data, (p,))
+            if kd.dtype.itemsize >= 8:
+                off = jnp.clip(kd - kd.dtype.type(lo) + 1, 0,
+                               dom - 1).astype(jnp.int32)
+            elif -(2 ** 31) <= lo < 2 ** 31 - 1:
+                off = jnp.clip(kd.astype(jnp.int32) - jnp.int32(lo)
+                               + jnp.int32(1), 0, dom - 1)
             else:
-                off = jnp.clip(kd - lo + 1, 0, dom - 1)
-            dense = dense * jnp.int64(dom) + off
-        return jnp.where(live, dense, total).astype(jnp.int32)
+                off = jnp.clip(kd.astype(jnp.int64) - lo + 1, 0,
+                               dom - 1).astype(jnp.int32)
+            if c.validity is not None:
+                off = jnp.where(jnp.broadcast_to(c.validity, (p,)), off, 0)
+            dense = dense * jnp.int32(dom) + off
+        return jnp.where(live, dense, total)
 
     def dense_reduce(env, live, p):
         from duckdb_tpu.ops.grouped import grouped_reduce

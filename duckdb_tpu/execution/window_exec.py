@@ -177,6 +177,40 @@ def _compute_window(w: P.BoundWindow, env, plen, perm, seg_start, peer_start,
     live_s = b.live[perm]
     valid = jnp.logical_and(valid, live_s)
 
+    if f == "fill":
+        # interpolate NULLs from the nearest valid neighbors within the
+        # partition (reference: FillFun,
+        # src/include/duckdb/function/window/value_functions.hpp:69)
+        vidx = jnp.where(valid, idx, jnp.int64(-1))
+        # reset at segment starts: max-scan of (segment-start marker, vidx)
+        seg_floor = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(seg_start, idx, 0))
+        prev_i = jax.lax.associative_scan(jnp.maximum, vidx)
+        prev_i = jnp.where(prev_i >= seg_floor, prev_i, -1)
+        nvidx = jnp.where(valid, idx, jnp.int64(_I64_MAX))[::-1]
+        next_i = jax.lax.associative_scan(jnp.minimum, nvidx)[::-1]
+        # segment end = start of next segment - 1
+        rev = seg_start[::-1]
+        rev_floor = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(jnp.roll(rev, 1).at[0].set(True),
+                                   jnp.arange(plen, dtype=jnp.int64), 0))
+        seg_end = (plen - 1) - rev_floor[::-1]
+        next_i = jnp.where(next_i <= seg_end, next_i, _I64_MAX)
+        has_p = prev_i >= 0
+        has_n = next_i < _I64_MAX
+        pc = jnp.clip(prev_i, 0, plen - 1)
+        nc = jnp.clip(next_i, 0, plen - 1)
+        pv = vals[pc].astype(jnp.float64)
+        nv = vals[nc].astype(jnp.float64)
+        span = jnp.maximum((next_i - prev_i).astype(jnp.float64), 1.0)
+        interp = pv + (nv - pv) * ((idx - prev_i).astype(jnp.float64) / span)
+        filled = jnp.where(jnp.logical_and(has_p, has_n), interp,
+                           jnp.where(has_p, pv, nv))
+        out = jnp.where(valid, vals,
+                        filled.astype(vals.dtype) if vals.dtype
+                        != jnp.float64 else filled)
+        return out, jnp.logical_or(valid, jnp.logical_or(has_p, has_n))
+
     if f in ("lag", "lead"):
         off = int(w.args[1].const_value()) if len(w.args) > 1 else 1
         shift = -off if f == "lag" else off

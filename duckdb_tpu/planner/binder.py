@@ -22,6 +22,7 @@ from duckdb_tpu.planner import functions as F
 from duckdb_tpu.planner import functions_ext as _Fext  # noqa: F401 (registry side effects)
 from duckdb_tpu.planner import functions_nested as _Fnest  # noqa: F401 (registry side effects)
 from duckdb_tpu.planner import functions_more as _Fmore  # noqa: F401 (registry side effects)
+from duckdb_tpu.planner import functions_parity as _Fpar  # noqa: F401 (registry side effects)
 from duckdb_tpu.storage import json_io as _Fjson  # noqa: F401 (registry side effects)
 from duckdb_tpu.types import (
     BLOB,
@@ -56,6 +57,9 @@ AGGREGATE_NAMES = {
     "entropy", "sem", "mad", "count_if", "countif", "arbitrary",
     "argmax", "argmin", "max_by", "min_by", "favg", "fsum", "sumkahan",
     "kahan_sum", "sum_no_overflow", "reservoir_quantile",
+    "arg_min_null", "arg_max_null", "arg_min_nulls_last",
+    "arg_max_nulls_last", "approx_top_k", "bitstring_agg",
+    "histogram_exact", "lttb",
 }
 
 
@@ -638,7 +642,32 @@ class ExprBinder:
             if self.agg_collector is None:
                 raise BindError(f"aggregate {name}() not allowed here")
             return self.agg_collector(e, self)
+        if (name in ("list_reduce", "array_reduce", "reduce")
+                and len(e.args) == 2
+                and isinstance(e.args[1], N.LambdaExpr)):
+            # fold lambda: reduce(l, lambda acc, x: ...) (reference:
+            # core_functions/scalar/list/list_reduce.cpp)
+            from duckdb_tpu.planner.functions_nested import bind_reduce_func
+
+            base = self.bind(e.args[0])
+            lam = e.args[1]
+            if not getattr(lam, "index_param", None):
+                raise BindError(f"{name} requires a two-parameter lambda "
+                                "(accumulator, element)")
+            child_t = base.ltype.child or SQLNULL
+            lscope = Scope()
+            akey = f"__lambda_{lam.param}"
+            xkey = f"__lambda_{lam.index_param}"
+            lscope.add(lam.param, lam.param, akey, child_t)
+            lscope.add(lam.index_param, lam.index_param, xkey, child_t)
+            sub = ExprBinder(lscope, agg_collector=None,
+                             subquery_binder=self.subquery_binder)
+            body_b = sub.bind(lam.body)
+            rt, impl = bind_reduce_func(name, base, body_b, akey, xkey,
+                                        child_t)
+            return B.BoundFunction(name, [base], rt, impl)
         if (name in ("list_transform", "array_transform", "apply",
+                     "list_apply", "array_apply",
                      "list_filter", "array_filter", "filter")
                 and len(e.args) == 2
                 and isinstance(e.args[1], N.LambdaExpr)):
@@ -660,11 +689,93 @@ class ExprBinder:
             rt, impl = bind_lambda_func(name, base, body_b, pkey, child_t,
                                         ikey=ikey)
             return B.BoundFunction(name, [base], rt, impl)
+        op_rewrite = self._op_function_rewrite(name, e.args)
+        if op_rewrite is not None:
+            return self.bind(op_rewrite)
+        from duckdb_tpu.planner import functions_parity as FP
+
+        if name in FP.MONTH_INTERVAL_FNS:
+            # month-granularity interval constructors fold to bind-time
+            # (months, days, micros) literals (functions_parity.py)
+            arg = self.bind(e.args[0])
+            if not arg.is_const():
+                raise BindError(
+                    f"{name} with non-constant argument not supported "
+                    "(month-granularity intervals are calendar-dependent)")
+            months = int(arg.const_value()) * FP.MONTH_INTERVAL_FNS[name]
+            return B.BoundLiteral((months, 0, 0), INTERVAL)
+        if name in ("struct_insert", "struct_update") and len(e.args) >= 2:
+            base_b = self.bind(e.args[0])
+            pairs = []
+            for a in e.args[1:]:
+                if (isinstance(a, N.BinaryOp)
+                        and a.op in (":=", "=>", "=", "==")
+                        and isinstance(a.left, N.ColumnRef)):
+                    pairs.append((a.left.parts[-1], self.bind(a.right)))
+                else:
+                    raise BindError(
+                        f"{name} requires named arguments (field := value)")
+            rt, impl = FP.bind_struct_insert_update(name, base_b, pairs)
+            return B.BoundFunction(name, [base_b], rt, impl)
         if name in F.REGISTRY:
             args = [self.bind(a) for a in e.args]
             rt, impl, args2 = F.REGISTRY[name](args)
             return B.BoundFunction(name, args2, rt, impl)
         raise BindError(f"Scalar Function with name {name} does not exist!")
+
+    # operator functions: the reference registers every operator as a
+    # callable function name ("+"(1,2), "~~"(s,p), "add"(a,b) — see
+    # src/function/function_list.cpp operator entries); rewrite to the
+    # equivalent AST so the full operator machinery (type promotion,
+    # decimals, intervals, collation) applies
+    _ARITH_NAMES = {"+": "+", "-": "-", "*": "*", "/": "/", "//": "//",
+                    "%": "%", "add": "+", "subtract": "-", "multiply": "*",
+                    "divide": "/", "mod": "%", "||": "||"}
+    _CMP_NAMES = {"=", "==", "!=", "<>", "<", "<=", ">", ">="}
+
+    def _op_function_rewrite(self, name, args):
+        n = len(args)
+        if name in self._ARITH_NAMES and n == 2:
+            if name == "||":
+                # string/list concat or... bitor? no: "||" is concat
+                return N.BinaryOp("||", args[0], args[1])
+            return N.BinaryOp(self._ARITH_NAMES[name], args[0], args[1])
+        if name == "-" and n == 1:
+            return N.UnaryOp("-", args[0])
+        if name in self._CMP_NAMES and n == 2:
+            op = {"==": "=", "!=": "<>"}.get(name, name)
+            return N.BinaryOp(op, args[0], args[1])
+        if name in ("~~", "!~~", "~~*", "!~~*") and n == 2:
+            return N.LikeExpr(args[0], args[1],
+                              negated=name.startswith("!"),
+                              case_insensitive=name.endswith("*"))
+        if name == "~~~" and n == 2:
+            return N.FunctionCall("glob", args)
+        if name == "^@" and n == 2:
+            return N.FunctionCall("starts_with", args)
+        if name == "@>" and n == 2:
+            return N.FunctionCall("list_has_all", args)
+        if name == "<@" and n == 2:
+            return N.FunctionCall("list_has_all", [args[1], args[0]])
+        if name == "&&" and n == 2:
+            return N.FunctionCall("list_has_any", args)
+        if name == "<->" and n == 2:
+            return N.FunctionCall("list_distance", args)
+        if name == "<=>" and n == 2:
+            return N.FunctionCall("list_cosine_distance", args)
+        if name in ("^", "**") and n == 2:
+            return N.FunctionCall("power", args)
+        if name == "@" and n == 1:
+            return N.FunctionCall("abs", args)
+        if name == "!__postfix" and n == 1:
+            return N.FunctionCall("factorial", args)
+        if name == "is distinct from" and n == 2:
+            return N.IsDistinctFrom(args[0], args[1], negated=False)
+        if name == "is not distinct from" and n == 2:
+            return N.IsDistinctFrom(args[0], args[1], negated=True)
+        if name == "__between" and n == 3:
+            return N.Between(args[0], args[1], args[2])
+        return None
 
     def _bind_WindowFunction(self, e):
         if self.window_collector is None:

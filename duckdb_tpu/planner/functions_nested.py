@@ -397,6 +397,54 @@ def bind_lambda_func(name, base, body_b, pkey, child_t, ikey=None):
     return out_t, impl
 
 
+def bind_reduce_func(name, base, body_b, akey, xkey, child_t):
+    """list_reduce(l, lambda acc, x: ...) — left fold over each distinct
+    list (reference: core_functions/scalar/list/list_reduce.cpp). The fold
+    runs round-by-round: round k evaluates the body once over the k-th
+    element of every distinct list still long enough, so the host cost is
+    O(max_len) body evaluations, not O(total elements)."""
+    from duckdb_tpu.planner.bound import EvalEnv
+
+    out_t = body_b.ltype
+
+    def impl(env, cols, node):
+        c = cols[0]
+        entries = [tuple(t) for t in c.dict_values]
+        max_len = max((len(t) for t in entries), default=0)
+        accs = [t[0] if t else None for t in entries]
+        n = len(entries)
+        for k in range(1, max_len):
+            active = [i for i, t in enumerate(entries) if len(t) > k]
+            if not active:
+                break
+            acc_vals = [accs[i] for i in active]
+            x_vals = [entries[i][k] for i in active]
+            m = len(active)
+            ad, av, advals = _column_from_pyvals(acc_vals, out_t if k > 1
+                                                 else child_t)
+            xd, xv, xdvals = _column_from_pyvals(x_vals, child_t)
+            eenv = EvalEnv(cols={
+                akey: Column(data=jnp.asarray(ad), ltype=(out_t if k > 1
+                                                          else child_t),
+                             validity=jnp.asarray(av), dict_values=advals),
+                xkey: Column(data=jnp.asarray(xd), ltype=child_t,
+                             validity=jnp.asarray(xv), dict_values=xdvals),
+            }, plen=m, live=jnp.ones((m,), jnp.bool_))
+            rc = body_b.eval(eenv)
+            rdata = np.asarray(jnp.broadcast_to(rc.data, (m,)))
+            rvalid = (np.asarray(jnp.broadcast_to(rc.validity, (m,)))
+                      if rc.validity is not None else None)
+            for j, i in enumerate(active):
+                accs[i] = _py_decode(rc.ltype, rdata, rvalid,
+                                     rc.dict_values, j)
+        for i, t in enumerate(entries):
+            if not t:
+                accs[i] = None  # reference errors on empty; NULL here
+        return _lut_gather(c, accs, out_t)
+
+    return out_t, impl
+
+
 def _pairwise_list_op(a: "Column", b: "Column", fn, out_t):
     """Per-distinct-PAIR host op over two dict-encoded columns → LUT gather
     on the pair code (a_code * |b_dict| + b_code)."""

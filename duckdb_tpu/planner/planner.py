@@ -1529,6 +1529,11 @@ class Planner:
                     "sumkahan": "fsum", "kahan_sum": "fsum",
                     "sum_no_overflow": "sum",
                     "reservoir_quantile": "quantile_disc",
+                    # nulls_last variants: NULL by-values sort last, which
+                    # the base arg_min/arg_max already do (NULL by ignored
+                    # unless the group is all-NULL)
+                    "arg_max_nulls_last": "arg_max",
+                    "arg_min_nulls_last": "arg_min",
                     }.get(name, name)
             args = [binder.bind(a) for a in fc.args]
         t = _agg_result_type(func, args)
@@ -1550,6 +1555,8 @@ class Planner:
     def _bind_window_call(self, wf, binder, windows: List[P.BoundWindow]):
         fc, spec = wf.func, wf.spec
         name = fc.name.lower()
+        if name == "rank_dense":  # reference alias (function_list.cpp)
+            name = "dense_rank"
         args = [binder.bind(a) for a in fc.args]
         part = [binder.bind(e) for e in spec.partition_by]
         order = [(binder.bind(it.expr), it.descending, it.nulls_first)
@@ -1561,7 +1568,7 @@ class Planner:
         elif name in ("avg", "mean"):
             t = DOUBLE
         elif name in ("min", "max", "lag", "lead", "first_value",
-                      "last_value", "nth_value"):
+                      "last_value", "nth_value", "fill"):
             t = args[0].ltype if args else SQLNULL
         elif name in ("percent_rank", "cume_dist"):
             t = DOUBLE
@@ -1881,8 +1888,25 @@ def _agg_result_type(func: str, args) -> LogicalType:
     if func in ("avg", "mean"):
         return DOUBLE
     if func in ("min", "max", "first", "last", "any_value", "arg_min",
-                "arg_max", "mode", "quantile_disc"):
+                "arg_max", "arg_min_null", "arg_max_null", "mode",
+                "quantile_disc"):
         return t
+    if func == "approx_top_k":
+        from duckdb_tpu.types import list_of as _list_of
+
+        return _list_of(t)
+    if func == "bitstring_agg":
+        from duckdb_tpu.types import VARCHAR as _VC
+
+        return _VC  # BIT carrier
+    if func == "histogram_exact":
+        from duckdb_tpu.types import map_of as _map_of
+
+        return _map_of(t, BIGINT)
+    if func == "lttb":
+        from duckdb_tpu.types import list_of as _list_of, struct_of as _so
+
+        return _list_of(_so(("x", t), ("y", DOUBLE)))
     if func in ("median", "quantile", "quantile_cont", "approx_quantile"):
         return t if t.id is TypeId.VARCHAR else DOUBLE
     if func == "product":

@@ -30,7 +30,11 @@ class Token:
         return f"{self.type}:{self.value}"
 
 
-_TWO_CHAR_OPS = {"<=", ">=", "<>", "!=", "::", "||", "//", "->", "**"}
+_FOUR_CHAR_OPS = {"!~~*"}
+_THREE_CHAR_OPS = {"!~~", "~~*", "~~~", "<->", "<=>", "->>"}
+_TWO_CHAR_OPS = {"<=", ">=", "<>", "!=", "::", "||", "//", "->", "**",
+                 "~~", "!~", "^@", "<@", "@>", "&&", "<<", ">>", ":=",
+                 "=>"}
 _ONE_CHAR_OPS = set("+-*/%(),.;=<>[]{}:?")
 
 
@@ -116,6 +120,16 @@ def tokenize(sql: str) -> List[Token]:
                 j += 1
             out.append(Token(TokType.IDENT, sql[i:j], i))
             i = j
+            continue
+        four = sql[i : i + 4]
+        if four in _FOUR_CHAR_OPS:
+            out.append(Token(TokType.OP, four, i))
+            i += 4
+            continue
+        three = sql[i : i + 3]
+        if three in _THREE_CHAR_OPS:
+            out.append(Token(TokType.OP, three, i))
+            i += 3
             continue
         two = sql[i : i + 2]
         if two in _TWO_CHAR_OPS:

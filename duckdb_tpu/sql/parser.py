@@ -733,11 +733,12 @@ class Parser:
 
     def parse_tf_arg(self) -> N.Expr:
         # named arg: ident := expr  or  ident => expr
-        if self.peek().type == TokType.IDENT and self.peek(1).value in (":", "=") :
-            if self.peek(1).value == ":" and self.peek(2).value == "=":
-                name = self.next().value
-                self.next(); self.next()
-                return N.BinaryOp(":=", N.ColumnRef((name,)), self.parse_expr())
+        if (self.peek().type == TokType.IDENT
+                and self.peek(1).type == TokType.OP
+                and self.peek(1).value in (":=", "=>")):
+            name = self.next().value
+            self.next()
+            return N.BinaryOp(":=", N.ColumnRef((name,)), self.parse_expr())
         return self.parse_expr()
 
     def parse_alias(self) -> Tuple[Optional[str], Tuple[str, ...]]:
@@ -851,10 +852,45 @@ class Parser:
 
     _CMP_OPS = {"=", "<>", "!=", "<", "<=", ">", ">="}
 
+    # operator → equivalent function-call rewrite at the comparison level
+    # (reference: these are registered operator aliases — ~~ = like,
+    # ^@ = starts_with, @>/<@ = list_has_all, && = list_has_any,
+    # <-> = list_distance, <=> = list_cosine_distance, ~ = regexp)
+    _LIKEISH_OPS = {"~~", "!~~", "~~*", "!~~*", "~~~", "^@", "<@", "@>",
+                    "&&", "<->", "<=>", "~", "!~"}
+
     def parse_comparison(self) -> N.Expr:
         left = self.parse_additive_chain()
         while True:
             t = self.peek()
+            if t.type == TokType.OP and t.value in self._LIKEISH_OPS:
+                self.next()
+                right = self.parse_additive_chain()
+                v = t.value
+                if v in ("~~", "!~~", "~~*", "!~~*"):
+                    left = N.LikeExpr(left, right, negated=v.startswith("!"),
+                                      case_insensitive=v.endswith("*"))
+                elif v == "~~~":
+                    left = N.FunctionCall("glob", [left, right])
+                elif v == "^@":
+                    left = N.FunctionCall("starts_with", [left, right])
+                elif v == "@>":
+                    left = N.FunctionCall("list_has_all", [left, right])
+                elif v == "<@":
+                    left = N.FunctionCall("list_has_all", [right, left])
+                elif v == "&&":
+                    left = N.FunctionCall("list_has_any", [left, right])
+                elif v == "<->":
+                    left = N.FunctionCall("list_distance", [left, right])
+                elif v == "<=>":
+                    left = N.FunctionCall("list_cosine_distance",
+                                          [left, right])
+                elif v == "~":
+                    left = N.FunctionCall("regexp_full_match", [left, right])
+                else:  # !~
+                    left = N.NotExpr(
+                        N.FunctionCall("regexp_full_match", [left, right]))
+                continue
             if t.type == TokType.OP and t.value in self._CMP_OPS:
                 self.next()
                 op = "<>" if t.value == "!=" else t.value
@@ -902,10 +938,24 @@ class Parser:
             return left
 
     def parse_additive_chain(self) -> N.Expr:
-        left = self.parse_additive()
+        left = self.parse_bitops()
         while self.accept_op("||"):
-            left = N.BinaryOp("||", left, self.parse_additive())
+            left = N.BinaryOp("||", left, self.parse_bitops())
         return left
+
+    def parse_bitops(self) -> N.Expr:
+        """Bitwise &, |, <<, >> (one level, left-assoc — the reference
+        groups "other operators" at a single precedence below +/-,
+        src/parser/peg/grammar expression rules / PostgreSQL operator
+        precedence)."""
+        left = self.parse_additive()
+        while True:
+            t = self.peek()
+            if t.type == TokType.OP and t.value in ("&", "|", "<<", ">>"):
+                self.next()
+                left = N.FunctionCall(t.value, [left, self.parse_additive()])
+            else:
+                return left
 
     def parse_additive(self) -> N.Expr:
         left = self.parse_multiplicative()
@@ -937,7 +987,24 @@ class Parser:
                     return N.Literal(-child.value, child.type_hint)
                 return N.UnaryOp("-", child)
             return child
-        return self.parse_postfix()
+        if t.type == TokType.OP and t.value == "~":
+            self.next()
+            return N.FunctionCall("~", [self.parse_unary()])
+        if t.type == TokType.OP and t.value == "@":
+            self.next()
+            return N.FunctionCall("abs", [self.parse_unary()])
+        return self.parse_power()
+
+    def parse_power(self) -> N.Expr:
+        """`^` / `**` exponentiation: binds tighter than unary minus,
+        right-associative (PostgreSQL semantics, kept by the reference:
+        -2^2 = -4, 2^3^2 = 2^(3^2))."""
+        left = self.parse_postfix()
+        t = self.peek()
+        if t.type == TokType.OP and t.value in ("^", "**"):
+            self.next()
+            return N.FunctionCall("power", [left, self.parse_unary()])
+        return left
 
     def parse_postfix(self) -> N.Expr:
         e = self.parse_primary()
@@ -977,17 +1044,21 @@ class Parser:
                     e = N.ColumnRef(e.parts + (self.expect_ident(),))
                 else:
                     break
-            elif self.peek().value == "->" and self.peek().type == TokType.OP:
+            elif self.peek().value in ("->", "->>") \
+                    and self.peek().type == TokType.OP:
                 # JSON extract operators: doc -> path (JSON), doc ->> path
                 # (text). Reference: json extension operator registration.
+                fn = ("json_extract" if self.peek().value == "->"
+                      else "json_extract_string")
                 self.next()
-                fn = "json_extract"
-                if self.peek().value == ">" and self.peek().type == TokType.OP:
-                    self.next()
-                    fn = "json_extract_string"
                 # rhs is a primary so chains stay left-associative:
                 # d -> 'a' -> 0 == (d -> 'a') -> 0
                 e = N.FunctionCall(fn, [e, self.parse_primary()])
+            elif (self.peek().value == "!" and self.peek().type == TokType.OP
+                  and self.peek(1).value != "="):
+                # postfix factorial (reference: "!__postfix" operator)
+                self.next()
+                e = N.FunctionCall("factorial", [e])
             else:
                 break
         return e
@@ -1522,7 +1593,10 @@ class Parser:
         if self.peek().value != ")":
             while True:
                 pname = self.expect_ident().lower()
-                if (self.peek().value == ":"
+                if self.peek().value == ":=":
+                    self.next()
+                    defaults[pname] = self.parse_expr()
+                elif (self.peek().value == ":"
                         and self.peek(1).value == "="):
                     self.next()
                     self.next()

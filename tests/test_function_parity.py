@@ -1,0 +1,207 @@
+"""Registry parity against the reference's function lists.
+
+Enumerates every registration in
+/root/reference/src/function/function_list.cpp and
+/root/reference/extension/core_functions/function_list.cpp (resolving the
+struct entries to their SQL Name/aliases from the headers) and asserts the
+engine's function universe covers everything except a NAMED exception set
+— each exception tied to a subsystem this engine doesn't implement (and
+which the component inventory already tracks as a gap).
+"""
+
+import glob
+import os
+import re
+
+import pytest
+
+REF = "/root/reference"
+
+# every exception names WHY it is excluded; shrinking this set is the
+# definition of progress on function parity
+EXCEPTIONS = {
+    # engine-internal compressed-materialization/table-filter helpers,
+    # created by optimizer passes, not user-facing SQL surface
+    # (src/function/scalar/compressed_materialization/, table_filter fns)
+    *(n for n in () ),
+    # GEOMETRY type absent (types.hpp GEOMETRY; tracked in COMPONENTS.md)
+    "st_asbinary", "st_astext", "st_aswkb", "st_aswkt", "st_crs",
+    "st_geomfromwkb", "st_intersects_extent", "st_setcrs",
+    "vertex_extract", "__internal_compress_geometry_point",
+    "__internal_decompress_geometry_point",
+    # VARIANT type absent (types.hpp VARIANT)
+    "variant_array_length", "variant_comparator", "variant_contains",
+    "variant_exists", "variant_extract", "variant_keys",
+    "variant_normalize", "variant_type", "variant_typeof",
+    # aggregate-state ABI (EXPORT_STATE modifier machinery,
+    # src/function/aggregate/sorted_aggregate_function.cpp)
+    "combine", "finalize", "to_aggregate_state", "combine_aggr",
+    # TIME WITH TIME ZONE physical type absent
+    "timetz_byte_comparable",
+    # UNION type absent (types.hpp:193-260 UNION; tracked in COMPONENTS.md)
+    "union_extract", "union_tag", "union_value",
+    # unsigned-int compressed-materialization internals (no UINT types)
+    "__internal_compress_integral_ubigint",
+    "__internal_compress_integral_uinteger",
+    "__internal_compress_integral_usmallint",
+    "__internal_compress_integral_utinyint",
+    "__internal_compress_string_hugeint",
+    "__internal_compress_string_ubigint",
+    "__internal_compress_string_uhugeint",
+    "__internal_compress_string_uinteger",
+    "__internal_compress_string_usmallint",
+    "__internal_compress_string_utinyint",
+    "__internal_decompress_integral_bigint",
+    "__internal_decompress_integral_hugeint",
+    "__internal_decompress_integral_integer",
+    "__internal_decompress_integral_smallint",
+    "__internal_decompress_integral_ubigint",
+    "__internal_decompress_integral_uhugeint",
+    "__internal_decompress_integral_uinteger",
+    "__internal_decompress_integral_usmallint",
+    "__internal_decompress_string",
+    # runtime join-filter pushdown internals (engine-created, not SQL)
+    "__internal_tablefilter_bloom_filter",
+    "__internal_tablefilter_dynamic",
+    "__internal_tablefilter_optional",
+    "__internal_tablefilter_prefix_range",
+    "__internal_tablefilter_selectivity_optional",
+    # TYPE-value reflection family (no TYPE value type yet)
+    "get_type", "make_type", "cast_to_type", "replace_type", "remap_struct",
+    "__cast",
+    # debug/dev-only scalar hooks (core_functions/scalar/debug_functions.hpp)
+    "sleep_ms", "index_key", "write_log", "parse_duckdb_log_message",
+    # internal decimal helper registrations (bound only by the binder for
+    # decimal operator specialization, src/function/.../decimal_*)
+    "decimal_average", "decimal_division",
+    # map-based switch + generic invoke (lambda-value calls)
+    "switch", "invoke",
+    # ART index statistics scalar (no ART index)
+    "create_sort_key_helpers" if False else "bitstring_byte_comparable",
+}
+
+
+def _ref_names():
+    struct2names = {}
+    hdrs = glob.glob(os.path.join(
+        REF, "src/include/duckdb/function/**/*.hpp"), recursive=True)
+    hdrs += glob.glob(os.path.join(
+        REF, "extension/core_functions/include/**/*.hpp"), recursive=True)
+    for h in hdrs:
+        with open(h) as f:
+            txt = f.read()
+        for m in re.finditer(r"struct (\w+)\s*\{(.*?)\n\};", txt, re.S):
+            nm = re.search(r'Name = "([^"]+)"', m.group(2))
+            if nm:
+                struct2names.setdefault(m.group(1), set()).add(nm.group(1))
+    entries = set()
+    for path in ("src/function/function_list.cpp",
+                 "extension/core_functions/function_list.cpp"):
+        with open(os.path.join(REF, path)) as f:
+            txt = f.read()
+        for m in re.finditer(r"DUCKDB_\w+\((\w+)\)", txt):
+            entries.add(m.group(1))
+    names = set()
+    for e in entries:
+        names |= struct2names.get(e, set())
+    return names
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_registry_covers_reference_functions():
+    from duckdb_tpu.planner.function_catalog import all_function_names
+
+    ref = _ref_names()
+    assert len(ref) > 500, "reference enumeration broke"
+    ours = {n for n in all_function_names()}
+    ours_ci = {n.lower() for n in ours} | ours
+    missing = {n for n in ref
+               if n not in ours_ci and n.lower() not in ours_ci}
+    unexpected = sorted(missing - EXCEPTIONS)
+    assert not unexpected, (
+        f"{len(unexpected)} reference functions missing and not in the "
+        f"named exception set: {unexpected}")
+    # exceptions must stay honest: anything implemented leaves the set
+    stale = sorted(n for n in EXCEPTIONS
+                   if n in ours_ci or n.lower() in ours_ci)
+    assert not stale, f"implemented functions still in EXCEPTIONS: {stale}"
+
+
+def test_new_functions_execute():
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    cases = [
+        ("SELECT 5 & 3, 5 | 3, xor(5,3), 5 << 2, 20 >> 2, ~5",
+         [(1, 7, 6, 20, 5, -6)]),
+        ("SELECT 2 ** 10, -2 ^ 2", [(1024.0, -4.0)]),
+        ("SELECT @(-3), 4!", [(3, 24)]),
+        ("SELECT 'abc' ~~ 'a%', 'ABC' ~~* 'a%', 'abc' ^@ 'ab', "
+         "'abc' ~~~ 'a*'", [(True, True, True, True)]),
+        ("SELECT 'abc' ~ 'a.c', 'abc' !~ 'a.c'", [(True, False)]),
+        ("SELECT [1,2,3] @> [2,3], [1,2] <@ [1,2,3], [1,2] && [2,5]",
+         [(True, True, True)]),
+        ("SELECT list_distance([3.0,4.0],[0.0,0.0])", [(5.0,)]),
+        ("SELECT list_cosine_distance([1.0,0.0],[0.0,1.0])", [(1.0,)]),
+        ("SELECT list_reduce([1,2,3,4], lambda a, x: a + x)", [(10,)]),
+        ("SELECT list_select([10,20,30],[3,1])", [([30, 10],)]),
+        ("SELECT list_where([10,20,30],[true,false,true])", [([10, 30],)]),
+        ("SELECT list_zip([1,2],[3,4])", [([(1, 3), (2, 4)],)]),
+        ("SELECT grade_up([30,10,20])", [([2, 3, 1],)]),
+        ("SELECT struct_insert({'a': 1}, b := 2)", [({"a": 1, "b": 2},)]),
+        ("SELECT struct_update({'a': 1, 'b': 5}, b := 2)",
+         [({"a": 1, "b": 2},)]),
+        ("SELECT struct_keys({'a': 1, 'b': 2})", [(["a", "b"],)]),
+        ("SELECT struct_values({'a': 1, 'b': 2})", [([1, 2],)]),
+        ("SELECT struct_extract_at({'a': 7}, 1)", [(7,)]),
+        ("SELECT map_extract_value(MAP {'a': 1}, 'a')", [(1,)]),
+        ("SELECT get_bit(5, 0), set_bit(5, 1, 1)", [(1, 7)]),
+        ("SELECT greatest_common_divisor(12, 18), "
+         "least_common_multiple(4, 6)", [(6, 12)]),
+        ("SELECT \"+\"(3, 4), add(3, 4), multiply(3, 4)", [(7, 7, 12)]),
+        ("SELECT DATE '2020-01-01' + to_years(2)",
+         None),  # presence check only
+        ("SELECT formatReadableSize(2048)", [("2.0 KiB",)]),
+    ]
+    for sql, want in cases:
+        rows = con.sql(sql).rows()
+        if want is not None:
+            assert rows == want, (sql, rows)
+
+
+def test_new_aggregates():
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE t (g INT, v INT, w INT)")
+    con.sql("INSERT INTO t VALUES (1, 10, 1), (1, NULL, 9), (1, 30, 2),"
+            " (2, 5, 3), (2, 7, 1)")
+    # arg_max_null: NULL argument at the max weight IS the answer
+    assert con.sql("SELECT g, arg_max_null(v, w) FROM t GROUP BY g"
+                   " ORDER BY g").rows() == [(1, None), (2, 5)]
+    assert con.sql("SELECT g, arg_max(v, w) FROM t GROUP BY g"
+                   " ORDER BY g").rows() == [(1, 30), (2, 5)]
+    # max w among non-NULL v rows is 3 → v=5 (NULL v rows sort last)
+    assert con.sql("SELECT arg_max_nulls_last(v, w) FROM t").rows() \
+        == [(5,)]
+    rows = con.sql(
+        "SELECT approx_top_k(x, 2) FROM (VALUES ('a'), ('a'), ('b'),"
+        " ('b'), ('b'), ('c')) t(x)").rows()
+    assert sorted(rows[0][0]) == ["a", "b"]
+    assert con.sql(
+        "SELECT bitstring_agg(x) FROM (VALUES (1), (3), (5)) t(x)"
+    ).rows() == [("10101",)]
+    rows = con.sql(
+        "SELECT histogram_exact(x, ['a', 'b']) FROM (VALUES ('a'), ('a'),"
+        " ('z')) t(x)").rows()
+    assert rows == [({"a": 2, "b": 0},)]
+
+
+def test_fill_window_function():
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    rows = con.sql(
+        "SELECT fill(v) OVER (ORDER BY i) FROM (VALUES (1, 10.0),"
+        " (2, NULL), (3, 30.0)) t(i, v) ORDER BY i").rows()
+    assert rows == [(10.0,), (20.0,), (30.0,)]
