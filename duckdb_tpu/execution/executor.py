@@ -563,8 +563,11 @@ class Executor:
                 jax.errors.TracerArrayConversionError):
             return None  # host-only function somewhere: general path
         if fa is not None:
-            for e, cb in zip(extras, fa.extras_cb):
+            n_sc = len(fa.extras_cb)
+            for e, cb in zip(extras[:n_sc], fa.extras_cb):
                 self.defer_scalar(e, cb)
+            for e, cb in zip(extras[n_sc:], fa.array_extras_cb):
+                cb(e)  # device array (probe-cache store): no host sync
         (host_ints, host_floats, host_valids), host_deferred = jax.device_get(
             ((imat, fmat, valids), tuple(d for d, _ in self._deferred)))
         n = int(host_ints[-1][0])

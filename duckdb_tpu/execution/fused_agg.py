@@ -214,7 +214,7 @@ class FusedAgg:
 
     def __init__(self, base_batch, needed, body, total, out_types, aux,
                  extras_cb, dense, body_partials=None, finalize=None,
-                 partial_kinds=None, variant=()):
+                 partial_kinds=None, variant=(), array_extras_cb=()):
         self.variant = variant  # body-shaping constants → trace cache key
         self.base_batch = base_batch
         self.needed = needed
@@ -227,6 +227,10 @@ class FusedAgg:
         self.body_partials = body_partials
         self.finalize = finalize
         self.partial_kinds = partial_kinds  # flat combine kinds (sum/min/max)
+        # callbacks for DEVICE-ARRAY extras appended after the scalar
+        # extras (probe-result caching); called with the device array, no
+        # host sync
+        self.array_extras_cb = array_extras_cb
 
 
 class _JoinStep:
@@ -286,10 +290,15 @@ class _JoinStep:
         return True
 
     def probe(self, env, p, live):
-        """In-trace probe → (bidx int32 (p,), live∧hit)."""
+        """In-trace probe → (bidx int32 (p,), live∧found, found).
+
+        `found` is the LIVE-INDEPENDENT key match mask (key in range,
+        non-NULL, present in the build) — the cacheable part of the probe:
+        it depends only on the two tables, never on this query's filters.
+        """
         kdt = self.kdt
         packed = jnp.zeros((p,), kdt)
-        ok = live
+        ok = jnp.ones((p,), jnp.bool_)
         digits = []
         for e, lo, rng, st_ in zip(self.probe_keys, self.los, self.rngs,
                                    self.strides):
@@ -348,8 +357,8 @@ class _JoinStep:
             posc = jnp.clip(pos, 0, sk.shape[0] - 1)
             hit = sk[posc] == packed
             bidx = jnp.where(hit, sp[posc], -1)
-        hit = jnp.logical_and(ok, bidx >= 0)
-        return bidx.astype(jnp.int32), hit
+        found = jnp.logical_and(ok, bidx >= 0)
+        return bidx.astype(jnp.int32), jnp.logical_and(live, found), found
 
     def register_lazy(self, env, bidx):
         """Register this step's build columns into env as LAZY providers:
@@ -449,6 +458,8 @@ def _prep_join_step(executor, j: P.Join, pfx: str,
             step.aux = aux
             return step
     step = _prep_join_step_fresh(executor, j, pfx, aux, forced_sorted)
+    if step is not None:
+        step.vkey = vkey  # build-subtree version key (probe-cache keying)
     if step is not None and vkey is not None \
             and step.build_plen <= PREP_CACHE_MAX_BUILD:
         cache.clear()
@@ -973,6 +984,57 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
             elif op[0] == "probe":
                 extras_cb.append(_make_learn(_stage_id(op[1])))
 
+    # ---- probe-result caching -------------------------------------------
+    # The probe mapping (probe row → build row) is a pure function of the
+    # base table and the build subtree — NOT of the probe-side filters —
+    # so it is cached on the join node keyed by both version keys, exactly
+    # like the build-prep cache. A warm query skips the probe gather (the
+    # dominant surviving cost of join-heavy queries: 6M-row LUT gathers
+    # are latency-bound at ~7 ns/row, PERF.md). This is the persistent
+    # FK-join-index analog of the reference's BuildPrefixRangeFilter
+    # pushdown (join_hashtable.cpp:1011): instead of filtering probe rows
+    # per query, the whole mapping persists until either side changes.
+    step2join = dict(zip(map(id, join_steps), join_nodes))
+    base_ver = (base.table, entry.nrows, getattr(entry, "version", 0))
+    array_extras_cb: List[Callable] = []
+    cached_flags = []
+    compacted = False
+    PROBE_CACHE_MAX = 1 << 24
+    # chunked execution substitutes per-chunk table views (scan
+    # overrides): the base is then a CHUNK, not the version-keyed table —
+    # never cache or consume probe mappings there
+    overridden = bool(getattr(executor, "_scan_overrides", None))
+    for op in schedule:
+        if op[0] == "compact":
+            compacted = True
+        if op[0] != "probe":
+            continue
+        step = op[1]
+        j = step2join[id(step)]
+        step.use_cached = False
+        step.emit_cache = False
+        vkey = getattr(step, "vkey", None)
+        if vkey is None or plen > PROBE_CACHE_MAX or overridden:
+            cached_flags.append(False)
+            continue
+        ckey = (vkey, base_ver)
+        bc = j.__dict__.setdefault("_bidx_cache", {})
+        cached = bc.get(ckey)
+        if cached is not None and cached.shape[0] == plen:
+            step.use_cached = True
+            aux[f"{step.pfx}.cbidx"] = cached
+        elif not compacted:
+            # probe runs at full base length → its bidx is cacheable
+            step.emit_cache = True
+
+            def _store(arr, j=j, ckey=ckey):
+                cache = j.__dict__.setdefault("_bidx_cache", {})
+                cache.clear()
+                cache[ckey] = arr
+
+            array_extras_cb.append(_store)
+        cached_flags.append(step.use_cached)
+
     from duckdb_tpu.execution.tracing import TraceEnv
 
     class _LazyBaseCol:
@@ -1003,6 +1065,7 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
         sel = None  # composed selection into the original frame
         bidx_map = {}
         extras = []
+        arr_extras = []
         for op in schedule:
             if op[0] == "filters":
                 fs = filters1 if op[1] == "f1" else filters2
@@ -1018,7 +1081,17 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
                     extras.append(jnp.sum(live))
             elif op[0] == "probe":
                 step = op[1]
-                bidx, hit = step.probe(env2, p, live)
+                if getattr(step, "use_cached", False):
+                    # cached probe mapping: -1 marks miss/NULL-key rows
+                    bfull = env2.aux[f"{step.pfx}.cbidx"]
+                    bidx = bfull if sel is None else bfull[sel]
+                    hit = jnp.logical_and(live, bidx >= 0)
+                    bidx = jnp.clip(bidx, 0, step.build_plen - 1)
+                else:
+                    bidx, hit, found = step.probe(env2, p, live)
+                    if getattr(step, "emit_cache", False):
+                        arr_extras.append(
+                            jnp.where(found, bidx, jnp.int32(-1)))
                 live = hit
                 env2.live = live
                 bidx_map[step] = bidx
@@ -1038,7 +1111,7 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
                     bidx_map[st] = b2
                     st.register_lazy(env2, b2)
                 p = cap
-        return env2, live, p, tuple(extras)
+        return env2, live, p, tuple(extras) + tuple(arr_extras)
 
     def run_phase1(env, p):
         """→ (env2, live, phase1 bidx per step) at full length. Build
@@ -1058,7 +1131,7 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
             live = jnp.logical_and(live, keep)
             env2.live = live
         for step in phase1_steps:
-            bidx, hit = step.probe(env2, p, live)
+            bidx, hit, _ = step.probe(env2, p, live)
             live = hit
             env2.live = live
             bidx1.append(bidx)
@@ -1068,7 +1141,7 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
     def run_phase2(env2, p, live):
         """Probes + filters after compaction; returns final live."""
         for step in phase2_steps:
-            bidx, hit = step.probe(env2, p, live)
+            bidx, hit, _ = step.probe(env2, p, live)
             live = hit
             env2.live = live
             step.register_lazy(env2, bidx)
@@ -1244,10 +1317,11 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
                   body_partials=body_partials if dense_mode else None,
                   finalize=dense_finalize if dense_mode else None,
                   partial_kinds=partial_kinds,
-                  variant=(dense_mode, out_cap,
+                  variant=(dense_mode, out_cap, tuple(cached_flags),
                            tuple((op[0], op[1]) if op[0] != "probe"
                                  else ("probe", join_steps.index(op[1]))
-                                 for op in schedule)))
+                                 for op in schedule)),
+                  array_extras_cb=array_extras_cb)
     return fa
 
 
@@ -1276,8 +1350,11 @@ def try_fused_aggregate(executor, node: P.Aggregate):
         occ, flat, extras = run_jitted(node, "agg", fa.base_batch, keyrefs,
                                        jit_body, aux=fa.aux,
                                        variant=fa.variant)
-        for e, cb in zip(extras, fa.extras_cb):
+        n_sc = len(fa.extras_cb)
+        for e, cb in zip(extras[:n_sc], fa.extras_cb):
             executor.defer_scalar(e, cb)
+        for e, cb in zip(extras[n_sc:], fa.array_extras_cb):
+            cb(e)  # device array (probe-cache store): no host sync
     names = sorted(fa.out_types)
     # group count stays a DEVICE scalar: capacity is learned across runs and
     # verified via the deferred-scalar channel (rerun on overflow) — no
@@ -1361,7 +1438,9 @@ def _run_sharded(executor, node, fa: FusedAgg, n: int):
     plen = batch.plen
     cols = {k: batch.src[k] for k in fa.needed}
     cache = node.__dict__.setdefault("_shard_cache", {})
-    aux_names = tuple(sorted(fa.aux))
+    # probe-result caches (.cbidx) are probe-length and single-chip-only
+    # (body_partials recomputes probes per shard); don't replicate them
+    aux_names = tuple(n for n in sorted(fa.aux) if not n.endswith(".cbidx"))
     sig = (n, plen, tuple(fa.needed),
            tuple((nm, fa.aux[nm].shape) for nm in aux_names))
     if sig not in cache:

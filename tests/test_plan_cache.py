@@ -57,3 +57,29 @@ def test_nondeterministic_not_cached(con):
 def test_multi_statement_text_not_cached(con):
     con.sql("SELECT 1; SELECT 2")
     assert all(";" not in k for k in con._plan_cache)
+
+
+def test_probe_cache_reuse_and_invalidation():
+    """The fused join's probe mapping caches across runs keyed by both
+    table versions; DML on either side invalidates it."""
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE dim (k BIGINT PRIMARY KEY, v BIGINT)")
+    con.sql("INSERT INTO dim SELECT range, range * 10 FROM range(1000)")
+    con.sql("CREATE TABLE fact (fk BIGINT, x BIGINT)")
+    con.sql("INSERT INTO fact SELECT range % 1000, range FROM range(100000)")
+    q = ("SELECT sum(v + x) FROM fact JOIN dim ON fk = k"
+         " WHERE x % 7 = 0")
+    r1 = con.sql(q).rows()
+    r2 = con.sql(q).rows()  # warm: cached probe mapping
+    r3 = con.sql(q).rows()
+    assert r1 == r2 == r3
+    # probe-side DML: new rows must join
+    con.sql("INSERT INTO fact VALUES (5, 700000)")
+    r4 = con.sql(q).rows()
+    assert r4[0][0] == r1[0][0] + 5 * 10 + 700000
+    # build-side DML: changed dimension values must be observed
+    con.sql("UPDATE dim SET v = v + 1 WHERE k = 5")
+    r5 = con.sql(q).rows()
+    assert r5[0][0] > r4[0][0]
