@@ -149,6 +149,12 @@ class BoundLiteral(BoundExpr):
                 ltype=VARCHAR,
                 dict_values=np.array([self.value], dtype=object),
             )
+        if self.ltype.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP):
+            # nested constant → single-entry dictionary, code 0
+            d = np.empty(1, dtype=object)
+            d[0] = tuple(self.value)
+            return Column(data=jnp.zeros((env.plen,), dtype=jnp.int32),
+                          ltype=self.ltype, dict_values=d)
         if self.ltype.id is TypeId.INTERVAL and isinstance(
                 self.value, (tuple, list)):
             # (months, days, micros) → device int64 micros; months use the
@@ -427,10 +433,16 @@ class BoundArithmetic(BoundExpr):
             d = x - y
         elif self.op == "*":
             d = x * y
-        elif self.op == "%":
-            d = jnp.mod(x, y)
-        elif self.op == "//":
-            d = jnp.floor_divide(x, y)
+        elif self.op in ("%", "//"):
+            # x % 0 and x // 0 are NULL (reference: division-by-zero
+            # propagates NULL for integer modulo/intdiv,
+            # src/common/operator/numeric_binary_operators.hpp)
+            zero = y == 0
+            safe = jnp.where(zero, jnp.ones_like(y), y)
+            d = jnp.mod(x, safe) if self.op == "%" \
+                else jnp.floor_divide(x, safe)
+            nz = jnp.logical_not(zero)
+            v = nz if v is None else jnp.logical_and(v, nz)
         else:
             raise BindError("integer / binds to DOUBLE")
         return Column(data=d, ltype=t, validity=v)
@@ -679,6 +691,58 @@ def _cast_from_varchar(c: Column, t: LogicalType,
     import datetime
 
     from duckdb_tpu.storage.csv import parse_decimal_text
+
+    if t.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP):
+        # nested cast: parse each distinct string into a host tuple
+        # (reference: src/function/cast/list_cast.cpp, struct_cast.cpp)
+        from duckdb_tpu.planner.nested_cast import cast_str_to_nested
+
+        dv = c.dict_values if c.dict_values is not None else []
+        entries, ok = [], np.ones(max(len(dv), 1), bool)
+        bad = None
+        for i, s in enumerate(dv):
+            try:
+                entries.append(cast_str_to_nested(str(s), t))
+            except ValueError:
+                entries.append(())
+                ok[i] = False
+                bad = str(s)
+        if bad is not None and not try_cast:
+            # NULL rows carry an unparseable dict placeholder; only raise
+            # when a VALID row actually references a bad entry
+            strict = True
+            try:
+                codes = np.asarray(c.data)
+                valid = (np.asarray(c.validity)
+                         if c.validity is not None else None)
+                ref = codes if valid is None else codes[valid]
+                ref = np.clip(ref, 0, max(len(entries) - 1, 0))
+                strict = bool((~ok[ref]).any()) if len(entries) else False
+            except Exception:  # noqa: BLE001 (traced: defer to NULL-out)
+                strict = c.validity is None
+            if strict:
+                from duckdb_tpu.errors import ConversionException
+
+                raise ConversionException(
+                    f"Could not convert string '{bad}' to {t!r}")
+        seen: dict = {}
+        codes = np.empty(len(entries), np.int32)
+        for i, e in enumerate(entries):
+            if e not in seen:
+                seen[e] = len(seen)
+            codes[i] = seen[e]
+        d = np.empty(max(len(seen), 1), object)
+        for e, i in seen.items():
+            d[i] = e
+        idx = jnp.clip(c.data, 0, max(len(entries) - 1, 0))
+        data = (jnp.asarray(codes)[idx] if len(entries)
+                else jnp.zeros_like(c.data))
+        validity = c.validity
+        if not ok.all():
+            okv = jnp.asarray(ok)[idx]
+            validity = okv if validity is None \
+                else jnp.logical_and(validity, okv)
+        return Column(data=data, ltype=t, validity=validity, dict_values=d)
 
     def parse(s):
         s = str(s).strip()

@@ -64,20 +64,50 @@ def fold_arithmetic(node) -> object:
             return lv * rv
         raise ValueError("decimal division folds to double")
     if t.id in (TypeId.DOUBLE, TypeId.FLOAT):
+        import math
+
         x = lv / 10**lt.scale if lt.id is TypeId.DECIMAL else float(lv)
         y = rv / 10**rt.scale if rt.id is TypeId.DECIMAL else float(rv)
-        return {"+": x + y, "-": x - y, "*": x * y, "/": x / y}[node.op]
+        if node.op == "/":
+            # IEEE division: x/0 → ±inf, 0/0 → nan (the reference's double
+            # division, src/common/operator/numeric_binary_operators.hpp —
+            # never a host ZeroDivisionError)
+            if y == 0.0:
+                return math.nan if x == 0.0 else math.copysign(math.inf, x)
+            return x / y
+        if node.op == "%":
+            return math.nan if y == 0.0 else math.fmod(x, y)
+        if node.op == "//":
+            return math.nan if y == 0.0 else x // y
+        return {"+": x + y, "-": x - y, "*": x * y}[node.op]
+    if node.op in ("%", "//") and rv == 0:
+        return None  # integer x % 0 / x // 0 → NULL (reference semantics)
     if node.op == "+":
-        return lv + rv
-    if node.op == "-":
-        return lv - rv
-    if node.op == "*":
-        return lv * rv
-    if node.op == "%":
-        return lv % rv
-    if node.op == "//":
-        return lv // rv
-    raise ValueError(f"cannot fold {node.op}")
+        out = lv + rv
+    elif node.op == "-":
+        out = lv - rv
+    elif node.op == "*":
+        out = lv * rv
+    elif node.op == "%":
+        out = lv % rv
+    elif node.op == "//":
+        out = lv // rv
+    else:
+        raise ValueError(f"cannot fold {node.op}")
+    if t.is_integer:
+        import numpy as np
+
+        from duckdb_tpu.errors import OutOfRangeException, int_type_name
+
+        info = np.iinfo(t.np_dtype)
+        if not (info.min <= out <= info.max):
+            opname = {"+": "addition", "-": "subtraction",
+                      "*": "multiplication", "%": "modulo",
+                      "//": "division"}[node.op]
+            raise OutOfRangeException(
+                f"Overflow in {opname} of {int_type_name(t.np_dtype)} "
+                f"({lv} {node.op} {rv})!")
+    return out
 
 
 def fold_cast(node) -> object:
@@ -99,8 +129,37 @@ def fold_cast(node) -> object:
         if src.id is TypeId.DECIMAL:
             q, r = divmod(abs(v), 10**src.scale)
             out = q + (1 if 2 * r >= 10**src.scale else 0)
-            return out if v >= 0 else -out
-        return int(v)
+            out = out if v >= 0 else -out
+        else:
+            out = int(v)
+        import numpy as np
+
+        from duckdb_tpu.errors import ConversionException, int_type_name
+
+        info = np.iinfo(dst.np_dtype)
+        if not (info.min <= out <= info.max):
+            if node.try_cast:
+                return None
+            src_name = "DOUBLE" if src.is_float else src.id.name
+            vs = f"{v:g}" if src.is_float else str(v)
+            raise ConversionException(
+                f"Type {src_name} with value {vs} can't be cast because "
+                f"the value is out of range for the destination type "
+                f"{int_type_name(dst.np_dtype)}")
+        return out
+    if src.id is TypeId.VARCHAR and dst.id in (TypeId.LIST, TypeId.STRUCT,
+                                               TypeId.MAP):
+        from duckdb_tpu.planner.nested_cast import cast_str_to_nested
+
+        try:
+            return cast_str_to_nested(str(v), dst)
+        except ValueError:
+            if node.try_cast:
+                return None
+            from duckdb_tpu.errors import ConversionException
+
+            raise ConversionException(
+                f"Could not convert string '{v}' to {dst!r}")
     if dst.id is TypeId.TIMESTAMP and src.id is TypeId.DATE:
         return v * 86400_000_000
     if dst.id is TypeId.DATE and src.id is TypeId.TIMESTAMP:
