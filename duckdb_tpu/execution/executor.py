@@ -44,6 +44,19 @@ _I64_MIN = int(np.iinfo(np.int64).min)
 _I64_MAX = int(np.iinfo(np.int64).max)
 
 
+def _unshard(*arrays):
+    """Copy mesh-sharded collective outputs onto the default device.
+
+    Downstream operators run single-device eager ops; an eager op over an
+    N-device sharded array re-enters GSPMD per op (measured: multi-minute
+    stalls and outright deadlocks on the CPU backend). One explicit
+    device_put per array replaces all of that with a single copy.
+    """
+    d0 = jax.devices()[0]
+    out = tuple(jax.device_put(a, d0) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
 # ---------------------------------------------------------------------------
 # lazy column sources
 class ColSource:
@@ -402,9 +415,6 @@ class Executor:
             limit_node, node = node, node.child
         if isinstance(node, P.Order):
             order_node, node = node, node.child
-            if len(order_node.items) == 1 and self._join_shards() > 1:
-                return None  # single-key sorts under SET num_shards
-                # distribute via _exec_Order's range-partition path
         if not isinstance(node, P.Project):
             return None
         proj, child = node, node.child
@@ -428,6 +438,10 @@ class Executor:
         else:
             batch = self.execute(child)
             inner_plen = batch.plen
+        if (order_node is not None and inner_plen >= (1 << 14)
+                and self._join_shards(rows=inner_plen) > 1):
+            return None  # big sorts distribute via _exec_Order's
+            # range-partition path (small ones keep the fused tail)
 
         overlay = dict(proj.items)
         out_keys = [key for _, key, _ in output]
@@ -748,7 +762,7 @@ class Executor:
             if out is not None:
                 return out
         unique = self._build_known_unique(node, build_b)
-        n_shards = self._join_shards()
+        n_shards = self._join_shards(rows=max(probe_b.plen, build_b.plen))
         if n_shards > 1:
             mgr = self.catalog.settings_manager
             thresh = int(mgr.get("exchange_join_threshold", 1 << 24))
@@ -887,22 +901,38 @@ class Executor:
         if lm is not None:
             lm.log(level, log_type, msg)
 
-    def _join_shards(self) -> int:
-        """Shard count for distributed joins; logs when a requested shard
-        count silently degrades (sharding observability)."""
+    def _join_shards(self, rows: Optional[int] = None) -> int:
+        """Shard count for distributed operators.
+
+        num_shards = 0 (the default) is the AUTO policy: distribute over
+        every visible device once the working set exceeds auto_shard_rows
+        — the reference parallelizes everything by default via its morsel
+        scheduler (src/parallel/task_scheduler.cpp); the mesh analog is
+        sharding by default. `rows=None` means the caller doesn't know the
+        size yet: auto says yes and the caller re-checks. Logs when a
+        requested shard count silently degrades."""
         import jax as _jax
 
         mgr = getattr(self.catalog, "settings_manager", None)
-        n = int(mgr.get("num_shards", 1)) if mgr else 1
-        if n <= 1:
+        n = int(mgr.get("num_shards", 0)) if mgr else 1
+        if n == 1:
             return 1
         nd = len(_jax.devices())
-        if nd < n:
-            self._log("WARN", "sharding",
-                      f"num_shards={n} requested but only {nd} devices "
-                      "visible; join runs single-chip")
+        if n > 1:
+            if nd < n:
+                self._log("WARN", "sharding",
+                          f"num_shards={n} requested but only {nd} devices "
+                          "visible; running single-chip")
+                return 1
+            return n
+        # auto policy
+        if nd <= 1:
             return 1
-        return n
+        min_rows = int(mgr.get("auto_shard_rows", 1 << 15)) if mgr \
+            else (1 << 15)
+        if rows is not None and rows < min_rows:
+            return 1
+        return nd
 
     # exchange send-buffer slack over the uniform-hash expectation
     EXCHANGE_SLACK = 2
@@ -928,8 +958,12 @@ class Executor:
         plen2 = plen + ((-plen) % n)
         blen2 = blen + ((-blen) % n)
         r_p, r_b = plen2 // n, blen2 // n
-        cap_p = max(64, math.ceil(r_p / n * self.EXCHANGE_SLACK))
-        cap_b = max(64, math.ceil(r_b / n * self.EXCHANGE_SLACK))
+        learned = getattr(node, "_exchange_caps", None)
+        if learned is not None:
+            cap_p, cap_b = learned  # sized from a previous run's demand
+        else:
+            cap_p = max(64, math.ceil(r_p / n * self.EXCHANGE_SLACK))
+            cap_b = max(64, math.ceil(r_b / n * self.EXCHANGE_SLACK))
         step = get_exchange_join(n, cap_p, cap_b)
 
         def pad(x, m, fill):
@@ -945,19 +979,47 @@ class Executor:
         route_live = (probe_b.live if node.jtype in ("left", "single")
                       else probe_live)
         pk_send = jnp.where(probe_live, pk, jnp.int64(-2))
-        rp, br, overflow = step(
+        rp, br, overflow, need_p, need_b = step(
             pad(pk_send, plen2, 0), pad(route_live, plen2, False),
             jnp.arange(plen2, dtype=jnp.int32),
             pad(bk, blen2, 0), pad(build_live, blen2, False),
             jnp.arange(blen2, dtype=jnp.int32))
         if int(overflow) > 0:  # host sync (also forces the program)
+            # hash skew: grow both capacities to the kernels' own pmax'd
+            # per-destination demand (exact, counted pre-truncation) and
+            # retry — one retry always suffices since the demand is exact.
+            # The MaybeRepartition analog
+            # (/root/reference/src/execution/radix_partitioned_hashtable
+            # .cpp:545-691); only degenerate skew (one key owning most of
+            # a side) still falls back single-chip via the memory bound.
+            new_p = (cap_p if int(need_p) <= cap_p
+                     else pad_bucket(int(need_p)))
+            new_b = (cap_b if int(need_b) <= cap_b
+                     else pad_bucket(int(need_b)))
+            bound = max(cap_p, cap_b, max(r_p, r_b) * max(2, n // 2))
+            if (not getattr(node, "_exchange_retried", False)
+                    and max(new_p, new_b) <= bound):
+                node._exchange_caps = (new_p, new_b)
+                node._exchange_retried = True
+                try:
+                    self._log("INFO", "exchange_join",
+                              f"send-bucket skew: growing caps "
+                              f"({cap_p},{cap_b}) -> ({new_p},{new_b}) "
+                              "and retrying")
+                    return self._exchange_join(
+                        node, probe_b, build_b, pk, bk, probe_live,
+                        build_live, n)
+                finally:
+                    node._exchange_retried = False
             self._log("WARN", "exchange_join",
-                      f"send bucket overflow ({int(overflow)} rows) at "
+                      f"degenerate key skew ({int(overflow)} dropped, "
+                      f"demand {int(need_p)}/{int(need_b)}) at "
                       f"num_shards={n}; falling back to single-chip join")
             return None
         self._log("INFO", "exchange_join",
                   f"join repartitioned over {n} shards "
                   f"(cap_p={cap_p}, cap_b={cap_b})")
+        rp, br = _unshard(rp, br)  # downstream ops are single-device
         out_plen = rp.shape[0]
         matched = br >= 0
         routed = rp >= 0
@@ -1024,8 +1086,12 @@ class Executor:
         plen2 = plen + ((-plen) % n)
         blen2 = blen + ((-blen) % n)
         r_p, r_b = plen2 // n, blen2 // n
-        cap_p = max(64, math.ceil(r_p / n * self.EXCHANGE_SLACK))
-        cap_b = max(64, math.ceil(r_b / n * self.EXCHANGE_SLACK))
+        learned_caps = getattr(node, "_exchange_caps", None)
+        if learned_caps is not None:
+            cap_p, cap_b = learned_caps
+        else:
+            cap_p = max(64, math.ceil(r_p / n * self.EXCHANGE_SLACK))
+            cap_b = max(64, math.ceil(r_b / n * self.EXCHANGE_SLACK))
         # per-chip pair capacity learned from the kernel's own pmax'd
         # demand count (exact even when this attempt truncates)
         learned = getattr(node, "_exchange_pairs", None)
@@ -1041,26 +1107,39 @@ class Executor:
                 return x
             return jnp.concatenate([x, jnp.full((extra,), fill, x.dtype)])
 
-        pr, br, pm, prr, overflow, pair_max = step(
+        pr, br, pm, prr, overflow, pair_max, need_p, need_b = step(
             pad(jnp.where(probe_live, pk, jnp.int64(-2)), plen2, 0),
             pad(probe_live, plen2, False),
             jnp.arange(plen2, dtype=jnp.int32),
             pad(bk, blen2, 0), pad(build_live, blen2, False),
             jnp.arange(blen2, dtype=jnp.int32))
-        host_ovf, host_pmax = jax.device_get((overflow, pair_max))  # 1 sync
+        host_ovf, host_pmax, h_np, h_nb = jax.device_get(
+            (overflow, pair_max, need_p, need_b))  # 1 sync
         node._exchange_pairs = int(host_pmax)
         if int(host_ovf) > 0:
-            if int(host_pmax) > cap_out:
-                # pair expansion overflow: retry once at the exact size
-                retried = getattr(node, "_exchange_retried", False)
-                if not retried:
-                    node._exchange_retried = True
-                    try:
-                        return self._exchange_join_dup(
-                            node, probe_b, build_b, pk, bk, probe_live,
-                            build_live, n)
-                    finally:
-                        node._exchange_retried = False
+            # skew-aware growth: resize every overflowed capacity to the
+            # kernel's own exact (pre-truncation, pmax'd) demand counts
+            # and retry — send buckets and the pair expansion alike. One
+            # retry suffices unless the probe partition itself changed
+            # (it can't: capacities don't affect routing). Degenerate
+            # skew past the memory bound falls back single-chip.
+            new_p = cap_p if int(h_np) <= cap_p else pad_bucket(int(h_np))
+            new_b = cap_b if int(h_nb) <= cap_b else pad_bucket(int(h_nb))
+            bound = max(cap_p, cap_b, max(r_p, r_b) * max(2, n // 2))
+            retried = getattr(node, "_exchange_retried", False)
+            if not retried and max(new_p, new_b) <= bound:
+                node._exchange_caps = (new_p, new_b)
+                node._exchange_retried = True
+                try:
+                    self._log("INFO", "exchange_join",
+                              f"dup-key exchange skew: caps "
+                              f"({cap_p},{cap_b})->({new_p},{new_b}), "
+                              f"pairs {cap_out}->{int(host_pmax)}; retry")
+                    return self._exchange_join_dup(
+                        node, probe_b, build_b, pk, bk, probe_live,
+                        build_live, n)
+                finally:
+                    node._exchange_retried = False
             self._log("WARN", "exchange_join",
                       f"dup-key exchange overflow ({int(host_ovf)} rows) "
                       f"at num_shards={n}; falling back to single-chip")
@@ -1068,6 +1147,7 @@ class Executor:
         self._log("INFO", "exchange_join",
                   f"dup-key join repartitioned over {n} shards "
                   f"(cap_p={cap_p}, cap_b={cap_b}, cap_out={cap_out})")
+        pr, br, pm, prr = _unshard(pr, br, pm, prr)  # single-device tail
         if node.jtype in ("semi", "anti"):
             m = jnp.zeros((plen2 + 1,), jnp.bool_).at[
                 jnp.where(prr >= 0, prr, plen2)].max(
@@ -1383,8 +1463,7 @@ class Executor:
         """
         import jax as _jax
 
-        mgr = getattr(self.catalog, "settings_manager", None)
-        n = int(mgr.get("num_shards", 1)) if mgr else 1
+        n = self._join_shards(rows=plen)
         if n > 1 and len(_jax.devices()) >= n and plen % n == 0:
             from duckdb_tpu.parallel.shard import shard_map_compat
             from jax.sharding import Mesh, PartitionSpec as PS
@@ -1403,8 +1482,10 @@ class Executor:
                 probe = shard_map_compat(
                     probe, mesh, (PS(), PS("dp"), PS("dp")),
                     (PS("dp"), PS("dp")))
-                cache[sig] = _jax.jit(probe)
-            return cache[sig](slots, pk, probe_live)
+                from duckdb_tpu.parallel.shard import commit_inputs
+                cache[sig] = commit_inputs(
+                    _jax.jit(probe), mesh, (PS(), PS("dp"), PS("dp")))
+            return _unshard(*cache[sig](slots, pk, probe_live))
         in_range = jnp.logical_and(pk >= 0, pk < size)
         idx = jnp.clip(pk, 0, size - 1).astype(jnp.int32)
         brow = jnp.where(in_range, slots[idx], -1)
@@ -1565,9 +1646,9 @@ class Executor:
             else:
                 k = S.orderable_int64(data, validity, desc, nulls_first)
             norm.append(k)
-        n_shards = self._join_shards()
-        if n_shards > 1 and len(norm) == 1 and b.plen >= (1 << 14):
-            out = self._sharded_order(node, b, norm[0], n_shards)
+        n_shards = self._join_shards(rows=b.plen)
+        if n_shards > 1 and b.plen >= (1 << 14):
+            out = self._sharded_order(node, b, norm, n_shards)
             if out is not None:
                 return out
         perm = S.sort_permutation(norm, b.live)
@@ -1576,12 +1657,18 @@ class Executor:
         live = jnp.arange(b.plen) < jnp.sum(b.live)
         return Batch(src=src, plen=b.plen, live=live)
 
-    def _sharded_order(self, node, b, key, n) -> Optional[Batch]:
-        """Distributed ORDER BY: sample-split range partitioning over the
-        mesh + local sorts (parallel/shard.make_sharded_sort). Output rows
-        ride shard-major in global order with dead gaps at shard tails —
-        downstream compaction preserves order. Skew overflow (a range
-        bucket past 2× the uniform share) falls back to single-chip.
+    def _sharded_order(self, node, b, norm, n) -> Optional[Batch]:
+        """Distributed ORDER BY (any key count): sample-split range
+        partitioning on the primary normalized key + local sorts over the
+        full key tuple with global-row-id tiebreak
+        (parallel/shard.make_sharded_sort) — bit-identical to the
+        single-chip stable sort. Output rows ride shard-major in global
+        order with dead gaps at shard tails — downstream compaction
+        preserves order. Skew overflow (a range bucket past the capacity)
+        grows the capacity to the kernel's own pmax'd bucket demand and
+        retries (the MaybeRepartition analog); only degenerate skew — one
+        range bucket holding most of the data, where distribution cannot
+        help — falls back to single-chip.
 
         Reference analog: per-thread sorted runs + parallel merge,
         /root/reference/src/common/sort/sorted_run_merger.cpp.
@@ -1590,8 +1677,9 @@ class Executor:
 
         plen = b.plen
         plen2 = plen + ((-plen) % n)
-        cap = 2 * (plen2 // n)
-        step = get_sharded_sort(n, cap)
+        learned = getattr(node, "_sort_cap", None)
+        cap = learned if learned is not None else 2 * (plen2 // n)
+        step = get_sharded_sort(n, cap, nkeys=len(norm))
 
         def pad(x, m, fill):
             extra = m - x.shape[0]
@@ -1599,17 +1687,36 @@ class Executor:
                 return x
             return jnp.concatenate([x, jnp.full((extra,), fill, x.dtype)])
 
-        rows, out_live, overflow = step(
-            pad(key, plen2, np.iinfo(np.int64).max),
+        sent = np.iinfo(np.int64).max
+        keys = jnp.stack([pad(k, plen2, sent) for k in norm])
+        rows, out_live, overflow, need = step(
+            keys,
             pad(b.live, plen2, False),
             jnp.arange(plen2, dtype=jnp.int32))
         if int(overflow) > 0:  # host sync
+            new_cap = pad_bucket(int(need))
+            if (not getattr(node, "_sort_retried", False)
+                    and new_cap <= (plen2 // n) * max(2, n // 2)):
+                node._sort_cap = new_cap
+                node._sort_retried = True
+                try:
+                    self._log("INFO", "sharded_sort",
+                              f"range-bucket skew: growing cap {cap} -> "
+                              f"{new_cap} and retrying")
+                    return self._sharded_order(node, b, norm, n)
+                finally:
+                    node._sort_retried = False
             self._log("WARN", "sharded_sort",
-                      f"range-partition skew overflow at num_shards={n}; "
-                      "sorting single-chip")
+                      f"degenerate range skew at num_shards={n} "
+                      f"(bucket demand {int(need)}); sorting single-chip")
             return None
         self._log("INFO", "sharded_sort",
                   f"ORDER BY range-partitioned over {n} shards (cap={cap})")
+        # land the mesh-sharded outputs on the default device: downstream
+        # operators run single-device eager ops, and every eager op on an
+        # N-device array re-enters GSPMD (measured: multi-minute stalls /
+        # deadlocks on the CPU backend). One explicit copy instead.
+        rows, out_live = _unshard(rows, out_live)
         src = GatherCols(b.src, jnp.clip(rows, 0, plen - 1))
         return Batch(src=src, plen=rows.shape[0], live=out_live)
 

@@ -1340,6 +1340,14 @@ def try_fused_aggregate(executor, node: P.Aggregate):
     n_shards = _num_shards(executor, fa)
     if n_shards > 1:
         occ, flat = _run_sharded(executor, node, fa, n_shards)
+        # land the replicated mesh outputs on the default device: the
+        # eager tail (compaction, gathers) is single-device, and mixing
+        # mesh-resident with device-committed arrays is an error (and
+        # each eager op on a mesh array re-enters GSPMD)
+        from duckdb_tpu.execution.executor import _unshard
+        occ = _unshard(occ)
+        flat = [tuple(None if a is None else _unshard(a) for a in t)
+                for t in flat]
     else:
         def jit_body(env):
             cols, occ, extras = fa.body(env)
@@ -1388,8 +1396,7 @@ def try_fused_aggregate(executor, node: P.Aggregate):
 def _num_shards(executor, fa) -> int:
     import jax
 
-    mgr = getattr(executor.catalog, "settings_manager", None)
-    n = int(mgr.get("num_shards", 1)) if mgr else 1
+    n = executor._join_shards(rows=fa.base_batch.plen)
     if n <= 1:
         return 1
     if not fa.dense:

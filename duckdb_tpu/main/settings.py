@@ -36,8 +36,13 @@ SETTINGS = [
             "Default NULL ordering for ORDER BY"),
     Setting("default_order", "asc", "VARCHAR", "LOCAL",
             "Default sort direction"),
-    Setting("num_shards", 1, "BIGINT", "GLOBAL",
-            "Device-mesh shards for distributed execution (1 = single chip)"),
+    Setting("num_shards", 0, "BIGINT", "GLOBAL",
+            "Device-mesh shards for distributed execution (0 = auto: all "
+            "visible devices when the working set exceeds auto_shard_rows; "
+            "1 = single chip)"),
+    Setting("auto_shard_rows", 1 << 15, "BIGINT", "GLOBAL",
+            "Row count above which auto sharding (num_shards = 0) "
+            "distributes operators over the device mesh"),
     Setting("disabled_optimizers", "", "VARCHAR", "LOCAL",
             "Comma-separated optimizer passes to skip"),
     Setting("join_order", "dp", "VARCHAR", "LOCAL",

@@ -25,6 +25,21 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def commit_inputs(jitted, mesh, in_specs):
+    """Wrap a jitted shard_map program so callers may pass arrays living
+    anywhere (host, a single device after `_unshard`, another mesh): each
+    input is explicitly device_put onto this mesh with its in_spec before
+    the call — jit refuses committed single-device arrays otherwise."""
+    shardings = [NamedSharding(mesh, s) for s in in_specs]
+
+    def call(*args):
+        placed = tuple(jax.device_put(a, s)
+                       for a, s in zip(args, shardings))
+        return jitted(*placed)
+
+    return call
+
+
 def shard_map_compat(f, mesh, in_specs, out_specs, check=False):
     """jax.shard_map across API generations: the stable `jax.shard_map`
     (check_vma kwarg) with fallback to the deprecated
@@ -158,7 +173,14 @@ def _bucketize(keys, live, rows, n: int, cap: int, key_sentinel):
     send_r = jnp.full((n * cap + 1,), -1, jnp.int32).at[flat].set(
         jnp.where(ok, r_s, -1), mode="drop")[:-1]
     dropped = jnp.sum(jnp.logical_and(sd < n, ~ok).astype(jnp.int32))
-    return (send_k.reshape(n, cap), send_r.reshape(n, cap), dropped)
+    # true per-destination demand (counted BEFORE truncation): the max
+    # bucket fill this chip wanted. pmax'd by callers, it sizes the
+    # skew-growth retry capacity exactly (the MaybeRepartition analog,
+    # /root/reference/src/execution/radix_partitioned_hashtable.cpp:545).
+    edges = jnp.searchsorted(sd, jnp.arange(n + 1, dtype=sd.dtype),
+                             side="left", method="sort").astype(jnp.int32)
+    demand = jnp.max(edges[1:] - edges[:-1])
+    return (send_k.reshape(n, cap), send_r.reshape(n, cap), dropped, demand)
 
 
 _EXCHANGE_CACHE: dict = {}
@@ -204,11 +226,13 @@ def make_exchange_join(mesh: Mesh, n: int, cap_p: int, cap_b: int,
         shard_map,
         mesh=mesh,
         in_specs=(P(axis),) * 6,
-        out_specs=(P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(), P(), P()),
     )
     def step(pk, p_live, p_rows, bk, b_live, b_rows):
-        ps_k, ps_r, p_drop = _bucketize(pk, p_live, p_rows, n, cap_p, sent_p)
-        bs_k, bs_r, b_drop = _bucketize(bk, b_live, b_rows, n, cap_b, sent_b)
+        ps_k, ps_r, p_drop, p_dem = _bucketize(pk, p_live, p_rows, n,
+                                               cap_p, sent_p)
+        bs_k, bs_r, b_drop, b_dem = _bucketize(bk, b_live, b_rows, n,
+                                               cap_b, sent_b)
         rp_k = jax.lax.all_to_all(ps_k, axis, 0, 0, tiled=False).reshape(-1)
         rp_r = jax.lax.all_to_all(ps_r, axis, 0, 0, tiled=False).reshape(-1)
         rb_k = jax.lax.all_to_all(bs_k, axis, 0, 0, tiled=False).reshape(-1)
@@ -223,9 +247,11 @@ def make_exchange_join(mesh: Mesh, n: int, cap_p: int, cap_b: int,
         hit = jnp.logical_and(sk[loc] == rp_k, rp_r >= 0)
         brow = jnp.where(hit, srows[loc], -1)
         overflow = jax.lax.psum(p_drop + b_drop, axis)
-        return rp_r, brow, overflow
+        need_p = jax.lax.pmax(p_dem, axis)
+        need_b = jax.lax.pmax(b_dem, axis)
+        return rp_r, brow, overflow, need_p, need_b
 
-    return jax.jit(step)
+    return commit_inputs(jax.jit(step), mesh, (P(axis),) * 6)
 
 
 def make_exchange_join_dup(mesh: Mesh, n: int, cap_p: int, cap_b: int,
@@ -251,8 +277,10 @@ def make_exchange_join_dup(mesh: Mesh, n: int, cap_p: int, cap_b: int,
     sent_p = jnp.iinfo(jnp.int64).max - 1
 
     def step(pk, p_live, p_rows, bk, b_live, b_rows):
-        ps_k, ps_r, p_drop = _bucketize(pk, p_live, p_rows, n, cap_p, sent_p)
-        bs_k, bs_r, b_drop = _bucketize(bk, b_live, b_rows, n, cap_b, sent_b)
+        ps_k, ps_r, p_drop, p_dem = _bucketize(pk, p_live, p_rows, n,
+                                               cap_p, sent_p)
+        bs_k, bs_r, b_drop, b_dem = _bucketize(bk, b_live, b_rows, n,
+                                               cap_b, sent_b)
         rp_k = jax.lax.all_to_all(ps_k, axis, 0, 0, tiled=False).reshape(-1)
         rp_r = jax.lax.all_to_all(ps_r, axis, 0, 0, tiled=False).reshape(-1)
         rb_k = jax.lax.all_to_all(bs_k, axis, 0, 0, tiled=False).reshape(-1)
@@ -280,15 +308,18 @@ def make_exchange_join_dup(mesh: Mesh, n: int, cap_p: int, cap_b: int,
         overflow = jax.lax.psum(p_drop + b_drop + pair_drop, axis)
         pair_max = jax.lax.pmax(total, axis)  # true per-chip demand,
         # counted BEFORE truncation — sizes the retry capacity exactly
-        return pr, br, counts > 0, rp_r, overflow, pair_max
+        need_p = jax.lax.pmax(p_dem, axis)
+        need_b = jax.lax.pmax(b_dem, axis)
+        return pr, br, counts > 0, rp_r, overflow, pair_max, need_p, need_b
 
     mapped = shard_map_compat(
         step, mesh, (P(axis),) * 6,
-        (P(axis), P(axis), P(axis), P(axis), P(), P()))
-    return jax.jit(mapped)
+        (P(axis), P(axis), P(axis), P(axis), P(), P(), P(), P()))
+    return commit_inputs(jax.jit(mapped), mesh, (P(axis),) * 6)
 
 
-def make_sharded_sort(mesh: Mesh, n: int, cap: int, axis: str = "dp"):
+def make_sharded_sort(mesh: Mesh, n: int, cap: int, nkeys: int = 1,
+                      axis: str = "dp"):
     """Distributed ORDER BY: sample-based range partitioning + local sort.
 
     Each chip sorts its shard, publishes quantile samples (all_gather),
@@ -308,8 +339,13 @@ def make_sharded_sort(mesh: Mesh, n: int, cap: int, axis: str = "dp"):
     S = 64  # samples per shard
 
     def step(keys, live, rows):
-        r = keys.shape[0]
-        k_mask = jnp.where(live, keys, SENT)
+        # keys: (nkeys, r) normalized lexicographic sort keys. Range
+        # partitioning routes by the PRIMARY key only — rows with equal
+        # primary keys land on the same shard, so the local sort over the
+        # full key tuple (+ global row id as final tiebreak, matching the
+        # single-chip stable sort exactly) yields global order.
+        r = keys.shape[1]
+        k_mask = jnp.where(live, keys[0], SENT)
         iota = jnp.arange(r, dtype=jnp.int32)
         k_sorted, _ = jax.lax.sort([k_mask, iota], num_keys=1,
                                    is_stable=False)
@@ -324,7 +360,7 @@ def make_sharded_sort(mesh: Mesh, n: int, cap: int, axis: str = "dp"):
         dest = jnp.searchsorted(spl, k_mask, side="right",
                                 method="sort").astype(jnp.int32)
         dest = jnp.where(live, dest, n)
-        # route (key, row) to the owner shard
+        # route (keys, row) to the owner shard
         sd, perm = jax.lax.sort([dest, iota], num_keys=1, is_stable=False)
         boundary = jnp.concatenate([jnp.ones((1,), jnp.bool_),
                                     sd[1:] != sd[:-1]])
@@ -333,27 +369,40 @@ def make_sharded_sort(mesh: Mesh, n: int, cap: int, axis: str = "dp"):
         posb = iota - starts
         ok = jnp.logical_and(sd < n, posb < cap)
         flat = jnp.where(ok, sd * cap + posb, n * cap)
-        send_k = jnp.full((n * cap + 1,), SENT, keys.dtype).at[flat].set(
-            jnp.where(ok, k_mask[perm], SENT), mode="drop")[:-1]
+        send_ks = []
+        for ki in range(nkeys):
+            kv = jnp.where(live, keys[ki], SENT)
+            send_ks.append(jnp.full((n * cap + 1,), SENT, keys.dtype)
+                           .at[flat].set(jnp.where(ok, kv[perm], SENT),
+                                         mode="drop")[:-1])
         send_r = jnp.full((n * cap + 1,), -1, jnp.int32).at[flat].set(
             jnp.where(ok, rows[perm], -1), mode="drop")[:-1]
         dropped = jnp.sum(jnp.logical_and(sd < n, ~ok).astype(jnp.int32))
-        rk = jax.lax.all_to_all(send_k.reshape(n, cap), axis, 0, 0,
-                                tiled=False).reshape(-1)
+        rks = [jax.lax.all_to_all(sk.reshape(n, cap), axis, 0, 0,
+                                  tiled=False).reshape(-1)
+               for sk in send_ks]
         rr = jax.lax.all_to_all(send_r.reshape(n, cap), axis, 0, 0,
                                 tiled=False).reshape(-1)
-        # sort received rows; liveness rides the ROW ID (-1 = pad slot): a
-        # real NULLS-LAST key normalizes to INT64_MAX and must not be
-        # confused with the pad sentinel. Pad gaps among equal keys are
-        # harmless — downstream compaction preserves position order.
-        _, or_ = jax.lax.sort([rk, rr], num_keys=1, is_stable=True)
+        # sort received rows by the full key tuple; liveness rides the ROW
+        # ID (-1 = pad slot): a real NULLS-LAST key normalizes to
+        # INT64_MAX and must not be confused with the pad sentinel. The
+        # row id is the FINAL sort key, so ties resolve exactly like the
+        # single-chip stable sort (global row order).
+        out = jax.lax.sort(rks + [rr], num_keys=nkeys + 1, is_stable=False)
+        or_ = out[-1]
         out_live = or_ >= 0
         overflow = jax.lax.psum(dropped, axis)
-        return jnp.where(out_live, or_, -1), out_live, overflow
+        # true range-bucket demand (pre-truncation) → exact skew retry cap
+        edges = jnp.searchsorted(sd, jnp.arange(n + 1, dtype=sd.dtype),
+                                 side="left", method="sort")
+        need = jax.lax.pmax(jnp.max(edges[1:] - edges[:-1]).astype(
+            jnp.int32), axis)
+        return jnp.where(out_live, or_, -1), out_live, overflow, need
 
-    mapped = shard_map_compat(step, mesh, (P(axis),) * 3,
-                              (P(axis), P(axis), P()))
-    return jax.jit(mapped)
+    mapped = shard_map_compat(step, mesh, (P(None, axis), P(axis), P(axis)),
+                              (P(axis), P(axis), P(), P()))
+    return commit_inputs(jax.jit(mapped), mesh,
+                         (P(None, axis), P(axis), P(axis)))
 
 
 _DUP_CACHE: dict = {}
@@ -372,12 +421,12 @@ def get_exchange_join_dup(n: int, cap_p: int, cap_b: int, cap_out: int):
     return _DUP_CACHE[key]
 
 
-def get_sharded_sort(n: int, cap: int):
+def get_sharded_sort(n: int, cap: int, nkeys: int = 1):
     import numpy as _np
 
     devs = jax.devices()[:n]
-    key = (n, cap, tuple(d.id for d in devs))
+    key = (n, cap, nkeys, tuple(d.id for d in devs))
     if key not in _SORT_CACHE:
         mesh = Mesh(_np.array(devs), ("dp",))
-        _SORT_CACHE[key] = make_sharded_sort(mesh, n, cap)
+        _SORT_CACHE[key] = make_sharded_sort(mesh, n, cap, nkeys)
     return _SORT_CACHE[key]

@@ -187,3 +187,81 @@ def test_sharded_order_by_desc_nulls(data_dir):
         con.sql("SET num_shards = 1")
         con._plan_cache.clear()
         assert single == sharded, q
+
+
+def test_skew_growth_exchange_join():
+    """Hash-skewed keys overflow the uniform send buckets; the executor
+    must grow capacities to the kernel's pmax'd demand and retry on the
+    mesh (MaybeRepartition analog) instead of falling back single-chip."""
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE dim (k BIGINT PRIMARY KEY, name VARCHAR)")
+    con.sql("INSERT INTO dim SELECT range, 'n' || CAST(range AS VARCHAR) "
+            "FROM range(4096)")
+    # 85% of fact rows share ONE key -> one chip owns most of the probe side
+    con.sql("CREATE TABLE fact (k BIGINT, v BIGINT)")
+    con.sql("INSERT INTO fact SELECT CASE WHEN range % 20 < 17 THEN 7 "
+            "ELSE range % 4096 END, range FROM range(40000)")
+    q = ("SELECT count(*), sum(f.v), min(d.name) FROM fact f "
+         "JOIN dim d ON f.k = d.k")
+    single = con.sql(q).rows()
+    con.sql("SET num_shards = 8")
+    con.sql("SET exchange_join_threshold = 0")
+    con._plan_cache.clear()
+    sharded = con.sql(q).rows()
+    assert single == sharded
+    logs = con.sql("SELECT message FROM duckdb_logs() "
+                   "WHERE type = 'exchange_join'").fetchall()
+    msgs = [m for (m,) in logs]
+    assert any("skew: growing caps" in m or "exchange skew" in m
+               for m in msgs), msgs
+    assert any(m.startswith("join repartitioned")
+               or m.startswith("dup-key join repartitioned")
+               for m in msgs), msgs
+
+
+def test_skew_growth_sharded_sort_kernel():
+    """Kernel-level: an undersized range-bucket capacity overflows; the
+    demand counter reports the exact pmax'd bucket fill, and rerunning at
+    that capacity yields the exact global multi-key order. (At the SQL
+    layer the initial cap is 2x the local shard size, which per-chip
+    send demand can never exceed — the growth path guards learned caps
+    that went stale across queries.)"""
+    import numpy as np
+    import jax.numpy as jnp
+    from duckdb_tpu.parallel.shard import get_sharded_sort
+
+    rng = np.random.default_rng(7)
+    r = 4096
+    k0 = np.where(rng.random(r) < 0.9, 5,
+                  rng.integers(0, 50, r)).astype(np.int64)
+    k1 = rng.integers(0, 10, r).astype(np.int64)
+    keys = jnp.stack([jnp.asarray(k0), jnp.asarray(k1)])
+    live = jnp.ones(r, bool)
+    rows = jnp.arange(r, dtype=jnp.int32)
+    _, _, ovf, need = get_sharded_sort(8, 64, nkeys=2)(keys, live, rows)
+    assert int(ovf) > 0 and int(need) > 64
+    out_rows, out_live, ovf2, _ = get_sharded_sort(8, int(need), nkeys=2)(
+        keys, live, rows)
+    assert int(ovf2) == 0
+    sel = np.asarray(out_rows)[np.asarray(out_live)]
+    tup = list(zip(k0[sel], k1[sel], sel))
+    assert tup == sorted(tup), "not in global stable order"
+
+
+def test_auto_shard_policy():
+    """num_shards = 0 (the default) distributes automatically once the
+    working set exceeds auto_shard_rows — no SET required."""
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    assert con.sql("SELECT value FROM duckdb_settings() "
+                   "WHERE name = 'num_shards'").rows()[0][0] in (0, "0")
+    con.sql("CREATE TABLE big (g BIGINT, v BIGINT)")
+    con.sql("INSERT INTO big SELECT range % 11, range FROM range(40000)")
+    rows = con.sql("SELECT g, sum(v) FROM big GROUP BY g ORDER BY g").rows()
+    assert rows == [(g, sum(range(g, 40000, 11))) for g in range(11)]
+    # small tables stay single-chip (below auto_shard_rows)
+    con.sql("CREATE TABLE small AS SELECT range AS r FROM range(100)")
+    assert con.sql("SELECT sum(r) FROM small").rows()[0][0] == 4950
