@@ -631,7 +631,8 @@ def _compute_agg(agg: BoundAggregate, inp, gids, nseg, live, plen, key_data,
             bv, bf = b
             return (jnp.where(bf, bv, op(av, bv)), jnp.logical_or(af, bf))
 
-        scanned = jax.lax.associative_scan(comb, (xs, seg_start))[0]
+        from duckdb_tpu.ops.scan import jit_ascan
+        scanned = jit_ascan("bitagg_" + f, comb, (xs, seg_start))[0]
         # gather segment-end values per gid
         end_pos = jax.ops.segment_max(
             jnp.arange(plen, dtype=jnp.int64), gid_s, num_segments=nseg)[:-1]

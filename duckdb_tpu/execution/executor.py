@@ -748,6 +748,14 @@ class Executor:
     def _exec_Join(self, node: P.Join) -> Batch:
         probe_b = self.execute(node.probe)
         build_b = self.execute(node.build)
+        if not node.probe_keys and node.jtype not in ("asof", "asof_left"):
+            # keyless join: planner routes inequality-only ON conditions
+            # here (instead of CrossJoin + Filter) so the IEJoin path can
+            # prune candidates by a sorted range before pair expansion
+            out = self._ie_join(node, probe_b, build_b)
+            if out is not None:
+                return out
+            return self._keyless_cross(node, probe_b, build_b)
         pk, p_valid, bk, b_valid, dense_size, key_sizes = self._pack_keys(
             probe_b, build_b, node.probe_keys, node.build_keys
         )
@@ -1267,8 +1275,9 @@ class Executor:
             idx32 = jnp.arange(blen, dtype=jnp.int32)
             boundary = jnp.concatenate([jnp.ones((1,), jnp.bool_),
                                         sorted_slot[1:] != sorted_slot[:-1]])
-            starts = jax.lax.associative_scan(
-                jnp.maximum, jnp.where(boundary, idx32, 0))
+            # cummax, NOT associative_scan: the latter unrolls into ~90
+            # uniquely-shaped eager compiles per scan (ops/scan.py)
+            starts = jax.lax.cummax(jnp.where(boundary, idx32, 0))
             pos = idx32 - starts
             live_sorted = sorted_slot < S
             bmax = int(jnp.max(jnp.where(live_sorted, pos, 0))) + 1  # sync
@@ -1587,6 +1596,181 @@ class Executor:
             return Batch(src=src, plen=out_cap, live=live)
 
         raise NotImplementedError(f"join type {node.jtype}")
+
+    # IEJoin pair-expansion guard: candidate totals beyond this raise
+    # rather than allocating unbounded pair frames (the reference bounds
+    # its IEJoin blocks similarly, physical_iejoin.cpp)
+    IE_PAIR_CAP = 1 << 27
+
+    def _ie_join(self, node: P.Join, probe_b, build_b):
+        """Inequality join via sort + per-probe range (the TPU IEJoin).
+
+        The reference's PhysicalIEJoin (src/execution/operator/join/
+        physical_iejoin.cpp, after Khayyat et al.) sorts both sides on the
+        first inequality and walks a permutation bitmap. The TPU shape:
+        sort the BUILD side once on the first inequality's build
+        expression, compute each probe row's candidate range with ONE
+        searchsorted (prefix for probe>build, suffix for probe<build),
+        and reuse the shared pair-expansion tail at total-candidate
+        length. All ON conjuncts (including the sort predicate) are
+        re-checked as the expansion residual, so the range is pure
+        pruning — output-linear for banded/interval joins instead of the
+        O(n·m) cross fallback. Returns None when no two-sided inequality
+        conjunct exists or key dtypes are unsupported (caller falls back
+        to the keyless cross expansion).
+        """
+        conds = (list(node.extra.exprs)
+                 if isinstance(node.extra, B.BoundConjunction)
+                 and node.extra.op == "and" else
+                 [node.extra] if node.extra is not None else [])
+
+        def on(batch, expr):
+            try:
+                for nn in B.walk(expr):
+                    if isinstance(nn, (B.BoundColumnRef, B.BoundAggregateRef)):
+                        batch.src[nn.key]
+                return True
+            except KeyError:
+                return False
+
+        # usable conjuncts: (probe_expr op build_expr). Grouped by the
+        # build expression's UNDERLYING COLUMN — peeling monotone ±const
+        # shifts (b.t + 3, b.t - INTERVAL x) which preserve sort order —
+        # so that a lower and an upper bound on the same build column form
+        # a BAND range (interval joins): candidates [pos_lo, pos_up)
+        # instead of a half-plane.
+        def peel(e):
+            while True:
+                if isinstance(e, B.BoundArithmetic) and e.op in ("+", "-"):
+                    if isinstance(e.right, B.BoundLiteral):
+                        e = e.left
+                        continue
+                    if e.op == "+" and isinstance(e.left, B.BoundLiteral):
+                        e = e.right
+                        continue
+                # date/timestamp ± INTERVAL binds as a __interval_ fn;
+                # constant intervals are monotone non-decreasing shifts
+                if (isinstance(e, B.BoundFunction)
+                        and getattr(e, "name", "").startswith("__interval_")
+                        and e.name[-1] in "+-" and len(e.args) == 2
+                        and isinstance(e.args[1], B.BoundLiteral)):
+                    e = e.args[0]
+                    continue
+                return e
+
+        flip = {">=": "<=", ">": "<", "<=": ">=", "<": ">"}
+        groups: Dict[object, list] = {}
+        for c in conds:
+            if not (isinstance(c, B.BoundComparison)
+                    and c.op in ("<", "<=", ">", ">=")):
+                continue
+            if on(probe_b, c.left) and on(build_b, c.right):
+                op, ep, eb = c.op, c.left, c.right
+            elif on(probe_b, c.right) and on(build_b, c.left):
+                op, ep, eb = flip[c.op], c.right, c.left
+            else:
+                continue
+            root = peel(eb)
+            gk = (("col", root.key) if isinstance(root, B.BoundColumnRef)
+                  else ("id", id(eb)))
+            groups.setdefault(gk, []).append((op, ep, eb))
+        if not groups:
+            return None
+        # prefer a group with both an upper bound (op >,>= : build below
+        # probe) and a lower bound (op <,<= : build above probe)
+        best = None
+        for g in groups.values():
+            has_up = any(op in (">", ">=") for op, _, _ in g)
+            has_lo = any(op in ("<", "<=") for op, _, _ in g)
+            if has_up and has_lo:
+                best = g
+                break
+        if best is None:
+            best = next(iter(groups.values()))
+
+        # evaluate each condition's two sides and coerce to shared
+        # comparable arrays (dates↔timestamps, decimal alignment) with the
+        # same rules the comparison operator uses
+        m = build_b.plen
+        plen = probe_b.plen
+        env_b = build_b.env()
+        env_p = probe_b.env()
+        pairs = []  # (op, probe_arr, build_arr, pc_valid, bc_valid)
+        for op, ep, eb2 in best:
+            pc = ep.eval(env_p)
+            bc2 = eb2.eval(env_b)
+            if TypeId.VARCHAR in (pc.ltype.id, bc2.ltype.id):
+                return None
+            pcf = Column(data=_bdata(pc, plen), ltype=pc.ltype,
+                         validity=pc.validity)
+            bcf = Column(data=_bdata(bc2, m), ltype=bc2.ltype,
+                         validity=bc2.validity)
+            try:
+                pav, bav = B._common_numeric(pcf, bcf)
+            except Exception:  # noqa: BLE001 — unsupported pairing
+                return None
+            pairs.append((op, pav, bav,
+                          _full_valid(pc, plen), _full_valid(bc2, m)))
+
+        # sort ONCE by the group's ROOT column (all conditions are
+        # monotone shifts of it, so one order serves every condition —
+        # sorting by a TRANSFORMED value instead could break on its ties,
+        # e.g. month-adds collapsing distinct dates). Dead build rows sort
+        # AFTER every live one via a leading dead flag; the live prefix
+        # [0, m_live) is then sorted and dead rows can never enter a
+        # candidate range.
+        build_ok = build_b.live
+        for _, _, _, _, bv in pairs:
+            build_ok = jnp.logical_and(build_ok, bv)
+        root = peel(best[0][2])
+        if isinstance(root, B.BoundColumnRef) and root is not best[0][2]:
+            sort_vals = _bdata(root.eval(env_b), m)
+        else:
+            sort_vals = pairs[0][2]
+        dead = jnp.logical_not(build_ok).astype(jnp.int32)
+        iota = jnp.arange(m, dtype=jnp.int32)
+        _, _, perm = jax.lax.sort([dead, sort_vals, iota], num_keys=2,
+                                  is_stable=False)
+        m_live = int(jnp.sum(build_ok))
+
+        pos_lo = jnp.zeros((plen,), jnp.int32)
+        pos_up = jnp.full((plen,), m_live, jnp.int32)
+        probe_ok = probe_b.live
+        side = {"<": "right", "<=": "left", ">": "left", ">=": "right"}
+        for op, pav, bav, pv, _ in pairs:
+            sk_live = bav[perm][:m_live]
+            probe_ok = jnp.logical_and(probe_ok, pv)
+            pos = jnp.searchsorted(sk_live, pav, side=side[op],
+                                   method="sort").astype(jnp.int32)
+            if op in (">", ">="):
+                pos_up = jnp.minimum(pos_up, pos)  # build at/below probe
+            else:
+                pos_lo = jnp.maximum(pos_lo, pos)  # build at/above probe
+        counts = jnp.where(probe_ok,
+                           jnp.maximum(pos_up - pos_lo, 0), 0)
+
+        total = int(jnp.sum(counts, dtype=jnp.int64))
+        if total > self.IE_PAIR_CAP:
+            from duckdb_tpu.errors import OutOfRangeException
+            raise OutOfRangeException(
+                f"inequality join would expand {total} candidate pairs "
+                f"(cap {self.IE_PAIR_CAP})")
+        # full/anti tails must still see NULL-key build rows as live
+        # unmatched rows, so the tail gets the batch's own live mask
+        return self._expand_tail(node, probe_b, build_b, counts, pos_lo,
+                                 perm, probe_ok, build_b.live)
+
+    def _keyless_cross(self, node: P.Join, probe_b, build_b):
+        """Keyless join fallback: full cross expansion through the shared
+        tail (extra as residual) — supports inner/left/semi/anti/single
+        uniformly."""
+        m_live = int(jnp.sum(build_b.live))
+        cap_b = max(1, pad_bucket(m_live))
+        bidx, _ = compact_indices(build_b.live, cap_b)
+        counts = jnp.where(probe_b.live, jnp.int32(m_live), 0)
+        lo = jnp.zeros((probe_b.plen,), jnp.int32)
+        return self._expand_tail(node, probe_b, build_b, counts, lo, bidx,
+                                 probe_b.live, build_b.live)
 
     def _exec_CrossJoin(self, node: P.CrossJoin) -> Batch:
         a = self.execute(node.probe)

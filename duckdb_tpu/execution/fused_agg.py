@@ -564,8 +564,9 @@ def _prep_join_step_fresh(executor, j: P.Join, pfx: str, aux: Dict,
             boundary = jnp.concatenate([
                 jnp.ones((1,), jnp.bool_),
                 sorted_slot[1:] != sorted_slot[:-1]])
-            starts = jax.lax.associative_scan(
-                jnp.maximum, jnp.where(boundary, iota, 0))
+            # cummax, NOT associative_scan (eager compile explosion,
+            # ops/scan.py)
+            starts = jax.lax.cummax(jnp.where(boundary, iota, 0))
             pos = iota - starts
             live_sorted = jnp.logical_and(sorted_slot < S, pos < Bc)
             flat = jnp.where(live_sorted,

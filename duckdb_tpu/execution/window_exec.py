@@ -29,6 +29,7 @@ import numpy as np
 
 from duckdb_tpu.blocks import Column
 from duckdb_tpu.ops import sort as S
+from duckdb_tpu.ops.scan import jit_ascan
 from duckdb_tpu.planner import plan as P
 from duckdb_tpu.types import BIGINT, DOUBLE, TypeId
 
@@ -39,7 +40,7 @@ _I64_MIN = np.iinfo(np.int64).min
 def _propagate_from_start(vals, seg_start):
     """Broadcast the value at each segment start across the segment."""
     idx = jnp.arange(vals.shape[0])
-    start_idx = jax.lax.associative_scan(jnp.maximum, jnp.where(seg_start, idx, 0))
+    start_idx = jax.lax.cummax(jnp.where(seg_start, idx, 0))
     return vals[start_idx], start_idx
 
 
@@ -144,7 +145,7 @@ def _compute_window(w: P.BoundWindow, env, plen, perm, seg_start, peer_start,
         # cume_dist: rows up to and including the current peer group
         nxtp = jnp.roll(peer_start, -1).at[-1].set(True)
         revp = jnp.where(nxtp, idx, jnp.int64(_I64_MAX))[::-1]
-        peer_e = jax.lax.associative_scan(jnp.minimum, revp)[::-1]
+        peer_e = jax.lax.cummin(revp)[::-1]
         return (peer_e - seg_s + 1).astype(jnp.float64) / size, None
     if f == "ntile":
         n = int(w.args[0].const_value())
@@ -183,17 +184,16 @@ def _compute_window(w: P.BoundWindow, env, plen, perm, seg_start, peer_start,
         # src/include/duckdb/function/window/value_functions.hpp:69)
         vidx = jnp.where(valid, idx, jnp.int64(-1))
         # reset at segment starts: max-scan of (segment-start marker, vidx)
-        seg_floor = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(seg_start, idx, 0))
-        prev_i = jax.lax.associative_scan(jnp.maximum, vidx)
+        seg_floor = jax.lax.cummax(jnp.where(seg_start, idx, 0))
+        prev_i = jax.lax.cummax(vidx)
         prev_i = jnp.where(prev_i >= seg_floor, prev_i, -1)
         nvidx = jnp.where(valid, idx, jnp.int64(_I64_MAX))[::-1]
-        next_i = jax.lax.associative_scan(jnp.minimum, nvidx)[::-1]
+        next_i = jax.lax.cummin(nvidx)[::-1]
         # segment end = start of next segment - 1
         rev = seg_start[::-1]
-        rev_floor = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(jnp.roll(rev, 1).at[0].set(True),
-                                   jnp.arange(plen, dtype=jnp.int64), 0))
+        rev_floor = jax.lax.cummax(
+            jnp.where(jnp.roll(rev, 1).at[0].set(True),
+                      jnp.arange(plen, dtype=jnp.int64), 0))
         seg_end = (plen - 1) - rev_floor[::-1]
         next_i = jnp.where(next_i <= seg_end, next_i, _I64_MAX)
         has_p = prev_i >= 0
@@ -244,7 +244,7 @@ def _compute_window(w: P.BoundWindow, env, plen, perm, seg_start, peer_start,
             if has_order:
                 nxtp = jnp.roll(peer_start, -1).at[-1].set(True)
                 revp = jnp.where(nxtp, idx, jnp.int64(_I64_MAX))[::-1]
-                limit = jax.lax.associative_scan(jnp.minimum, revp)[::-1]
+                limit = jax.lax.cummin(revp)[::-1]
             else:
                 limit = seg_e
         ok = jnp.logical_and(n >= 1, p_ <= limit)
@@ -366,8 +366,8 @@ def _compute_window(w: P.BoundWindow, env, plen, perm, seg_start, peer_start,
                                seg_start, plen)
         elif has_order:
             # running min/max: segmented scan
-            run = jax.lax.associative_scan(
-                _segmented_combine(op), (x, seg_start))[0]
+            run = jit_ascan("seg_" + op.__name__,
+                            _segmented_combine(op), (x, seg_start))[0]
             run = _peer_end_gather(run, peer_start, plen)
             nvalid = _running_sum(valid.astype(jnp.int64), seg_start,
                                   peer_start, plen)
@@ -388,17 +388,17 @@ def _segmented_combine(op):
 
 def _running_sum(x, seg_start, peer_start, plen):
     """RANGE UNBOUNDED PRECEDING..CURRENT ROW including peers."""
-    ps = jax.lax.associative_scan(_segmented_combine(jnp.add), (x, seg_start))[0]
+    ps = jit_ascan("seg_add", _segmented_combine(jnp.add), (x, seg_start))[0]
     return _peer_end_gather(ps, peer_start, plen)
 
 
 def _seg_total(x, seg_start, plen):
-    ps = jax.lax.associative_scan(_segmented_combine(jnp.add), (x, seg_start))[0]
+    ps = jit_ascan("seg_add", _segmented_combine(jnp.add), (x, seg_start))[0]
     return _seg_end_gather(ps, seg_start, plen)
 
 
 def _seg_total_minmax(x, seg_start, plen, op):
-    ps = jax.lax.associative_scan(_segmented_combine(op), (x, seg_start))[0]
+    ps = jit_ascan("seg_" + op.__name__, _segmented_combine(op), (x, seg_start))[0]
     return _seg_end_gather(ps, seg_start, plen)
 
 
@@ -407,7 +407,7 @@ def _seg_end_gather(ps, seg_start, plen):
     idx = jnp.arange(plen, dtype=jnp.int64)
     nxt = jnp.roll(seg_start, -1).at[-1].set(True)  # last row of each segment
     rev_vals = jnp.where(nxt, idx, jnp.int64(_I64_MAX))[::-1]
-    end_idx = jax.lax.associative_scan(jnp.minimum, rev_vals)[::-1]
+    end_idx = jax.lax.cummin(rev_vals)[::-1]
     return ps[jnp.clip(end_idx, 0, plen - 1)]
 
 
@@ -416,7 +416,7 @@ def _peer_end_gather(ps, peer_start, plen):
     nxt = jnp.roll(peer_start, -1).at[-1].set(True)
     idx = jnp.arange(plen, dtype=jnp.int64)
     rev_vals = jnp.where(nxt, idx, jnp.int64(_I64_MAX))[::-1]
-    end_idx = jax.lax.associative_scan(jnp.minimum, rev_vals)[::-1]
+    end_idx = jax.lax.cummin(rev_vals)[::-1]
     return ps[jnp.clip(end_idx, 0, plen - 1)]
 
 
@@ -426,7 +426,7 @@ def _seg_bounds(seg_start, plen):
     _, start_idx = _propagate_from_start(idx, seg_start)
     nxt = jnp.roll(seg_start, -1).at[-1].set(True)
     rev_vals = jnp.where(nxt, idx, jnp.int64(_I64_MAX))[::-1]
-    end_idx = jax.lax.associative_scan(jnp.minimum, rev_vals)[::-1]
+    end_idx = jax.lax.cummin(rev_vals)[::-1]
     return idx, start_idx, end_idx
 
 
@@ -555,7 +555,7 @@ def _frame_bounds(w, env, perm, seg_start, peer_start, plen):
         _, peer_s = _propagate_from_start(idx, peer_start)
         nxtp = jnp.roll(peer_start, -1).at[-1].set(True)
         revp = jnp.where(nxtp, idx, jnp.int64(_I64_MAX))[::-1]
-        peer_e = jax.lax.associative_scan(jnp.minimum, revp)[::-1]
+        peer_e = jax.lax.cummin(revp)[::-1]
 
         def pos(spec, is_lo):
             kind, e_ = spec
@@ -586,7 +586,7 @@ def _frame_bounds(w, env, perm, seg_start, peer_start, plen):
 def _span_sum(x, lo_pos, hi_pos, seg_start, plen):
     """Sum of x over each row's [lo_pos, hi_pos] via prefix differences."""
     idx, start_idx, _ = _seg_bounds(seg_start, plen)
-    ps = jax.lax.associative_scan(_segmented_combine(jnp.add), (x, seg_start))[0]
+    ps = jit_ascan("seg_add", _segmented_combine(jnp.add), (x, seg_start))[0]
     seg_base, _ = _propagate_from_start(ps - x, seg_start)
     pref = ps - seg_base  # prefix within segment, inclusive
     hi_v = jnp.where(hi_pos >= start_idx, pref[jnp.clip(hi_pos, 0, plen - 1)], 0)

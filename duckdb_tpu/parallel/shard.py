@@ -162,8 +162,7 @@ def _bucketize(keys, live, rows, n: int, cap: int, key_sentinel):
     iota = jnp.arange(r, dtype=jnp.int32)
     sd, perm = jax.lax.sort([dest, iota], num_keys=1, is_stable=False)
     boundary = jnp.concatenate([jnp.ones((1,), jnp.bool_), sd[1:] != sd[:-1]])
-    starts = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(boundary, iota, 0))
+    starts = jax.lax.cummax(jnp.where(boundary, iota, 0))
     pos = iota - starts
     ok = jnp.logical_and(sd < n, pos < cap)
     flat = jnp.where(ok, sd * cap + pos, n * cap)
@@ -364,8 +363,7 @@ def make_sharded_sort(mesh: Mesh, n: int, cap: int, nkeys: int = 1,
         sd, perm = jax.lax.sort([dest, iota], num_keys=1, is_stable=False)
         boundary = jnp.concatenate([jnp.ones((1,), jnp.bool_),
                                     sd[1:] != sd[:-1]])
-        starts = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(boundary, iota, 0))
+        starts = jax.lax.cummax(jnp.where(boundary, iota, 0))
         posb = iota - starts
         ok = jnp.logical_and(sd < n, posb < cap)
         flat = jnp.where(ok, sd * cap + posb, n * cap)

@@ -306,7 +306,18 @@ def _common_numeric(lc: Column, rc: Column):
         return x, y
     if lc.ltype.is_float or rc.ltype.is_float:
         return _to_double(lc), _to_double(rc)
-    return lc.data.astype(jnp.int64), rc.data.astype(jnp.int64)
+    x = lc.data.astype(jnp.int64)
+    y = rc.data.astype(jnp.int64)
+    # DATE (days) vs TIMESTAMP (micros): promote the DATE side, matching
+    # the reference's implicit date→timestamp cast in comparisons
+    # (/root/reference/src/function/cast/time_casts.cpp)
+    lt, rt = lc.ltype.id, rc.ltype.id
+    if TypeId.TIMESTAMP in (lt, rt) and TypeId.DATE in (lt, rt):
+        if lt is TypeId.DATE:
+            x = x * jnp.int64(86_400_000_000)
+        else:
+            y = y * jnp.int64(86_400_000_000)
+    return x, y
 
 
 def _to_double(c: Column) -> jnp.ndarray:

@@ -272,8 +272,20 @@ def dp_join_order(planner, by_id: Dict[int, object],
             used.add(id(p))
             conn.append((p, lexpr, rexpr, lm, rm, False))
         keys = lk | rk
-        if not pk:  # should not happen for a connected DP tree
-            plan = P.CrossJoin(lp, rp)
+        if not pk:
+            # no equi edge between the DP sides: route spanning
+            # inequality predicates into a keyless Join (executor IEJoin
+            # sorted-range path) rather than CrossJoin + Filter
+            conds = planner._ineq_conds_between(
+                [p for p in pending if id(p) not in used], lk, rk)
+            if conds:
+                for p in conds:
+                    used.add(id(p))
+                extra = (conds[0] if len(conds) == 1
+                         else B.BoundConjunction("and", conds))
+                plan = P.Join(lp, rp, "inner", [], [], extra)
+            else:
+                plan = P.CrossJoin(lp, rp)
         else:
             plan = P.Join(lp, rp, "inner", pk, bk, None)
         card = join_card(lc, rc, conn) if conn else lc * rc

@@ -761,9 +761,11 @@ class Planner:
                 across = [c for c in cond
                           if not (self._keys_of(c) <= lkeyset)
                           and not (self._keys_of(c) <= rkeyset)]
+                # keyless joins (no equi condition) are supported for all
+                # join types via the executor's IEJoin / cross-expansion
+                # tail, so non-equi outer joins bind fine
                 pk, bk, extra = self._split_join_conds(
-                    across, lkeyset, rkeyset,
-                    allow_no_eq=jt in ("asof", "asof_left"))
+                    across, lkeyset, rkeyset, allow_no_eq=True)
                 if jt in ("asof", "asof_left") and extra is None:
                     raise BindError(
                         "ASOF JOIN requires an inequality condition")
@@ -1234,7 +1236,29 @@ class Planner:
                         best = (a, edges)
                         best_score = score
             if best is None:
-                # no connection: cross join the smallest
+                # no equi edge: prefer an atom connected by inequality
+                # predicates — a keyless Join whose extra drives the
+                # executor's IEJoin sorted-range path (physical_iejoin.cpp
+                # analog) instead of a blind cross product
+                pick = None
+                for a in remaining.values():
+                    conds = self._ineq_conds_between(
+                        pending, joined_keys, a.keys)
+                    if conds and (pick is None or a.rows < pick[0].rows):
+                        pick = (a, conds)
+                if pick is not None:
+                    a, conds = pick
+                    del remaining[a.id]
+                    pending = [p for p in pending
+                               if not any(p is c for c in conds)]
+                    extra = (conds[0] if len(conds) == 1
+                             else B.BoundConjunction("and", conds))
+                    plan = P.Join(plan, a.plan, "inner", [], [], extra)
+                    joined_keys |= a.keys
+                    joined_ids.add(a.id)
+                    plan = try_apply_pending(plan)
+                    continue
+                # no connection at all: cross join the smallest
                 a = min(remaining.values(), key=lambda x: x.rows)
                 del remaining[a.id]
                 plan = P.CrossJoin(plan, a.plan)
@@ -1275,6 +1299,25 @@ class Planner:
             if rng is not None:
                 denom *= rng
         return max(1.0, atom.rows / denom)
+
+    def _ineq_conds_between(self, preds, lkeys: Set[str], rkeys: Set[str]):
+        """Predicates spanning both key sets, of which at least one is a
+        two-sided inequality comparison (the IEJoin sort predicate). All
+        spanning predicates ride along as the keyless join's residual."""
+        both = lkeys | rkeys
+        spanning, has_ineq = [], False
+        for p in preds:
+            ks = self._keys_of(p)
+            if not (ks and ks <= both and (ks & lkeys) and (ks & rkeys)):
+                continue
+            spanning.append(p)
+            if (isinstance(p, B.BoundComparison)
+                    and p.op in ("<", "<=", ">", ">=")):
+                kl, kr = self._keys_of(p.left), self._keys_of(p.right)
+                if ((kl <= lkeys and kr <= rkeys)
+                        or (kl <= rkeys and kr <= lkeys)):
+                    has_ineq = True
+        return spanning if has_ineq else []
 
     def _edges_between(self, preds, joined_keys: Set[str], atom_keys: Set[str]):
         out = []

@@ -5,7 +5,7 @@ import subprocess
 
 import pytest
 
-REF_BIN = "/root/build-duckdb/duckdb"
+from tests._refbin import REF_BIN as REF_BIN  # noqa: E501
 
 SETUP = ("CREATE TABLE t (g VARCHAR, x INTEGER, s VARCHAR); "
          "INSERT INTO t VALUES ('a',3,'u'),('a',1,'v'),('a',1,'w'),"

@@ -12,7 +12,7 @@ import pytest
 
 import duckdb_tpu
 
-REF = "/root/build-duckdb/duckdb"
+from tests._refbin import REF_BIN as REF  # noqa: E501
 
 
 @pytest.fixture

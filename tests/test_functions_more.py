@@ -6,7 +6,7 @@ import subprocess
 
 import pytest
 
-REF_BIN = "/root/build-duckdb/duckdb"
+from tests._refbin import REF_BIN as REF_BIN  # noqa: E501
 
 # queries whose textual output matches the reference exactly
 EXACT = [

@@ -6,7 +6,7 @@ import subprocess
 
 import pytest
 
-REF_BIN = "/root/build-duckdb/duckdb"
+from tests._refbin import REF_BIN as REF_BIN  # noqa: E501
 
 
 def test_wide_sum_exact():

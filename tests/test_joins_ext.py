@@ -5,7 +5,7 @@ import subprocess
 
 import pytest
 
-REF_BIN = "/root/build-duckdb/duckdb"
+from tests._refbin import REF_BIN as REF_BIN  # noqa: E501
 
 SETUP = ("CREATE TABLE a (x INT, s VARCHAR); "
          "CREATE TABLE b (x INT, t VARCHAR); "

@@ -14,7 +14,7 @@ import pytest
 
 import duckdb_tpu
 
-REF_BIN = "/root/build-duckdb/duckdb"
+from tests._refbin import REF_BIN as REF_BIN  # noqa: E501
 
 
 @pytest.fixture

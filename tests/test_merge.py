@@ -5,7 +5,7 @@ import subprocess
 
 import pytest
 
-REF_BIN = "/root/build-duckdb/duckdb"
+from tests._refbin import REF_BIN as REF_BIN  # noqa: E501
 
 SETUP = ("CREATE TABLE tgt (id INT, v VARCHAR, amt INT); "
          "CREATE TABLE src (id INT, v VARCHAR, amt INT); "

@@ -9,7 +9,7 @@ import subprocess
 
 import pytest
 
-REF_BIN = "/root/build-duckdb/duckdb"
+from tests._refbin import REF_BIN as REF_BIN  # noqa: E501
 
 SETUP = ("CREATE TABLE t (g VARCHAR, x DOUBLE, y DOUBLE); "
          "INSERT INTO t VALUES ('a',1.0,2.0),('a',2.0,4.1),('a',3.0,5.9),"

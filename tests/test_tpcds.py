@@ -18,7 +18,7 @@ import subprocess
 
 import pytest
 
-REFBIN = "/root/build-duckdb/duckdb"
+from tests._refbin import REF_BIN as REFBIN  # noqa: E501
 DSD = "/root/reference/extension/tpcds/dsdgen"
 DATA = os.environ.get("TPCDS_DATA") or os.path.join(
     os.path.dirname(__file__), "..", "data", "tpcds_sf0.01")

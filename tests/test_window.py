@@ -10,7 +10,7 @@ import subprocess
 
 import pytest
 
-REF_BIN = "/root/build-duckdb/duckdb"
+from tests._refbin import REF_BIN as REF_BIN  # noqa: E501
 
 SETUP = ("CREATE TABLE t (g VARCHAR, x INTEGER); "
          "INSERT INTO t VALUES ('a',1),('a',2),('a',2),('a',5),"
