@@ -336,7 +336,17 @@ def try_chunked(executor, plan: P.PlanNode, output):
 
     # ---- chunk loop ----
     from duckdb_tpu.execution.executor import Executor
+    from duckdb_tpu.storage.spill import SpillDir, SpillWriter
 
+    types = [t for _, _, t in chunk_out]
+    # aggregate partials are bounded by (groups × k) and stay in RAM;
+    # pure-select partials scale with the scan, so they STREAM to the
+    # disk spill tier (host RAM holds one chunk's output at a time —
+    # the temporary_file_manager.cpp analog)
+    spill = writer = None
+    if agg_node is None:
+        spill = SpillDir(catalog, "ooc")
+        writer = SpillWriter(spill, types)
     results = []
     for ci in range(k):
         lo, hi = ci * rows_per, min((ci + 1) * rows_per, entry.nrows)
@@ -346,16 +356,52 @@ def try_chunked(executor, plan: P.PlanNode, output):
         ex = Executor(catalog)
         ex._in_chunked = True
         ex._scan_overrides = {best: ce}
-        results.append(ex.run(chunk_plan, chunk_out))
+        r = ex.run(chunk_plan, chunk_out)
+        if writer is not None:
+            writer.append(r.columns, r.nrows)
+        else:
+            results.append(r)
 
     # ---- merge ----
-    types = [t for _, _, t in chunk_out]
-    merged_cols = _concat_results(results, types)
     tmp = TableEntry(_TMP_NAME, [ColumnDef(key, t)
                                  for _, key, t in chunk_out])
-    tmp.nrows = sum(r.nrows for r in results)
-    for (name, key, t), (d, v, dv) in zip(chunk_out, merged_cols):
-        tmp.set_host_column(key, d, None if v.all() else v, dv)
+    if writer is not None:
+        merged_cols = writer.finish()
+        tmp.nrows = writer.nrows
+        for (name, key, t), (d, v, dv) in zip(chunk_out, merged_cols):
+            tmp.set_host_column(key, d, v, dv)
+    else:
+        merged_cols = _concat_results(results, types)
+        tmp.nrows = sum(r.nrows for r in results)
+        for (name, key, t), (d, v, dv) in zip(chunk_out, merged_cols):
+            if d.dtype == object:
+                # wide DECIMAL/HUGEINT sum partials finalize to Python
+                # ints; the merge re-runs the engine's wide device sum, so
+                # int64 partials stay exact end-to-end
+                try:
+                    d = d.astype(np.int64)
+                except OverflowError:
+                    from duckdb_tpu.errors import OutOfRangeException
+                    raise OutOfRangeException(
+                        "out-of-core aggregate partial exceeds the 64-bit "
+                        "range; raise memory_limit for this query")
+            tmp.set_host_column(key, d, None if v.all() else v, dv)
+
+    # ---- out-of-core ORDER BY: the merged temp table itself may exceed
+    # the device budget; range-partition on the leading sort key and sort
+    # each partition on-device (the external-merge-sort analog of
+    # src/common/sort/ — partitions ride the spill tier, the TPU does all
+    # comparisons) ----
+    if (agg_node is None and order_node is not None
+            and sum(_col_bytes(t, tmp.nrows) for t in types)
+            * WORKING_SET_FACTOR > budget):
+        try:
+            return _range_partitioned_order(
+                executor, catalog, tmp, chunk_out, order_items,
+                limit_node, output, budget)
+        finally:
+            if spill is not None:
+                spill.delete()
 
     if agg_node is not None:
         scan = P.Scan(table=_TMP_NAME, alias=_TMP_NAME,
@@ -394,4 +440,117 @@ def try_chunked(executor, plan: P.PlanNode, output):
     ex = Executor(catalog)
     ex._in_chunked = True
     ex._scan_overrides = {_TMP_NAME: tmp}
-    return ex.run(merged, output)
+    try:
+        return ex.run(merged, output)
+    finally:
+        if spill is not None:
+            spill.delete()
+
+
+def _range_partitioned_order(executor, catalog, tmp, chunk_out, order_items,
+                             limit_node, output, budget):
+    """ORDER BY over a temp table bigger than the device budget.
+
+    Range-partition rows on the LEADING sort key (boundaries from a host
+    sample; rows with equal keys land in one partition, so multi-key ties
+    are resolved by the per-partition device sort), sort each partition
+    on-device, and stream partition outputs through the spill tier in
+    partition order. The TPU analog of the reference's external merge
+    sort (src/common/sort/sorted_block.cpp): no host-side merging — the
+    device sorts every row, the host only routes partitions.
+    """
+    import math as _math
+
+    from duckdb_tpu.execution.executor import Executor
+    from duckdb_tpu.storage.spill import SpillDir, SpillWriter
+
+    types = [t for _, _, t in chunk_out]
+    n = tmp.nrows
+    e0, desc0, nf0 = order_items[0]
+    nf0 = bool(nf0) if nf0 is not None else False  # duckdb: NULLS LAST
+    vals, valid, dv = tmp.host_column(e0.key)
+    vals = np.asarray(vals)
+
+    bytes_all = sum(_col_bytes(t, n) for t in types)
+    nparts = max(2, _math.ceil(bytes_all * WORKING_SET_FACTOR
+                               / max(budget * 0.5, 1)))
+    nonnull = np.arange(n) if valid is None else np.nonzero(
+        np.asarray(valid))[0]
+    null_idx = (np.zeros(0, np.int64) if valid is None
+                else np.nonzero(~np.asarray(valid))[0])
+    sample = vals[nonnull[:: max(1, len(nonnull) // 65536)]] \
+        if len(nonnull) else vals[:0]
+    # boundaries at even sample quantiles; VARCHAR leading keys work
+    # because the spill writer re-sorts dictionaries (codes = lex order)
+    edges = np.unique(np.sort(sample)[
+        np.linspace(0, max(len(sample) - 1, 0), nparts - 1).astype(np.int64)
+    ]) if len(sample) else np.zeros(0, vals.dtype)
+    pid = np.searchsorted(edges, vals, side="right")
+
+    executor._log("INFO", "out_of_core",
+                  f"ORDER BY over {bytes_all / 1e6:.0f}MB temp exceeds the "
+                  f"device budget: {len(edges) + 1} range partitions")
+
+    cap = None
+    if limit_node is not None and limit_node.n is not None:
+        cap = limit_node.n + (limit_node.offset or 0)
+
+    scan = P.Scan(table=_TMP_NAME, alias=_TMP_NAME,
+                  cols=[(key, "__ooc." + key, t) for _, key, t in chunk_out])
+    part_plan = P.Order(
+        child=P.Project(child=scan,
+                        items=[(key, B.BoundColumnRef("__ooc." + key, t))
+                               for _, key, t in chunk_out]),
+        items=order_items)
+
+    order = list(range(len(edges) + 1))
+    if desc0:
+        order.reverse()
+    blocks = [("null", None)] if (nf0 and len(null_idx)) else []
+    blocks += [("part", p) for p in order]
+    if not nf0 and len(null_idx):
+        blocks.append(("null", None))
+
+    out_types = [t for _, _, t in output]
+    sd = SpillDir(catalog, "sort")
+    writer = SpillWriter(sd, out_types)
+    names = [nm for nm, _, _ in output]
+    try:
+        for kind, p in blocks:
+            idx = null_idx if kind == "null" else \
+                nonnull[pid[nonnull] == p] if valid is not None else \
+                np.nonzero(pid == p)[0]
+            if len(idx) == 0:
+                continue
+            pe = TableEntry(_TMP_NAME, [ColumnDef(key, t)
+                                        for _, key, t in chunk_out])
+            pe.nrows = len(idx)
+            for _, key, t in chunk_out:
+                def loader(key=key, idx=idx):
+                    d, v, dvv = tmp.host_column(key)
+                    return (np.asarray(d)[idx],
+                            None if v is None else np.asarray(v)[idx], dvv)
+                pe.set_lazy_column(key, loader)
+            ex = Executor(catalog)
+            ex._in_chunked = True
+            ex._scan_overrides = {_TMP_NAME: pe}
+            r = ex.run(part_plan, output)
+            writer.append(r.columns, r.nrows)
+            if cap is not None and writer.nrows >= cap:
+                break
+        cols = writer.finish()
+        total = writer.nrows
+        lo = limit_node.offset or 0 if limit_node is not None else 0
+        hi = min(total, cap) if cap is not None else total
+        if lo or hi != total:
+            cols = [(d[lo:hi], None if v is None else v[lo:hi], dvv)
+                    for d, v, dvv in cols]
+        from duckdb_tpu.execution.executor import Result
+        return Result(names=names, types=out_types, columns=cols,
+                      nrows=max(hi - lo, 0))
+    except Exception:
+        sd.delete()
+        raise
+    # NOTE: the SpillDir intentionally survives on success — the Result's
+    # memmap columns read from it lazily; files are reclaimed when the OS
+    # temp dir is cleaned or the process exits.

@@ -36,6 +36,9 @@ SETTINGS = [
             "Default NULL ordering for ORDER BY"),
     Setting("default_order", "asc", "VARCHAR", "LOCAL",
             "Default sort direction"),
+    Setting("temp_directory", "", "VARCHAR", "GLOBAL",
+            "Directory for out-of-core spill files (empty = system temp; "
+            "reference: temporary_file_manager.cpp)"),
     Setting("num_shards", 0, "BIGINT", "GLOBAL",
             "Device-mesh shards for distributed execution (0 = auto: all "
             "visible devices when the working set exceeds auto_shard_rows; "

@@ -525,6 +525,12 @@ class ExprBinder:
     def _bind_concat(self, e: N.BinaryOp):
         left = self.bind(e.left)
         right = self.bind(e.right)
+        # duckdb implicitly casts non-VARCHAR || operands to VARCHAR
+        # (reference: '||' binds to concat, whose args are ANY→VARCHAR)
+        if left.ltype.id is not TypeId.VARCHAR:
+            left = B.BoundCast(left, VARCHAR)
+        if right.ltype.id is not TypeId.VARCHAR:
+            right = B.BoundCast(right, VARCHAR)
 
         def impl(env, cols, node):
             return concat_pair(env, cols[0], cols[1])
