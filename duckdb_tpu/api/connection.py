@@ -88,6 +88,8 @@ class _Txn:
         snap.sequences = {k: dict(v) for k, v in shared.sequences.items()}
         snap.user_types = {k: dict(v) for k, v in shared.user_types.items()}
         snap._file_tables = shared._file_tables
+        snap.indexes = {k: dict(v) for k, v in shared.indexes.items()}
+        snap.comments = dict(shared.comments)
         snap.settings_manager = getattr(shared, "settings_manager", None)
         snap.log_manager = getattr(shared, "log_manager", None)
         self.catalog = snap
@@ -139,6 +141,8 @@ class Connection:
         self._temp_views = {}
         # USE target: schema searched first for unqualified names
         self._default_schema = "main"
+        # SQL-level PREPARE registry: name -> statement text
+        self._prepared = {}
         # this database's own name (reference: in-memory db is "memory")
         import re as _re
         self._db_name = ("memory" if database in (":memory:", "") else _re.sub(
@@ -173,7 +177,7 @@ class Connection:
                  N.InsertStatement, N.DeleteStatement, N.UpdateStatement,
                  N.MergeStatement, N.AlterStatement, N.CreateSequence,
                  N.CreateSchema, N.CreateMacro, N.ImportStatement,
-                 N.CreateType)
+                 N.CreateType, N.CreateIndex, N.CommentStatement)
 
     # -- main entry -----------------------------------------------------------
     def sql(self, query: str) -> Optional[Result]:
@@ -446,6 +450,27 @@ class Connection:
                     raise ConnectionException(
                         f'Catalog Error: Type with name "{s.name}" does '
                         "not exist!")
+            elif s.kind == "index":
+                info = self.catalog.indexes.pop(s.name.lower(), None)
+                if info is None:
+                    if not s.if_exists:
+                        raise ConnectionException(
+                            f'Catalog Error: Index with name "{s.name}" '
+                            "does not exist!")
+                elif info.get("unique"):
+                    # retire the unique constraint the index added
+                    try:
+                        entry = self.catalog.get_table(info["table"])
+                        cols = [e.strip().strip('"') for e in info["exprs"]]
+                        want = ("unique", [
+                            next((c.name for c in entry.columns
+                                  if c.name.lower() == x.lower()), x)
+                            for x in cols])
+                        if want in entry.constraints:
+                            entry.constraints.remove(want)
+                            entry.version = getattr(entry, "version", 0) + 1
+                    except Exception:  # noqa: BLE001 — table already gone
+                        pass
             else:
                 self.catalog.drop_table(self._resolve_default(s.name),
                                         if_exists=s.if_exists)
@@ -512,9 +537,139 @@ class Connection:
             return self._transaction(s)
         if isinstance(s, N.ExplainStatement):
             return self._explain(s)
+        if isinstance(s, N.CreateIndex):
+            return self._create_index(s)
+        if isinstance(s, N.CommentStatement):
+            return self._comment_on(s)
+        if isinstance(s, N.PrepareStatement):
+            self._prepared[s.name.lower()] = s.sql
+            return None
+        if isinstance(s, N.ExecuteStatement):
+            return self._execute_prepared(s)
+        if isinstance(s, N.DeallocateStatement):
+            if s.name is None:
+                self._prepared.clear()
+            else:
+                self._prepared.pop(s.name.lower(), None)
+            return None
         raise ConnectionException(
             f"statement {type(s).__name__} not supported yet"
         )
+
+    def _create_index(self, s: N.CreateIndex):
+        """Indexes are catalog metadata + UNIQUE enforcement: equality
+        probes already ride per-table-version direct-address tables
+        (executor build-prep cache — the persistent ART analog,
+        reference src/execution/index/art/), so a non-unique index adds no
+        access path. UNIQUE indexes append a unique constraint verified on
+        append/update like any other."""
+        table = self._resolve_default(s.table)
+        entry = self.catalog.get_table(table)
+        idxs = self.catalog.indexes
+        key = s.name.lower()
+        if key in idxs:
+            if s.if_not_exists:
+                return None
+            raise ConnectionException(
+                f'Catalog Error: Index with name "{s.name}" already exists!')
+        cols = [e.strip().strip('"').lower() for e in s.exprs]
+        if s.unique:
+            names = {c.name.lower(): c.name for c in entry.columns}
+            ucols = [names[c] for c in cols if c in names]
+            if len(ucols) == len(cols):
+                entry.constraints.append(("unique", ucols))
+                self._verify_existing_unique(entry, ucols, s.name)
+                # constraint edits must publish through the implicit
+                # transaction like any other table write
+                entry.version = getattr(entry, "version", 0) + 1
+        idxs[key] = {"table": entry.name, "exprs": list(s.exprs),
+                     "unique": s.unique, "sql": ""}
+        if self.database not in (":memory:", "") \
+                and not self._replaying and self._txn is None:
+            self._wal_write(getattr(s, "_sql_text", None) or
+                            f"CREATE {'UNIQUE ' if s.unique else ''}INDEX "
+                            f"{s.name} ON {s.table} "
+                            f"({', '.join(s.exprs)})")
+        return None
+
+    def _verify_existing_unique(self, entry, cols, iname):
+        if not entry.nrows:
+            return
+        parts = []
+        for cn in cols:
+            vals, valid, dvals = entry.host_column(cn)
+            sv = (dvals[vals].astype(str) if dvals is not None
+                  and len(vals) else vals.astype(str))
+            parts.append(sv)
+        key = parts[0]
+        for sv in parts[1:]:
+            key = np.char.add(np.char.add(key, "\x1f"), sv)
+        if len(np.unique(key)) != len(key):
+            entry.constraints.pop()
+            raise ConnectionException(
+                "Constraint Error: Data contains duplicates on indexed "
+                f"column(s) - cannot create UNIQUE index \"{iname}\"")
+
+    def _comment_on(self, s: N.CommentStatement):
+        """COMMENT ON ... IS ... (reference: src/parser/statement/
+        comment_on: comments live on catalog entries and surface through
+        duckdb_tables()/duckdb_columns()/duckdb_views())."""
+        kind = s.kind
+        name = s.name
+        comments = self.catalog.comments
+        if kind == "column":
+            tbl, _, col = name.rpartition(".")
+            entry = self.catalog.get_table(self._resolve_default(tbl))
+            if not any(c.name.lower() == col.lower() for c in entry.columns):
+                raise ConnectionException(
+                    f'Catalog Error: Column with name "{col}" does not '
+                    "exist!")
+            comments[("column", entry.name.lower(), col.lower())] = s.comment
+            return None
+        if kind == "table":
+            entry = self.catalog.get_table(self._resolve_default(name))
+            comments[("table", entry.name.lower())] = s.comment
+            return None
+        # view / schema / sequence / macro / index / type: existence
+        # checked loosely (matching the reference's per-kind catalogs is
+        # introspection-only here)
+        comments[(kind, name.lower())] = s.comment
+        return None
+
+    def _execute_prepared(self, s: N.ExecuteStatement):
+        from duckdb_tpu.planner.binder import ExprBinder, Scope
+
+        sql = self._prepared.get(s.name.lower())
+        if sql is None:
+            raise ConnectionException(
+                f"Catalog Error: Prepared statement \"{s.name}\" does not "
+                "exist")
+        vals = []
+        for a in s.args:
+            vals.append(ExprBinder(Scope()).bind(a).const_value())
+        out = []
+        i = 0
+        # substitute $n (1-based) and ? (positional) placeholders
+        import re as _re
+
+        def sub(m):
+            nonlocal i
+            if m.group(0) == "?":
+                v = vals[i] if i < len(vals) else None
+                i += 1
+            else:
+                k = int(m.group(0)[1:]) - 1
+                v = vals[k] if 0 <= k < len(vals) else None
+            if v is None:
+                return "NULL"
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            return str(v)
+
+        out = _re.sub(r"\?|\$\d+", sub,  sql)
+        return self.sql(out)
 
     def _count_result(self, n: int) -> Result:
         """DML statements return the changed-row count (reference: INSERT/
@@ -676,6 +831,10 @@ class Connection:
             shared.attached.update(txn.catalog.attached)
             shared.user_types.clear()
             shared.user_types.update(txn.catalog.user_types)
+            shared.indexes.clear()
+            shared.indexes.update(txn.catalog.indexes)
+            shared.comments.clear()
+            shared.comments.update(txn.catalog.comments)
             # WAL entries flush inside the SAME lock scope as publication:
             # a checkpoint (which snapshots tables + wal_seq under this
             # lock) sees either publication+log or neither — the entry's
@@ -734,6 +893,9 @@ class Connection:
                 for cn in con_[1]:
                     entry.constraints.append(("not_null", cn))
             entry.constraints.append(con_)
+        for c in s.columns:
+            if c.default is not None and c.default_text:
+                entry.defaults[c.name] = c.default_text
         entry.nrows = 0
         for cd in cols:
             entry.set_host_column(cd.name,
@@ -749,14 +911,23 @@ class Connection:
         entry = self.catalog.get_table(s.table)
         planner = Planner(self.catalog, temp_views=self._temp_views, default_schema=self._default_schema)
         src = s.source
+        cols = s.columns
         if src is None:
-            raise ConnectionException("INSERT without source")
+            # INSERT INTO t DEFAULT VALUES: one row, every column default
+            row = tuple(
+                self._eval_default(entry.defaults[cd.name], 1)[0]
+                if cd.name in entry.defaults else None
+                for cd in entry.columns)
+            self._append_rows(entry, [row], ())
+            if s.returning:
+                return self._returning_result(s, entry, 1)
+            return self._count_result(1)
         rows = None
-        if isinstance(src.node, N.ValuesNode):
+        if isinstance(src.node, N.ValuesNode) and not s.by_name:
             from duckdb_tpu.planner.bound import BindError
 
             try:
-                rows = self._eval_values(src.node, entry, s.columns)
+                rows = self._eval_values(src.node, entry, cols)
             except BindError:
                 # non-constant cells (now(), random(), scalar exprs):
                 # plan the VALUES node through the normal query path
@@ -765,11 +936,70 @@ class Connection:
             plan, output = planner.plan_select(src)
             res = Executor(self.catalog).run(plan, output)
             rows = res.rows()
+            if s.by_name:
+                # INSERT INTO t BY NAME: source column names pick target
+                # columns (reference: insert_statement.cpp by_name)
+                have = {c.name.lower() for c in entry.columns}
+                cols = tuple(n for n, _, _ in output)
+                missing = [n for n in cols if n.lower() not in have]
+                if missing:
+                    raise ConnectionException(
+                        f'Binder Error: Column "{missing[0]}" does not '
+                        f'exist in table "{s.table}"')
         if getattr(s, "on_conflict", None) is not None:
-            rows = self._resolve_conflicts(entry, rows, s.columns,
+            rows = self._resolve_conflicts(entry, rows, cols,
                                            s.on_conflict)
-        self._append_rows(entry, rows, s.columns)
+        self._append_rows(entry, rows, cols)
+        if s.returning:
+            return self._returning_result(s, entry, len(rows))
         return self._count_result(len(rows))
+
+    def _eval_default(self, text: str, n: int) -> list:
+        """Evaluate a DEFAULT expression text for n rows (volatile
+        functions advance per row)."""
+        res = self.sql(f"SELECT ({text}) AS v FROM range({n})")
+        return [r[0] for r in res.rows()]
+
+    def _returning_result(self, s, entry, n_new: int):
+        """RETURNING for INSERT: evaluate the returning list over the
+        just-appended tail rows (reference: physical_insert.cpp
+        return_chunk)."""
+        return self._eval_returning(entry, s.returning,
+                                    np.arange(entry.nrows - n_new,
+                                              entry.nrows))
+
+    def _eval_returning(self, entry, items, row_idx):
+        """Evaluate RETURNING expressions over selected rows of `entry`
+        by materializing those rows as a temp table and running an
+        ordinary SELECT over it — the full expression surface applies."""
+        from duckdb_tpu.catalog.catalog import TableEntry as TE
+
+        tmp = TE(entry.name, list(entry.columns))
+        tmp.nrows = len(row_idx)
+        for cd in entry.columns:
+            vals, valid, dvals = entry.host_column(cd.name)
+            tmp.set_host_column(
+                cd.name, np.asarray(vals)[row_idx],
+                validity=None if valid is None
+                else np.asarray(valid)[row_idx],
+                dict_values=dvals)
+        sel = []
+        for e, alias in items:
+            if e == "*":
+                sel.append("*")
+            else:
+                txt = getattr(e, "_sql_text", None) or N.render_expr(e)
+                sel.append(txt + (f" AS {alias}" if alias else ""))
+        planner = Planner(self.catalog, temp_views=self._temp_views,
+                          default_schema=self._default_schema)
+        from duckdb_tpu.sql.parser import Parser
+
+        stmt = Parser(f"SELECT {', '.join(sel)} FROM {entry.name}"
+                      ).parse_statements()[0]
+        plan, output = planner.plan_select(stmt)
+        ex = Executor(self.catalog)
+        ex._scan_overrides = {entry.name: tmp}
+        return ex.run(plan, output)
 
     def _resolve_conflicts(self, entry, rows, columns, on_conflict):
         """ON CONFLICT upsert (reference: physical_insert.cpp OnConflict
@@ -915,6 +1145,20 @@ class Connection:
         import decimal as pydec
 
         names = list(columns) if columns else [c.name for c in entry.columns]
+        # DEFAULT fill for omitted columns: evaluate the stored expression
+        # once per new row (nextval()/random()/now() advance per row —
+        # reference: bound defaults, physical_insert.cpp). The values join
+        # the row tuples so the normal per-type conversion below applies.
+        lower_names = {n.lower() for n in names}
+        defaulted = [c.name for c in entry.columns
+                     if c.name.lower() not in lower_names
+                     and c.name in entry.defaults]
+        if defaulted and rows:
+            extra = {cn: self._eval_default(entry.defaults[cn], len(rows))
+                     for cn in defaulted}
+            rows = [tuple(r) + tuple(extra[cn][i] for cn in defaulted)
+                    for i, r in enumerate(rows)]
+            names = names + defaulted
         by_name = {c.name: c for c in entry.columns}
         n_new = len(rows)
         new_cols = {}
@@ -1269,7 +1513,16 @@ class Connection:
     def _delete(self, s: N.DeleteStatement):
         s.table = self._resolve_default(s.table)
         self._check_writable(s.table)
-        entry, _, _, _, mask = self._table_mask(s.table, s.alias, s.where)
+        if s.using:
+            mask = self._delete_using_mask(s)
+            entry = self.catalog.get_table(s.table)
+        else:
+            entry, _, _, _, mask = self._table_mask(s.table, s.alias,
+                                                    s.where)
+        returning_res = None
+        if s.returning:
+            returning_res = self._eval_returning(
+                entry, s.returning, np.nonzero(mask)[0])
         keep = ~mask
         # DELETE side of FK enforcement: a removed parent key must not stay
         # referenced by any child row (reference: VerifyDeleteForeignKey
@@ -1314,7 +1567,53 @@ class Connection:
                                   validity=None if valid is None else valid[keep],
                                   dict_values=dvals)
         entry.nrows = int(keep.sum())
+        if returning_res is not None:
+            return returning_res
         return self._count_result(int(mask.sum()))
+
+    def _delete_using_mask(self, s: N.DeleteStatement):
+        """DELETE ... USING: rows of the target with at least one match in
+        the USING join under WHERE (reference: delete_statement.cpp).
+        Planned as SELECT DISTINCT __rid over the target extended with a
+        hidden row-number column joined against the USING refs."""
+        from duckdb_tpu.catalog.catalog import ColumnDef as CD
+        from duckdb_tpu.catalog.catalog import TableEntry as TE
+        from duckdb_tpu.types import BIGINT
+
+        entry = self.catalog.get_table(s.table)
+        tmp = TE("__del_using", list(entry.columns) + [CD("__rid", BIGINT)])
+        tmp.nrows = entry.nrows
+        for cd in entry.columns:
+            vals, valid, dvals = entry.host_column(cd.name)
+            tmp.set_host_column(cd.name, vals, validity=valid,
+                                dict_values=dvals)
+        tmp.set_host_column("__rid", np.arange(entry.nrows, dtype=np.int64))
+        alias = s.alias or s.table.split(".")[-1]
+        sel = N.SelectStatement(node=N.SelectNode(
+            select_list=[(N.ColumnRef((alias, "__rid")), None)],
+            distinct=True,
+            from_table=self._chain_using(
+                N.BaseTableRef("__del_using", alias=alias), s.using),
+            where=s.where))
+        self.catalog.create_table(tmp, or_replace=True)
+        try:
+            planner = Planner(self.catalog, temp_views=self._temp_views,
+                              default_schema=self._default_schema)
+            plan, output = planner.plan_select(sel)
+            res = Executor(self.catalog).run(plan, output)
+        finally:
+            self.catalog.tables.pop("__del_using", None)
+        mask = np.zeros(entry.nrows, dtype=bool)
+        for (rid,) in res.rows():
+            mask[int(rid)] = True
+        return mask
+
+    @staticmethod
+    def _chain_using(base, using):
+        ref = base
+        for u in using:
+            ref = N.JoinRef(ref, u, "cross")
+        return ref
 
     def _update(self, s: N.UpdateStatement):
         s.table = self._resolve_default(s.table)
@@ -1365,6 +1664,9 @@ class Connection:
         for cname2, (vals_out, valid_out, dvals_out) in staged.items():
             entry.set_host_column(cname2, vals_out, validity=valid_out,
                                   dict_values=dvals_out)
+        if s.returning:
+            return self._eval_returning(entry, s.returning,
+                                        np.nonzero(mask)[0])
         return self._count_result(int(mask.sum()))
 
     def _verify_update_constraints(self, entry, staged, mask):
@@ -1726,8 +2028,17 @@ class Connection:
                 f'Cannot execute statement of type "write" on database '
                 f'"{head}" which is attached in read-only mode!')
 
+    @staticmethod
+    def _colname(entry, name: str) -> str:
+        for c in entry.columns:
+            if c.name.lower() == name.lower():
+                return c.name
+        raise ConnectionException(
+            f'Binder Error: Column "{name}" does not exist')
+
     def _alter(self, s: N.AlterStatement):
-        """ALTER TABLE ADD/DROP/RENAME COLUMN, RENAME TO (reference:
+        """ALTER TABLE ADD/DROP/RENAME COLUMN, RENAME TO, ALTER COLUMN
+        TYPE/DEFAULT/NOT NULL (reference:
         src/catalog/catalog_entry/duck_table_entry.cpp alter paths)."""
         from duckdb_tpu.catalog.catalog import qualify
 
@@ -1741,8 +2052,31 @@ class Connection:
             lt = resolve_type_name(s.col_type, s.col_mods)
             entry.columns.append(ColumnDef(s.name, lt))
             entry.col_types[s.name] = lt
-            if lt.id in (TypeId.VARCHAR, TypeId.LIST, TypeId.STRUCT,
-                         TypeId.MAP):
+            if s.default is not None and s.default_text:
+                entry.defaults[s.name] = s.default_text
+            if s.default is not None and entry.nrows:
+                # existing rows take the default (reference: AddColumn
+                # fills from the bound default expression)
+                vals = self._eval_default(s.default_text, entry.nrows)
+                tmp_rows = [(v,) for v in vals]
+                # route through the append conversion for the new column
+                # only: build the physical plane via a scratch entry
+                from duckdb_tpu.catalog.catalog import TableEntry as TE
+                scratch = TE("__alter_scratch", [ColumnDef(s.name, lt)])
+                scratch.nrows = 0
+                if lt.id in (TypeId.VARCHAR,):
+                    scratch.set_host_column(
+                        s.name, np.zeros(0, np.int32),
+                        dict_values=np.empty(0, dtype=object))
+                else:
+                    scratch.set_host_column(s.name,
+                                            np.zeros(0, lt.np_dtype))
+                self._append_rows(scratch, tmp_rows, (s.name,))
+                v2, va2, dv2 = scratch.host_column(s.name)
+                entry.set_host_column(s.name, v2, validity=va2,
+                                      dict_values=dv2)
+            elif lt.id in (TypeId.VARCHAR, TypeId.LIST, TypeId.STRUCT,
+                           TypeId.MAP):
                 entry.set_host_column(
                     s.name, np.zeros(entry.nrows, np.int32),
                     validity=np.zeros(entry.nrows, bool),
@@ -1751,6 +2085,46 @@ class Connection:
                 entry.set_host_column(
                     s.name, np.zeros(entry.nrows, lt.np_dtype),
                     validity=np.zeros(entry.nrows, bool))
+        elif s.action == "set_default":
+            if s.default_text:
+                entry.defaults[self._colname(entry, s.name)] = s.default_text
+        elif s.action == "drop_default":
+            entry.defaults.pop(self._colname(entry, s.name), None)
+        elif s.action == "set_not_null":
+            cn = self._colname(entry, s.name)
+            _, valid, _ = entry.host_column(cn)
+            if valid is not None and not np.asarray(valid).all():
+                raise ConnectionException(
+                    "Constraint Error: NOT NULL constraint failed: "
+                    f"{entry.name}.{cn}")
+            if ("not_null", cn) not in entry.constraints:
+                entry.constraints.append(("not_null", cn))
+        elif s.action == "drop_not_null":
+            cn = self._colname(entry, s.name)
+            entry.constraints = [c for c in entry.constraints
+                                 if c != ("not_null", cn)]
+        elif s.action == "alter_type":
+            cn = self._colname(entry, s.name)
+            lt = resolve_type_name(s.col_type, s.col_mods)
+            # re-derive the column through a SELECT so casts and USING
+            # expressions share the engine's cast semantics (reference:
+            # ChangeColumnType binds the same way)
+            src = (getattr(s.using, "_sql_text", None)
+                   or f'CAST("{cn}" AS {s.col_type}'
+                   + ("(" + ",".join(map(str, s.col_mods)) + ")"
+                      if s.col_mods else "") + ")")
+            if s.using is not None and not getattr(s, "_using_text", None):
+                # no raw text captured: re-render is unsupported; fall
+                # back to the cast form
+                pass
+            res = self.sql(f'SELECT {src} AS v FROM "{entry.name}"')
+            (vals, valid, dvals) = res.columns[0]
+            for c in entry.columns:
+                if c.name == cn:
+                    c.ltype = lt
+            entry.col_types[cn] = lt
+            entry.set_host_column(cn, np.asarray(vals), validity=valid,
+                                  dict_values=dvals)
         elif s.action == "drop_column":
             entry.columns = [c for c in entry.columns
                              if c.name.lower() != s.name.lower()]

@@ -97,6 +97,9 @@ class TableEntry:
         # ("check", sql_text) — enforced on append (reference:
         # src/storage/table/row_group_collection.cpp VerifyAppendConstraints)
         self.constraints: List[tuple] = []
+        # column DEFAULT expressions as raw SQL text (re-parsed on use;
+        # the reference serializes bound defaults the same way)
+        self.defaults: dict = {}
 
     def clone(self) -> "TableEntry":
         """Snapshot copy for transaction versioning (the reference's analog
@@ -112,6 +115,7 @@ class TableEntry:
         new._loaders = dict(self._loaders)
         new.stats = dict(self.stats)
         new.constraints = list(self.constraints)
+        new.defaults = dict(self.defaults)
         # own device dict, shared Column objects: untouched columns stay
         # HBM-resident (one allocation, two refs) while a set_host_column on
         # either side invalidates only that side's cache — sharing the dict
@@ -265,6 +269,12 @@ class Catalog:
         self.user_types: Dict[str, dict] = {}
         self.attached: Dict[str, dict] = {}  # alias -> {path, read_only}
         self._file_tables: Dict[tuple, str] = {}  # (path, mtime) -> table name
+        # CREATE INDEX registry: name -> {table, exprs, unique, sql}
+        # (metadata + UNIQUE constraints; reference: ART catalog entries)
+        self.indexes: Dict[str, dict] = {}
+        # COMMENT ON storage: ("table", name) / ("column", table, col) /
+        # (kind, name) -> text|None (reference: comment_on statement)
+        self.comments: Dict[tuple, object] = {}
 
     def ensure_file_table(self, path, union_by_name: bool = False,
                           hive_partitioning=None,

@@ -807,6 +807,23 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
         stride *= d
     strides.reverse()
 
+    # static per-key bounds for the SORT-GROUP path: bounded keys pack
+    # multiplicatively into few int64 words, keeping the TPU sort
+    # comparator small. A 7-key GROUP BY (TPC-H Q10) otherwise sorts 16
+    # operands / 15 keys — a 30+-parameter comparator that the TPU sort
+    # emitter compiles for >19 MINUTES (x64 emulation doubles it again);
+    # packed it is 2-3 words and compiles in seconds.
+    sort_key_bounds = []
+    if not dense_mode:
+        for _, ge in group_resolved:
+            if ge.ltype.id is TypeId.VARCHAR and not isinstance(
+                    ge, (B.BoundColumnRef, B.BoundAggregateRef)):
+                sort_key_bounds.append(None)
+            elif ge.ltype.is_float:
+                sort_key_bounds.append(None)
+            else:
+                sort_key_bounds.append(_expr_lo_hi(ge, ref_bounds))
+
     # static combine kinds per aggregate (distributed Combine phase)
     partial_kinds = []
     for agg in node.aggs:
@@ -1232,11 +1249,39 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
 
         key_cols = [ge.eval(env) for _, ge in group_resolved]
         operands = [jnp.logical_not(live)]
-        for c in key_cols:
+        # bounded keys pack multiplicatively into 62-bit words (NULL takes
+        # the top slot of each digit, preserving the flag-then-value
+        # order); unbounded keys keep their own (nullflag, value) pair
+        word = None
+        word_dom = 1
+
+        def _flush():
+            nonlocal word, word_dom
+            if word is not None:
+                operands.append(word)
+                word = None
+                word_dom = 1
+
+        for c, b in zip(key_cols, sort_key_bounds):
             kv = (jnp.broadcast_to(c.validity, (p,))
                   if c.validity is not None else jnp.ones((p,), jnp.bool_))
-            operands.append(jnp.logical_not(kv))
-            operands.append(jnp.where(kv, _key_data(c, p), 0))
+            kd = _key_data(c, p)
+            if b is not None:
+                lo, rng = int(b[0]), int(b[1] - b[0] + 1)
+                dom = rng + 1  # +1: NULL slot sorts after every value
+                if word_dom * dom > (1 << 62):
+                    _flush()
+                digit = jnp.where(
+                    kv, jnp.clip(kd - jnp.int64(lo), 0, rng - 1),
+                    jnp.int64(rng))
+                word = digit if word is None \
+                    else word * jnp.int64(dom) + digit
+                word_dom *= dom
+            else:
+                _flush()
+                operands.append(jnp.logical_not(kv))
+                operands.append(jnp.where(kv, kd, 0))
+        _flush()
         iota = jnp.arange(p, dtype=jnp.int32)
         operands.append(iota)
         out = jax.lax.sort(operands, num_keys=len(operands) - 1,
@@ -1504,13 +1549,27 @@ def _run_sharded(executor, node, fa: FusedAgg, n: int):
 
         cache[sig] = jax.jit(program)
     fn = cache[sig]
+    # inputs may arrive committed to a single device by earlier eager
+    # stages; shard_map-in-jit rejects mixed placements, so place every
+    # operand on the mesh explicitly (row-sharded when full-length,
+    # replicated otherwise)
+    from jax.sharding import NamedSharding
+
+    mesh2 = Mesh(np.array(jax.devices()[:n]), ("dp",))
+
+    def put(a, sharded):
+        return jax.device_put(a, NamedSharding(
+            mesh2, PS("dp") if sharded else PS()))
+
     arrays = []
     for k in fa.needed:
         c = cols[k]
-        arrays.append(c.data)
-        arrays.append(c.validity if c.validity is not None
-                      else _empty_bool())
-    return fn(batch.live, tuple(fa.aux[nm] for nm in aux_names), *arrays)
+        arrays.append(put(c.data, c.data.shape[0] == plen))
+        v = c.validity if c.validity is not None else _empty_bool()
+        arrays.append(put(v, v.shape[0] == plen))
+    live_in = put(batch.live, True)
+    aux_in = tuple(put(fa.aux[nm], False) for nm in aux_names)
+    return fn(live_in, aux_in, *arrays)
 
 
 def _slot_agg_partial_vectors(agg, env, live, plen):

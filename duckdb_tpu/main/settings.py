@@ -87,6 +87,13 @@ SETTINGS = [
             "time; no dependency tracking needed)"),
 ]
 
+from duckdb_tpu.main.settings_compat import (  # noqa: E402
+    COMPAT_SETTINGS, SETTING_ALIASES)
+
+SETTINGS += [Setting(n, d, t, sc, desc + " (accepted for reference "
+                     "compatibility; no engine effect)")
+             for n, d, t, sc, desc in COMPAT_SETTINGS]
+
 BY_NAME: Dict[str, Setting] = {s.name: s for s in SETTINGS}
 
 
@@ -113,8 +120,15 @@ class SettingsManager:
     def __init__(self):
         self.values: Dict[str, object] = {s.name: s.default for s in SETTINGS}
 
-    def set(self, name: str, value):
+    @staticmethod
+    def _canon(name: str) -> str:
         name = name.lower()
+        if name in BY_NAME:
+            return name
+        return SETTING_ALIASES.get(name, name)
+
+    def set(self, name: str, value):
+        name = self._canon(name)
         if name not in BY_NAME:
             raise ValueError(
                 f'unrecognized configuration parameter "{name}"')
@@ -138,12 +152,12 @@ class SettingsManager:
             pallas_agg.MODE = mode
 
     def reset(self, name: str):
-        name = name.lower()
+        name = self._canon(name)
         if name in BY_NAME:
             self.values[name] = BY_NAME[name].default
 
     def get(self, name: str, default=None):
-        return self.values.get(name.lower(), default)
+        return self.values.get(self._canon(name), default)
 
     def rows(self):
         return [(s.name, str(self.values[s.name]), s.description, s.typ,

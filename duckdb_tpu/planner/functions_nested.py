@@ -771,8 +771,16 @@ def _bind_list_aggregate(arg_exprs):
     """list_aggregate(l, 'name'): apply an aggregate to each list value —
     one host evaluation per DISTINCT list, device LUT gather after
     (reference: core_functions/scalar/list/list_aggregates.cpp)."""
+    from duckdb_tpu.planner.binder import BindError
+
+    lt0 = arg_exprs[0].ltype
+    if lt0.id not in (TypeId.LIST, TypeId.SQLNULL):
+        raise BindError(
+            "Binder Error: No function matches the given name and argument "
+            f"types 'list_aggregate({lt0}, VARCHAR)'. You might need to add "
+            "explicit type casts.")
     fname = str(arg_exprs[1].const_value()).lower()
-    child = arg_exprs[0].ltype.child or SQLNULL
+    child = getattr(lt0, "child", None) or SQLNULL
     sep = (str(arg_exprs[2].const_value())
            if len(arg_exprs) > 2 and fname in _LAGGR_VARCHAR else ",")
     if fname in _LAGGR_BIGINT:

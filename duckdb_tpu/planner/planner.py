@@ -893,7 +893,7 @@ class Planner:
             self.catalog.create_table(entry, or_replace=True)
         elif name in ("duckdb_tables", "duckdb_columns", "duckdb_views",
                       "duckdb_settings", "pragma_table_info", "duckdb_types",
-                      "duckdb_functions", "duckdb_logs"):
+                      "duckdb_functions", "duckdb_logs", "duckdb_indexes"):
             tname = self._system_table_function(name, args)
         else:
             raise BindError(
@@ -927,42 +927,67 @@ class Planner:
             entry.nrows = len(rows)
             for ci, (cname, t) in enumerate(cols):
                 vals = [r[ci] for r in rows]
+                valid = np.array([v is not None for v in vals], dtype=bool)
+                validity = None if valid.all() else valid
                 if t.id is TypeId.VARCHAR:
-                    uniq, codes = (np.unique(np.array(vals, dtype=str),
+                    svals = ["" if v is None else str(v) for v in vals]
+                    uniq, codes = (np.unique(np.array(svals, dtype=str),
                                              return_inverse=True)
                                    if vals else (np.empty(0, object),
                                                  np.empty(0, np.int64)))
                     entry.set_host_column(cname, codes.astype(np.int32),
+                                          validity=validity,
                                           dict_values=uniq.astype(object))
                 else:
                     entry.set_host_column(
-                        cname, np.array(vals, dtype=t.np_dtype))
+                        cname,
+                        np.array([0 if v is None else v for v in vals],
+                                 dtype=t.np_dtype), validity=validity)
             self.catalog.create_table(entry, or_replace=True)
             return tname
 
         user_tables = [(n, e) for n, e in sorted(self.catalog.tables.items())
                        if not n.startswith("__")]
+        comments = getattr(self.catalog, "comments", {})
         if name == "duckdb_tables":
             rows = [(n.split(".")[-1],
                      n.split(".")[0] if "." in n else "main",
-                     e.nrows, len(e.columns))
+                     e.nrows, len(e.columns),
+                     comments.get(("table", n.lower())))
                     for n, e in user_tables]
             return make("__sys_tables", [("name", VC), ("schema_name", VC),
                                          ("estimated_size", BI),
-                                         ("column_count", BI)], rows)
+                                         ("column_count", BI),
+                                         ("comment", VC)], rows)
         if name == "duckdb_columns":
             rows = []
             for n, e in user_tables:
                 for i, cd in enumerate(e.columns):
-                    rows.append((n, cd.name, i, str(cd.ltype)))
+                    rows.append((n, cd.name, i, str(cd.ltype),
+                                 comments.get(("column", n.lower(),
+                                               cd.name.lower()))))
             return make("__sys_columns", [("table_name", VC),
                                           ("column_name", VC),
                                           ("column_index", BI),
-                                          ("data_type", VC)], rows)
+                                          ("data_type", VC),
+                                          ("comment", VC)], rows)
         if name == "duckdb_views":
-            rows = [(n, "main") for n in sorted(self.catalog.views)]
+            rows = [(n, "main", comments.get(("view", n.lower())))
+                    for n in sorted(self.catalog.views)]
             return make("__sys_views", [("view_name", VC),
-                                        ("schema_name", VC)], rows)
+                                        ("schema_name", VC),
+                                        ("comment", VC)], rows)
+        if name == "duckdb_indexes":
+            rows = [(iname, info["table"], bool(info.get("unique")),
+                     ", ".join(info.get("exprs", [])),
+                     comments.get(("index", iname)))
+                    for iname, info in sorted(
+                        getattr(self.catalog, "indexes", {}).items())]
+            return make("__sys_indexes", [("index_name", VC),
+                                          ("table_name", VC),
+                                          ("is_unique", BO),
+                                          ("expressions", VC),
+                                          ("comment", VC)], rows)
         if name == "duckdb_settings":
             mgr = getattr(self.catalog, "settings_manager", None)
             rows = mgr.rows() if mgr else []

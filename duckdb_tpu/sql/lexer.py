@@ -131,6 +131,15 @@ def tokenize(sql: str) -> List[Token]:
             out.append(Token(TokType.OP, three, i))
             i += 3
             continue
+        if c == "$" and i + 1 < n and sql[i + 1].isdigit():
+            # $n prepared-statement parameter (one token; the parser turns
+            # it into N.Parameter)
+            j = i + 1
+            while j < n and sql[j].isdigit():
+                j += 1
+            out.append(Token(TokType.OP, sql[i:j], i))
+            i = j
+            continue
         two = sql[i : i + 2]
         if two in _TWO_CHAR_OPS:
             out.append(Token(TokType.OP, two, i))

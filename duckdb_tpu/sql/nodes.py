@@ -287,6 +287,7 @@ class ColumnSpec:
     not_null: bool = False
     primary_key: bool = False
     default: Optional[Expr] = None
+    default_text: Optional[str] = None  # raw SQL of the DEFAULT expr
     unique: bool = False
     check: Optional[str] = None  # original SQL text of the CHECK expression
     references: Optional[tuple] = None  # (ref_table, ref_col|None)
@@ -327,6 +328,44 @@ class CreateSchema:
 
 
 @dataclass
+class CreateIndex:
+    """CREATE [UNIQUE] INDEX (reference: create_index_statement). Indexes
+    are catalog metadata here: point lookups already ride dense
+    direct-address join tables cached per table version, so the entry
+    only carries the UNIQUE constraint + introspection surface."""
+    name: str
+    table: str
+    exprs: List[str] = field(default_factory=list)  # column names / texts
+    unique: bool = False
+    if_not_exists: bool = False
+
+
+@dataclass
+class CommentStatement:
+    """COMMENT ON <kind> <name> IS <'text'|NULL>."""
+    kind: str  # table / column / view / schema / sequence / macro / index
+    name: str  # qualified; for column: table.column
+    comment: Optional[str] = None
+
+
+@dataclass
+class PrepareStatement:
+    name: str
+    sql: str  # statement text with ? / $n placeholders
+
+
+@dataclass
+class ExecuteStatement:
+    name: str
+    args: List[Expr] = field(default_factory=list)
+
+
+@dataclass
+class DeallocateStatement:
+    name: Optional[str] = None  # None = all
+
+
+@dataclass
 class AttachStatement:
     path: str
     alias: Optional[str] = None
@@ -364,6 +403,8 @@ class InsertStatement:
     # None | ("nothing", cols) | ("update", cols, [(name, Expr)]) |
     # ("replace", ())
     on_conflict: Optional[tuple] = None
+    by_name: bool = False  # INSERT INTO t BY NAME: match source col names
+    returning: Optional[list] = None  # [(Expr, alias|None)] or [("*", None)]
 
 
 @dataclass
@@ -371,6 +412,8 @@ class DeleteStatement:
     table: str
     alias: Optional[str] = None
     where: Optional[Expr] = None
+    using: Optional[list] = None  # extra FROM-like table refs
+    returning: Optional[list] = None
 
 
 @dataclass
@@ -379,6 +422,7 @@ class UpdateStatement:
     alias: Optional[str] = None
     assignments: List[Tuple[str, Expr]] = field(default_factory=list)
     where: Optional[Expr] = None
+    returning: Optional[list] = None
 
 
 @dataclass
@@ -404,12 +448,18 @@ class MergeStatement:
 @dataclass
 class AlterStatement:
     table: str
-    action: str  # add_column / drop_column / rename_column / rename_table
+    # add_column / drop_column / rename_column / rename_table /
+    # alter_type / set_default / drop_default / set_not_null /
+    # drop_not_null
+    action: str
     name: str = ""
     new_name: str = ""
     col_type: str = ""
     col_mods: Tuple[int, ...] = ()
     if_exists: bool = False
+    default: Optional[Expr] = None  # ADD COLUMN ... DEFAULT / SET DEFAULT
+    default_text: Optional[str] = None
+    using: Optional[Expr] = None    # ALTER TYPE ... USING expr
 
 
 @dataclass

@@ -189,6 +189,64 @@ class Parser:
             self.next()
             name = self.expect_ident()
             return N.PragmaStatement("show", [N.Literal(name)])
+        if k == "prepare":
+            # PREPARE name AS <statement>: keep the raw text so EXECUTE
+            # re-parses with parameters substituted (reference:
+            # src/parser/statement/prepare_statement.cpp)
+            self.next()
+            name = self.expect_ident()
+            self.expect_kw("as")
+            start = self.peek().pos
+            self.parse_statement()  # validate + advance
+            end = (self.peek().pos if self.peek().type != TokType.EOF
+                   else len(self.sql))
+            return N.PrepareStatement(name, self.sql[start:end].rstrip("; "))
+        if k == "execute":
+            self.next()
+            name = self.expect_ident()
+            args = []
+            if self.accept_op("("):
+                if self.peek().value != ")":
+                    args.append(self.parse_expr())
+                    while self.accept_op(","):
+                        args.append(self.parse_expr())
+                self.expect_op(")")
+            return N.ExecuteStatement(name, args)
+        if k == "deallocate":
+            self.next()
+            self.accept_kw("prepare")
+            nm = None
+            if self.kw() != "" and self.peek().value != ";":
+                nm = self.expect_ident()
+            return N.DeallocateStatement(nm)
+        if k == "comment":
+            self.next()
+            self.expect_kw("on")
+            kind = self.next().value.lower()
+            if kind == "materialized":  # MATERIALIZED VIEW
+                self.expect_kw("view")
+                kind = "view"
+            name = self.parse_qualified_ident()
+            self.expect_kw("is")
+            if self.accept_kw("null"):
+                comment = None
+            else:
+                tok = self.next()
+                comment = tok.value
+            return N.CommentStatement(kind, name, comment)
+        if k in ("vacuum", "analyze"):
+            # VACUUM/ANALYZE recompute stats; stats here are maintained on
+            # every column mutation, so these accept-and-succeed
+            self.next()
+            while (self.peek().type != TokType.EOF
+                   and self.peek().value != ";"):
+                self.next()
+            return N.PragmaStatement("vacuum", [])
+        if k == "truncate":
+            self.next()
+            self.accept_kw("table")
+            name = self.parse_qualified_ident()
+            return N.DeleteStatement(name, None, None)
         raise ParserError(f"unsupported statement start {self.peek().value!r}")
 
     # -- SELECT ---------------------------------------------------------------
@@ -1170,6 +1228,10 @@ class Parser:
                 self.next()
                 self.param_count += 1
                 return N.Parameter(self.param_count)
+            if t.value.startswith("$") and t.value[1:].isdigit():
+                self.next()
+                self.param_count = max(self.param_count, int(t.value[1:]))
+                return N.Parameter(int(t.value[1:]))
             if t.value == "*":
                 self.next()
                 return N.Star()
@@ -1396,8 +1458,38 @@ class Parser:
         temporary = self.accept_kw("temporary") or self.accept_kw("temp")
         if self.accept_kw("schema"):
             if_not_exists = bool(self.accept_kw("if", "not", "exists"))
-            return N.CreateSchema(self.expect_ident(),
+            return N.CreateSchema(self.parse_qualified_ident(),
                                   if_not_exists=if_not_exists)
+        if (self.kw() == "unique" and self.kw(1) == "index") \
+                or self.kw() == "index":
+            unique = bool(self.accept_kw("unique"))
+            self.expect_kw("index")
+            if_not_exists = bool(self.accept_kw("if", "not", "exists"))
+            name = self.expect_ident()
+            self.expect_kw("on")
+            table = self.parse_qualified_ident()
+            if self.accept_kw("using"):
+                self.next()  # index type (art etc.) — metadata only
+            self.expect_op("(")
+            exprs = []
+            depth = 0
+            start = self.peek().pos
+            # index key expressions are stored as TEXT (arbitrary exprs
+            # allowed); split on top-level commas
+            while not (depth == 0 and self.peek().value == ")"):
+                v = self.peek().value
+                if v == "(":
+                    depth += 1
+                elif v == ")":
+                    depth -= 1
+                elif v == "," and depth == 0:
+                    exprs.append(self.sql[start:self.peek().pos].strip())
+                    start = self.peek().pos + 1
+                self.next()
+            exprs.append(self.sql[start:self.peek().pos].strip())
+            self.expect_op(")")
+            return N.CreateIndex(name, table, exprs, unique=unique,
+                                 if_not_exists=if_not_exists)
         if self.accept_kw("macro") or self.accept_kw("function"):
             return self.parse_create_macro(or_replace)
         if self.accept_kw("table"):
@@ -1430,7 +1522,10 @@ class Parser:
                             spec.primary_key = True
                             spec.not_null = True
                         elif self.accept_kw("default"):
+                            _d0 = self.peek().pos
                             spec.default = self.parse_expr()
+                            spec.default_text = \
+                                self.sql[_d0:self.peek().pos].strip()
                         elif self.accept_kw("unique"):
                             spec.unique = True
                         elif self.accept_kw("check"):
@@ -1622,13 +1717,29 @@ class Parser:
         table = self.parse_qualified_ident()
         if self.accept_kw("add"):
             self.accept_kw("column")
+            self.accept_kw("if", "not", "exists")
             name = self.expect_ident()
             tname, mods = self.parse_type_name()
+            default = None
+            default_text = None
+            while True:
+                if self.accept_kw("default"):
+                    _d0 = self.peek().pos
+                    default = self.parse_expr()
+                    default_text = self.sql[_d0:self.peek().pos].strip()
+                elif self.accept_kw("not", "null") or self.accept_kw("null"):
+                    pass  # accepted; NOT NULL on a new column of an empty
+                    # default is only meaningful with DEFAULT (checked on
+                    # later appends)
+                else:
+                    break
             return N.AlterStatement(table, "add_column", name=name,
                                     col_type=tname, col_mods=mods,
-                                    if_exists=if_exists)
+                                    if_exists=if_exists, default=default,
+                                    default_text=default_text)
         if self.accept_kw("drop"):
             self.accept_kw("column")
+            self.accept_kw("if", "exists")
             name = self.expect_ident()
             return N.AlterStatement(table, "drop_column", name=name,
                                     if_exists=if_exists)
@@ -1643,6 +1754,40 @@ class Parser:
             return N.AlterStatement(table, "rename_column", name=name,
                                     new_name=self.expect_ident(),
                                     if_exists=if_exists)
+        if self.accept_kw("alter"):
+            # ALTER [COLUMN] name {SET DATA TYPE t | TYPE t} [USING expr]
+            #   | SET DEFAULT expr | DROP DEFAULT
+            #   | SET NOT NULL | DROP NOT NULL
+            # (reference: src/parser/statement/alter_statement.cpp)
+            self.accept_kw("column")
+            name = self.expect_ident()
+            if self.accept_kw("set", "data", "type") \
+                    or self.accept_kw("type"):
+                tname, mods = self.parse_type_name()
+                using = None
+                if self.accept_kw("using"):
+                    _u0 = self.peek().pos
+                    using = self.parse_expr()
+                    using._sql_text = self.sql[_u0:self.peek().pos].strip()
+                return N.AlterStatement(table, "alter_type", name=name,
+                                        col_type=tname, col_mods=mods,
+                                        if_exists=if_exists, using=using)
+            if self.accept_kw("set", "default"):
+                _d0 = self.peek().pos
+                de = self.parse_expr()
+                return N.AlterStatement(
+                    table, "set_default", name=name, if_exists=if_exists,
+                    default=de,
+                    default_text=self.sql[_d0:self.peek().pos].strip())
+            if self.accept_kw("drop", "default"):
+                return N.AlterStatement(table, "drop_default", name=name,
+                                        if_exists=if_exists)
+            if self.accept_kw("set", "not", "null"):
+                return N.AlterStatement(table, "set_not_null", name=name,
+                                        if_exists=if_exists)
+            if self.accept_kw("drop", "not", "null"):
+                return N.AlterStatement(table, "drop_not_null", name=name,
+                                        if_exists=if_exists)
         raise ParserError("unsupported ALTER TABLE action")
 
     def parse_drop(self):
@@ -1676,7 +1821,19 @@ class Parser:
                 names.append(self.expect_ident())
             self.expect_op(")")
             cols = tuple(names)
-        source = self.parse_select_statement()
+        by_name = False
+        if self.accept_kw("by", "name"):
+            by_name = True
+        elif self.accept_kw("by", "position"):
+            pass  # the default
+        if self.accept_kw("default", "values"):
+            # INSERT INTO t DEFAULT VALUES — one all-defaults row
+            # (source=None; the insert handler default-fills every column)
+            source = None
+        elif self.kw() == "from":
+            source = self.parse_from_first()
+        else:
+            source = self.parse_select_statement()
         on_conflict = conflict_short
         if self.accept_kw("on", "conflict"):
             tcols = ()
@@ -1696,8 +1853,32 @@ class Parser:
                     self.expect_op("=")
                     assigns.append((nm, self.parse_expr()))
                 on_conflict = ("update", tcols, assigns)
+        returning = self._parse_returning()
         return N.InsertStatement(table, cols, source,
-                                 on_conflict=on_conflict)
+                                 on_conflict=on_conflict, by_name=by_name,
+                                 returning=returning)
+
+    def _parse_returning(self):
+        if not self.accept_kw("returning"):
+            return None
+        items = []
+        while True:
+            if self.peek().value == "*":
+                self.next()
+                items.append(("*", None))
+            else:
+                start = self.peek().pos
+                e = self.parse_expr()
+                # stash the raw text: RETURNING re-plans through an
+                # ordinary SELECT over the affected rows
+                e._sql_text = self.sql[start:self.peek().pos].strip()
+                alias = None
+                if self.accept_kw("as"):
+                    alias = self.expect_ident()
+                items.append((e, alias))
+            if not self.accept_op(","):
+                break
+        return items
 
     def parse_delete(self):
         self.expect_kw("delete")
@@ -1706,10 +1887,23 @@ class Parser:
         alias = None
         if self.accept_kw("as"):
             alias = self.expect_ident()
+        elif (self.peek().type == TokType.IDENT
+              and self.kw() not in ("where", "using", "returning")):
+            alias = self.next().value
+        using = None
+        if self.accept_kw("using"):
+            # DELETE FROM t USING <table refs>: rows of t with a match in
+            # the joined USING set under WHERE are deleted (reference:
+            # src/parser/statement/delete_statement.cpp)
+            using = [self.parse_join_operand()]
+            while self.accept_op(","):
+                using.append(self.parse_join_operand())
         where = None
         if self.accept_kw("where"):
             where = self.parse_expr()
-        return N.DeleteStatement(table, alias, where)
+        returning = self._parse_returning()
+        return N.DeleteStatement(table, alias, where, using=using,
+                                 returning=returning)
 
     def parse_update(self):
         self.expect_kw("update")
@@ -1728,7 +1922,9 @@ class Parser:
         where = None
         if self.accept_kw("where"):
             where = self.parse_expr()
-        return N.UpdateStatement(table, alias, assigns, where)
+        returning = self._parse_returning()
+        return N.UpdateStatement(table, alias, assigns, where,
+                                 returning=returning)
 
     def parse_merge(self):
         self.expect_kw("merge")

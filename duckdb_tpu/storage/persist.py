@@ -276,6 +276,7 @@ def _write_db(path: str, tables: dict, views: dict, schemas, sequences,
                         for cd in entry.columns],
             "rows": entry.nrows,
             "constraints": [list(c) for c in entry.constraints],
+            "defaults": dict(getattr(entry, "defaults", {})),
         })
     for vname, vast in views.items():
         sql_text = getattr(vast, "_sql_text", None)
@@ -351,6 +352,7 @@ def open_database(con, path: str):
             entry = TableEntry(t["name"], cols)
             entry.nrows = t["rows"]
             entry.constraints = [tuple(c) for c in t.get("constraints", [])]
+            entry.defaults = dict(t.get("defaults", {}))
             with open(os.path.join(tdir, "meta.json")) as f:
                 tmeta = json.load(f)
             kinds = {c["name"]: c["kind"] for c in tmeta["columns"]}

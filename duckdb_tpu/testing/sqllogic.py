@@ -396,7 +396,11 @@ class SqlLogicRunner:
 
     def _substitute(self, text, subs, ctx=None):
         for k, v in subs.items():
+            # ${x}, __x__, and {x} — all three forms appear in the
+            # reference corpus (test/sql/types/float/infinity_test.test
+            # uses bare {type})
             text = text.replace("${" + k + "}", v).replace(f"__{k}__", v)
+            text = text.replace("{" + k + "}", v)
             text = re.sub(rf"\b{re.escape(k)}\b", v, text) if k in ("i",) \
                 else text
         if ctx is not None and ("__TEST_DIR__" in text

@@ -22,6 +22,18 @@ CONFIGS = {
     "chunked": ["SET memory_limit = '64MB'"],
     "sharded": ["SET num_shards = 8"],
     "greedy_join": ["SET join_order = 'greedy'"],
+    # Pallas kernels forced off: every grouped sum takes the XLA masked
+    # reduce (verifies the two paths agree bit-exactly)
+    "pallas_off": ["SET pallas_grouped_sum = 'off'"],
+    # shard EVERYTHING, even tiny tables: stresses the auto-shard policy
+    # at degenerate sizes (empty shards, single-row partitions)
+    "shard_everything": ["SET num_shards = 8", "SET auto_shard_rows = 1"],
+    # force the all_to_all exchange join wherever the planner shards
+    "exchange_join_forced": ["SET num_shards = 8",
+                             "SET exchange_join_threshold = 0"],
+    # tiny budget: chunked partition-loop + disk spill + range-partitioned
+    # out-of-core ORDER BY on nearly every query
+    "spill_4mb": ["SET memory_limit = '4MB'"],
 }
 
 # representative corpus slice: every engine area the configs can disturb
@@ -39,6 +51,20 @@ CORPUS_SLICE = [
 ]
 
 TPCH = ["q01", "q03", "q06", "q09", "q13", "q16"]
+
+
+@pytest.fixture(autouse=True)
+def _reset_global_settings():
+    # several configs mutate GLOBAL settings (memory_limit, num_shards);
+    # restore defaults so other test files in the same worker see a
+    # pristine engine
+    yield
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    for s in ("memory_limit", "num_shards", "auto_shard_rows",
+              "exchange_join_threshold", "pallas_grouped_sum"):
+        con.sql(f"RESET {s}")
 
 
 def _configured_connect(sets):
