@@ -804,12 +804,39 @@ class Executor:
         runtime duplicate/occupancy checks (mid-join host syncs). A
         composite key is unique if the subset owned by ANY single table is
         already unique (extra key columns can only refine)."""
-        from duckdb_tpu.planner.bound import BoundColumnRef
+        from duckdb_tpu.planner.bound import (BoundAggregateRef,
+                                              BoundColumnRef)
 
         if not node.build_keys or not all(
-                isinstance(e, BoundColumnRef) for e in node.build_keys):
+                isinstance(e, (BoundColumnRef, BoundAggregateRef))
+                for e in node.build_keys):
             return False
         keys = [e.key for e in node.build_keys]
+
+        # GROUP BY outputs are unique BY CONSTRUCTION: a build side that
+        # is (Filter/Project)*(Aggregate) with the join keys covering the
+        # aggregate's full group-key set has one row per key tuple —
+        # the flattened-correlated-subquery shape (TPC-H Q17/Q20/Q2).
+        b = node.build
+        akeys = list(keys)
+        while isinstance(b, (P.Project, P.Filter)):
+            if isinstance(b, P.Project):
+                remap = {k: e for k, e in b.items}
+                nxt = []
+                for k in akeys:
+                    e = remap.get(k)
+                    if isinstance(e, (BoundColumnRef, BoundAggregateRef)):
+                        nxt.append(e.key)
+                    else:
+                        nxt.append(k)
+                akeys = nxt
+            b = b.child
+        if isinstance(b, P.Aggregate) and b.groups:
+            gkeys = {gk for gk, _ in b.groups}
+            if set(akeys) >= gkeys:  # covering the group keys ⇒ unique
+                return True
+        if not all(isinstance(e, BoundColumnRef) for e in node.build_keys):
+            return False
         # walk chain sources to the TableCols owning each key.
         # GatherCols is OPAQUE: a gather may duplicate rows (join expansion,
         # dim-side gathers), which destroys key uniqueness even when the

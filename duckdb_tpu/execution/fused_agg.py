@@ -483,7 +483,19 @@ def _prep_join_step_fresh(executor, j: P.Join, pfx: str, aux: Dict,
     for e, c in zip(j.build_keys, key_cols):
         bounds = executor._key_bounds(bb, e)
         if bounds is None:
-            return None  # no stats → eager path (could learn later)
+            # no catalog stats (aggregate/derived build side): measure the
+            # executed build column once — the sync is warmup-only, the
+            # result rides the build-prep cache keyed by table versions
+            d = jnp.broadcast_to(c.data, (bb.plen,)).astype(jnp.int64)
+            lv = bb.live
+            if c.validity is not None:
+                lv = jnp.logical_and(lv, jnp.broadcast_to(
+                    c.validity, (bb.plen,)))
+            if not bool(jnp.any(lv)):
+                bounds = (0, 0)
+            else:
+                bounds = (int(jnp.min(jnp.where(lv, d, 2**62))),
+                          int(jnp.max(jnp.where(lv, d, -2**62))))
         lo, hi = bounds
         los.append(lo)
         rngs.append(max(hi - lo + 1, 1))
