@@ -2408,8 +2408,25 @@ class Connection:
         return self.table(table_name)
 
     def from_arrow(self, tbl, table_name: str):
-        """Register a pyarrow Table as a table."""
-        return self.from_df(tbl.to_pandas(), table_name)
+        """Register a pyarrow Table/RecordBatch/Reader as a table —
+        columnar planes map directly (dictionary-encoded strings keep
+        their codes), no pandas round-trip (reference:
+        src/common/arrow/ import path)."""
+        from duckdb_tpu.api.arrow_interop import arrow_to_columns
+        from duckdb_tpu.catalog.catalog import ColumnDef, TableEntry
+
+        cols, nrows = arrow_to_columns(tbl)
+        entry = TableEntry(table_name.lower(),
+                           [ColumnDef(n, t) for n, t, _, _, _ in cols])
+        entry.nrows = nrows
+        for n, t, vals, valid, dvals in cols:
+            entry.set_host_column(n, vals, validity=valid,
+                                  dict_values=dvals)
+        self.catalog.create_table(entry, or_replace=True)
+        self._plan_cache.clear()
+        return self.table(table_name)
+
+    register_arrow = from_arrow
 
     def prepare(self, sql: str):
         from duckdb_tpu.api.relation import PreparedStatement

@@ -236,13 +236,23 @@ class Result:
         return r[0] if r else None
 
     def arrow(self):
-        """pyarrow Table (duckdb python API parity: res.arrow())."""
-        import pyarrow as pa
+        """pyarrow Table over the host planes — no row materialization
+        (duckdb python API parity: res.arrow(); reference:
+        src/common/arrow/arrow_converter.cpp)."""
+        from duckdb_tpu.api.arrow_interop import result_to_arrow
 
-        rows = self.rows()
-        arrays = [pa.array([r[i] for r in rows])
-                  for i in range(len(self.names))]
-        return pa.table(dict(zip(self.names, arrays)))
+        return result_to_arrow(self)
+
+    fetch_arrow_table = arrow
+
+    def fetch_record_batch(self, rows_per_batch: int = 1_000_000):
+        """Streaming pyarrow.RecordBatchReader (python API parity)."""
+        from duckdb_tpu.api.arrow_interop import result_record_batch_reader
+
+        return result_record_batch_reader(self, rows_per_batch)
+
+    record_batch = fetch_record_batch
+    fetch_arrow_reader = fetch_record_batch
 
     def fetchnumpy(self):
         """{name: np.ndarray} (duckdb python API parity)."""

@@ -125,7 +125,16 @@ def _parse_date(s: str) -> int:
 
 
 def _parse_timestamp(s: str) -> int:
-    dt = datetime.datetime.fromisoformat(s.strip())
+    s = s.strip()
+    # duckdb rejects a time part with only an hour ('1111-11-11 11');
+    # python's fromisoformat accepts it — pre-check the shape
+    if len(s) > 10:
+        time_part = s[11:]
+        if time_part and ":" not in time_part \
+                and not time_part.startswith(("+", "-")) \
+                and time_part not in ("", "Z"):
+            raise ValueError(f"invalid timestamp: {s!r}")
+    dt = datetime.datetime.fromisoformat(s)
     epoch = datetime.datetime(1970, 1, 1)
     return int((dt - epoch).total_seconds() * 1_000_000)
 

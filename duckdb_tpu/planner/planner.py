@@ -712,6 +712,10 @@ class Planner:
                         raise BindError("USING requires named join operands")
                     pred_asts.append(N.BinaryOp(
                         "=", N.ColumnRef((la, col)), N.ColumnRef((ra, col))))
+                    # SELECT * shows a USING column once (the left side's);
+                    # matching is case-insensitive like all identifiers
+                    hidden = scope.__dict__.setdefault("star_hidden", set())
+                    hidden.add((str(ra).lower(), col.lower()))
                 return
             if jt == "positional":
                 left_atoms: List[Atom] = []
@@ -1511,6 +1515,7 @@ class Planner:
 
     def _expand_stars(self, select_list, scope: Scope):
         out = []
+        hidden = getattr(scope, "star_hidden", ())
         for e, alias in select_list:
             if isinstance(e, N.Star):
                 cols = (scope.columns_of(e.table) if e.table
@@ -1518,6 +1523,8 @@ class Planner:
                 for a, c, b in cols:
                     if c.lower() in (x.lower() for x in e.exclude):
                         continue
+                    if (str(a).lower(), c.lower()) in hidden and not e.table:
+                        continue  # USING column: emitted once
                     out.append((N.ColumnRef((a, c)), c))
             else:
                 out.append((e, alias))

@@ -76,6 +76,15 @@ def _fmt_value(v, typ: str) -> str:
         return repr(f)
     if isinstance(v, (list, tuple)):
         return _fmt_nested(v)
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        # duckdb prints timestamps with trailing fractional zeros trimmed
+        # ('11.123', '11' — not python's '.123000')
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += (".%06d" % v.microsecond).rstrip("0")
+        return s
     s = str(v)
     if s == "":
         return "(empty)"
