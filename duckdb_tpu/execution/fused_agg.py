@@ -470,7 +470,10 @@ def _prep_join_step(executor, j: P.Join, pfx: str,
 def _prep_join_step_fresh(executor, j: P.Join, pfx: str, aux: Dict,
                           forced_sorted: bool) -> Optional[_JoinStep]:
     bb = executor.execute(j.build)
-    if not executor._build_known_unique(j, bb):
+    if not executor._build_known_unique(j, bb) \
+            and j.jtype not in ("semi", "anti"):
+        # inner probes need ≤1 match per row; semi/anti only membership,
+        # so duplicate build keys are fine (LUT last-wins)
         return None
     env_b = bb.env()
     key_cols = []
@@ -641,8 +644,12 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
     base = node.child
     while isinstance(base, (P.Filter, P.Project, P.Join)):
         if isinstance(base, P.Join):
-            if (base.jtype != "inner" or base.extra is not None
-                    or base.null_aware):
+            # semi/anti probes fuse as pure MEMBERSHIP masks (no build
+            # column gathers, duplicate build keys fine) — the TPC-H Q18
+            # IN-subquery shape (reference: semi joins in
+            # physical_hash_join.cpp)
+            if (base.jtype not in ("inner", "semi", "anti")
+                    or base.extra is not None or base.null_aware):
                 return None
             join_nodes.append(base)
             base = base.probe
@@ -660,6 +667,7 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
         step = _prep_join_step(executor, j, f"j{i}", aux)
         if step is None:
             return None
+        step.jtype = j.jtype
         join_steps.append(step)
 
     for agg in node.aggs:
@@ -1111,21 +1119,27 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
                     extras.append(jnp.sum(live))
             elif op[0] == "probe":
                 step = op[1]
+                jt = getattr(step, "jtype", "inner")
                 if getattr(step, "use_cached", False):
                     # cached probe mapping: -1 marks miss/NULL-key rows
                     bfull = env2.aux[f"{step.pfx}.cbidx"]
                     bidx = bfull if sel is None else bfull[sel]
-                    hit = jnp.logical_and(live, bidx >= 0)
+                    found = bidx >= 0
+                    hit = jnp.logical_and(live, found)
                     bidx = jnp.clip(bidx, 0, step.build_plen - 1)
                 else:
                     bidx, hit, found = step.probe(env2, p, live)
                     if getattr(step, "emit_cache", False):
                         arr_extras.append(
                             jnp.where(found, bidx, jnp.int32(-1)))
-                live = hit
+                if jt == "anti":
+                    live = jnp.logical_and(live, jnp.logical_not(found))
+                else:  # inner and semi both keep matching rows
+                    live = hit
                 env2.live = live
-                bidx_map[step] = bidx
-                step.register_lazy(env2, bidx)
+                if jt == "inner":
+                    bidx_map[step] = bidx
+                    step.register_lazy(env2, bidx)
                 if allow_compact:
                     extras.append(jnp.sum(live))
             else:  # compact
@@ -1161,20 +1175,30 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
             live = jnp.logical_and(live, keep)
             env2.live = live
         for step in phase1_steps:
-            bidx, hit, _ = step.probe(env2, p, live)
-            live = hit
+            bidx, hit, found = step.probe(env2, p, live)
+            jt = getattr(step, "jtype", "inner")
+            if jt == "anti":
+                live = jnp.logical_and(live, jnp.logical_not(found))
+            else:
+                live = hit
             env2.live = live
             bidx1.append(bidx)
-            step.register_lazy(env2, bidx)
+            if jt == "inner":
+                step.register_lazy(env2, bidx)
         return env2, live, bidx1
 
     def run_phase2(env2, p, live):
         """Probes + filters after compaction; returns final live."""
         for step in phase2_steps:
-            bidx, hit, _ = step.probe(env2, p, live)
-            live = hit
+            bidx, hit, found = step.probe(env2, p, live)
+            jt = getattr(step, "jtype", "inner")
+            if jt == "anti":
+                live = jnp.logical_and(live, jnp.logical_not(found))
+            else:
+                live = hit
             env2.live = live
-            step.register_lazy(env2, bidx)
+            if jt == "inner":
+                step.register_lazy(env2, bidx)
         for f in filters2:
             c = f.eval(env2)
             keep = jnp.broadcast_to(c.data.astype(jnp.bool_), (p,))
