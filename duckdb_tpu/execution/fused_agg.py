@@ -117,8 +117,9 @@ def max_abs_bound(expr, src) -> Optional[int]:
 def sum_needs_wide(agg, src, nrows: int) -> bool:
     """True if SUM may exceed int64 → use the hi/lo exact accumulation."""
     if not (agg.func == "sum" and agg.args
-            and agg.args[0].ltype.id is TypeId.DECIMAL
-            and agg.ltype.width > 18):
+            and (agg.args[0].ltype.id is TypeId.HUGEINT
+                 or (agg.args[0].ltype.id is TypeId.DECIMAL
+                     and agg.ltype.width > 18))):
         return False
     b = max_abs_bound(agg.args[0], src)
     if b is None:
@@ -1626,8 +1627,10 @@ def _slot_agg_partial_vectors(agg, env, live, plen):
             return [(jnp.where(mask, data.astype(jnp.float64), 0.0), "sum"),
                     (cnt_vec, "sum")]
         x = jnp.where(mask, data.astype(jnp.int64), 0)
-        if (agg.func == "sum" and c.ltype.id is TypeId.DECIMAL
-                and agg.ltype.width > 18 and getattr(agg, "_wide", False)):
+        if (agg.func == "sum" and getattr(agg, "_wide", False)
+                and (c.ltype.id is TypeId.HUGEINT
+                     or (c.ltype.id is TypeId.DECIMAL
+                         and agg.ltype.width > 18))):
             mask32 = jnp.int64((1 << 32) - 1)
             return [(x >> 32, "sum"), (x & mask32, "sum"), (cnt_vec, "sum")]
         return [(x, "sum"), (cnt_vec, "sum")]

@@ -31,6 +31,7 @@ from duckdb_tpu.types import (
     BOOLEAN,
     DATE,
     DOUBLE,
+    HUGEINT,
     INTEGER,
     INTERVAL,
     SMALLINT,
@@ -180,7 +181,8 @@ _TYPE_NAMES = {
     "tinyint": TINYINT, "int1": TINYINT,
     "smallint": SMALLINT, "int2": SMALLINT, "short": SMALLINT,
     "integer": INTEGER, "int": INTEGER, "int4": INTEGER, "signed": INTEGER,
-    "bigint": BIGINT, "int8": BIGINT, "long": BIGINT, "hugeint": BIGINT,
+    "bigint": BIGINT, "int8": BIGINT, "long": BIGINT,
+    "hugeint": HUGEINT, "int128": HUGEINT,
     "real": LogicalType(TypeId.FLOAT), "float4": LogicalType(TypeId.FLOAT),
     "float": DOUBLE, "double": DOUBLE, "float8": DOUBLE,
     "varchar": VARCHAR, "text": VARCHAR, "string": VARCHAR, "char": VARCHAR,

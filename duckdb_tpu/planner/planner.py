@@ -1959,6 +1959,9 @@ def _agg_result_type(func: str, args) -> LogicalType:
             return decimal(38, t.scale)
         if t.is_float:
             return DOUBLE
+        if t.id is TypeId.HUGEINT:
+            from duckdb_tpu.types import HUGEINT as _HI
+            return _HI  # exact >int64 via the (lo, hi) wide-sum planes
         return BIGINT  # duckdb: HUGEINT; int64 until i64-pair kernels land
     if func in ("avg", "mean"):
         return DOUBLE
