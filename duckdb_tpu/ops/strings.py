@@ -256,19 +256,28 @@ def _like_match(plane, lens, segs, ci):
     anchored_prefix = len(segs[0]) > 0
     anchored_suffix = len(segs) > 1 and len(segs[-1]) > 0
     mids = [s for s in (segs[1:-1] if len(segs) > 1 else []) if s]
-    ok = jnp.ones((n,), jnp.bool_)
-    pos = jnp.zeros((n,), jnp.int32)
+    # masks derive from the (possibly traced) inputs, NEVER jnp.ones/zeros
+    # of (n, ...) shapes: under ensure_compile_time_eval those materialize
+    # as 100MB literal constants inside the program, which the tunneled
+    # compile service rejects with HTTP 413 (measured on TPC-H Q13's
+    # o_comment LIKE: three (1.39M, 72) bool constants)
+    ok = lens == lens
+    pos = lens * 0
 
     def find_from(seg: List[Optional[int]], pos, anchored: bool):
         m = len(seg)
         if m > L:
-            return jnp.zeros((n,), jnp.bool_), pos
+            return lens < 0, pos
         w = L - m + 1
-        acc = jnp.ones((n, w), jnp.bool_)
+        acc = None
         for k, b in enumerate(seg):
             if b is None:  # '_' matches any char (length checked below)
                 continue
-            acc = jnp.logical_and(acc, plane[:, k:k + w] == np.uint8(b))
+            eqk = plane[:, k:k + w] == np.uint8(b)
+            acc = eqk if acc is None else jnp.logical_and(acc, eqk)
+        if acc is None:  # all-wildcard segment: every window matches
+            win = plane[:, 0:w]
+            acc = win == win
         j = jnp.arange(w, dtype=jnp.int32)[None, :]
         valid = jnp.logical_and(acc, j <= (lens - m)[:, None])
         if anchored:
@@ -293,7 +302,7 @@ def _like_match(plane, lens, segs, ci):
             sfx = segs[-1]
             m = len(sfx)
             if m > L:
-                ok = jnp.zeros((n,), jnp.bool_)
+                ok = lens < 0
             else:
                 start = lens - m
                 ok = jnp.logical_and(ok, start >= pos)
