@@ -71,9 +71,45 @@ def _plan_children(node: P.PlanNode) -> List[Tuple[str, P.PlanNode]]:
     return out
 
 
+def _used_keys(plan: P.PlanNode) -> set:
+    """Every column key referenced by any expression in the plan."""
+    used: set = set()
+    stack = [plan]
+    while stack:
+        n = stack.pop()
+        exprs = []
+        for attr in ("expr", "extra"):
+            e = getattr(n, attr, None)
+            if e is not None:
+                exprs.append(e)
+        for attr in ("items", "groups"):
+            for it in getattr(n, attr, ()) or ():
+                exprs.extend(x for x in (it if isinstance(it, tuple) else
+                                         (it,))
+                             if isinstance(x, B.BoundExpr))
+        for e in (getattr(n, "probe_keys", ()) or ()):
+            exprs.append(e)
+        for e in (getattr(n, "build_keys", ()) or ()):
+            exprs.append(e)
+        for agg in getattr(n, "aggs", ()) or ():
+            exprs.extend(agg.args)
+            exprs.extend(getattr(agg, "order_by_exprs", ()) or ())
+        for e in exprs:
+            for nn in B.walk(e):
+                if isinstance(nn, (B.BoundColumnRef, B.BoundAggregateRef)):
+                    used.add(nn.key)
+        for _, c in _plan_children(n):
+            stack.append(c)
+    return used
+
+
 def _scan_stats(plan: P.PlanNode, catalog) -> Dict[str, int]:
-    """table name → scan bytes (0 if the table is scanned more than once
-    or missing — such tables are not chunkable)."""
+    """table name → scan bytes of the columns the plan actually READS
+    (0 if the table is scanned more than once or missing — such tables
+    are not chunkable). Counting every declared scan column instead
+    over-estimated 16-column TPC-H scans ~2.5x and pushed SF10 queries
+    into the partition loop when they fit on-chip."""
+    used = _used_keys(plan)
     seen: Dict[str, int] = {}
     stack = [plan]
     while stack:
@@ -84,7 +120,9 @@ def _scan_stats(plan: P.PlanNode, catalog) -> Dict[str, int]:
             except Exception:  # noqa: BLE001
                 seen[n.table] = 0
                 continue
-            b = sum(_col_bytes(t, entry.nrows) for _, _, t in n.cols)
+            cols = [(c, k, t) for c, k, t in n.cols
+                    if not used or k in used]
+            b = sum(_col_bytes(t, entry.nrows) for _, _, t in cols)
             seen[n.table] = 0 if n.table in seen else b
         for _, c in _plan_children(n):
             stack.append(c)

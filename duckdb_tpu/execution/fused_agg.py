@@ -1403,7 +1403,16 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
                   variant=(dense_mode, out_cap, tuple(cached_flags),
                            tuple((op[0], op[1]) if op[0] != "probe"
                                  else ("probe", join_steps.index(op[1]))
-                                 for op in schedule)),
+                                 for op in schedule),
+                           # grouping bounds are BAKED into the traced
+                           # body as Python ints; chunked execution runs
+                           # the same node over per-chunk table views
+                           # whose stats differ — without these in the
+                           # cache key, chunk 2 reused chunk 1's program
+                           # and clamped its keys into chunk 1's domain
+                           # (measured: half the groups collapsed)
+                           tuple(mins), tuple(domains),
+                           tuple(sort_key_bounds)),
                   array_extras_cb=array_extras_cb)
     return fa
 

@@ -60,7 +60,11 @@ def grouped_reduce(dense: jnp.ndarray, vectors: Sequence[jnp.ndarray],
     kinds[i] ∈ {"sum", "min", "max"}.
     Returns per-slot arrays of shape (nseg,), same dtype as each vector.
     """
-    if nseg <= MASKED_REDUCE_LIMIT:
+    n = int(dense.shape[0]) if dense.shape else 0
+    # the bcast reduce materializes an (N, nseg) pred plane: cap the PLANE
+    # bytes too, not just nseg — 60M rows × 216 slots was a 14 GB
+    # allocation (HBM OOM at SF10); the scatter path is O(N)
+    if nseg <= MASKED_REDUCE_LIMIT and n * max(nseg, 1) <= (1 << 31):
         return _masked_bcast(dense, vectors, kinds, nseg)
     return _scatter(dense, vectors, kinds, nseg)
 
@@ -77,7 +81,9 @@ def _masked_bcast(dense, vectors, kinds, nseg):
     # in int32/bf16 (ops/pallas_agg.py). Other kinds/dtypes stay here.
     from duckdb_tpu.ops import pallas_agg
 
-    if pallas_agg.enabled():
+    if pallas_agg.enabled() and pallas_agg.fits_vmem(
+            nseg, sum(1 for v, k in zip(vectors, kinds)
+                      if k == "sum" and v.dtype in (jnp.int64, jnp.uint64))):
         i64_sum = [i for i, (v, k) in enumerate(zip(vectors, kinds))
                    if k == "sum" and v.dtype in (jnp.int64, jnp.uint64)]
         if i64_sum:

@@ -123,6 +123,22 @@ def _kernel(gid_ref, *refs, nseg: int, k: int):
         out_ref[:, 7 * k:8 * k] = top & 255
 
 
+def fits_vmem(nseg: int, k: int) -> bool:
+    """Scoped-VMEM estimate for one grid step: (2k+1) double-buffered
+    input blocks + the unrolled per-row one-hots (the dominant term at
+    large nseg) + the f32 accumulator. Mosaic's scoped limit is 16MB;
+    TPC-H Q9 at nseg=216, k=3 measured 21.9MB and failed AOT — beyond
+    ~12MB the XLA masked reduce takes over instead."""
+    if k <= 0:
+        return True
+    nseg_p = max(8, -(-nseg // 8) * 8)
+    kk = min(k, 10)  # >10 vectors split recursively
+    inputs = (2 * kk + 1) * BLOCK_ROWS * LANES * 4 * 2
+    onehots = BLOCK_ROWS * nseg_p * LANES * 2
+    acc = nseg_p * 8 * kk * 4 * 2
+    return inputs + onehots + acc < 12 * 1024 * 1024
+
+
 def grouped_sum_i64(dense, vectors, nseg: int):
     """Exact per-slot int64 sums of K pre-masked vectors.
 

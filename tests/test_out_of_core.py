@@ -150,3 +150,34 @@ def test_tpch_under_memory_pressure(tpch, qn):
     finally:
         tpch.sql("SET memory_limit = '0'")
     assert got == ref
+
+
+def test_chunked_group_bounds_not_baked(tpch):
+    """Group-key bounds are baked into traced fused programs as Python
+    ints; per-chunk table views have different stats, so the trace cache
+    must key on them. Regression: chunk 2 reused chunk 1's program and
+    clamped its keys into chunk 1's domain (half the groups collapsed,
+    sums merged across keys)."""
+    q = ("SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)), "
+         "o_orderdate FROM lineitem, orders WHERE l_orderkey = o_orderkey "
+         "GROUP BY l_orderkey, o_orderdate")
+    ref = sorted(tpch.sql(q).fetchall())
+    for lim in ("3MB", "1MB", "400KB"):
+        tpch.sql(f"SET memory_limit = '{lim}'")
+        try:
+            got = sorted(tpch.sql(q).fetchall())
+        finally:
+            tpch.sql("SET memory_limit = '0'")
+        assert got == ref, lim
+
+
+def test_tpch_q3_multiple_limits(tpch):
+    q = _tpch_q(3)
+    ref = tpch.sql(q).fetchall()
+    for lim in ("400KB", "3MB", "6MB"):
+        tpch.sql(f"SET memory_limit = '{lim}'")
+        try:
+            got = tpch.sql(q).fetchall()
+        finally:
+            tpch.sql("SET memory_limit = '0'")
+        assert got == ref, lim
