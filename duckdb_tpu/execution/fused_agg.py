@@ -59,7 +59,7 @@ from duckdb_tpu.planner import bound as B
 from duckdb_tpu.types import BIGINT, DOUBLE, TypeId
 
 PERFECT_LIMIT = 1 << 23
-DENSE_LUT_LIMIT = 1 << 24  # direct-address join LUT cap (int32 slots)
+DENSE_LUT_LIMIT = 1 << 27  # direct-address join LUT cap (int32 slots)
 _I64_MAX = int(np.iinfo(np.int64).max)
 
 _FUSABLE_AGGS = {"sum", "count", "count_star", "avg", "mean", "min", "max"}
@@ -430,7 +430,7 @@ def _scan_versions(executor, node):
 
 # build-prep cache row-count bound: cached steps pin build column planes
 # in device memory, so very large builds re-prep each run instead
-PREP_CACHE_MAX_BUILD = 1 << 22
+PREP_CACHE_MAX_BUILD = 1 << 25
 
 
 def _prep_join_step(executor, j: P.Join, pfx: str,
@@ -1038,7 +1038,7 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
     array_extras_cb: List[Callable] = []
     cached_flags = []
     compacted = False
-    PROBE_CACHE_MAX = 1 << 24
+    PROBE_CACHE_MAX = 1 << 27
     # chunked execution substitutes per-chunk table views (scan
     # overrides): the base is then a CHUNK, not the version-keyed table —
     # never cache or consume probe mappings there
