@@ -14,6 +14,11 @@ from duckdb_tpu.execution import executor as X
 
 @pytest.fixture()
 def traced_paths(monkeypatch):
+    # pin the round-3 dense cap so the 20M-pair-key fixtures still route
+    # to the bucket path (production cap is now 2^27 for HBM-scale LUTs)
+    monkeypatch.setattr(X.Executor, "DENSE_JOIN_LIMIT", 1 << 24)
+    from duckdb_tpu.execution import fused_agg as FA
+    monkeypatch.setattr(FA, "DENSE_LUT_LIMIT", 1 << 24)
     calls = {"bucket": 0, "sorted": 0, "dense": 0}
     ob, os_, od = (X.Executor._bucket_join, X.Executor._sorted_join,
                    X.Executor._dense_join)
