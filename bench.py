@@ -46,8 +46,8 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
 
-SECONDARY = ["q03", "q05", "q06", "q09"]
-SECONDARY_SF2 = ["q01", "q03", "q05", "q06", "q09"]
+SECONDARY = ["q03", "q05", "q06", "q09", "q10", "q18"]
+SECONDARY_SF2 = ["q01", "q03", "q05", "q06", "q09", "q10", "q18"]
 
 
 def ensure_data():
