@@ -460,7 +460,7 @@ def _compute_agg(agg: BoundAggregate, inp, gids, nseg, live, plen, key_data,
             d = _seg_sum(x, gids, num_segments=nseg)[:-1]
             return Column(data=d, ltype=DOUBLE, validity=nonempty)
         x = jnp.where(mask, data.astype(jnp.int64), 0)
-        if ((c.ltype.id is TypeId.HUGEINT
+        if ((agg.ltype.id is TypeId.HUGEINT
              or (c.ltype.id is TypeId.DECIMAL and agg.ltype.width > 18))
                 and getattr(agg, "_wide", True)):
             # exact >int64 accumulation via hi/lo 32-bit halves (see

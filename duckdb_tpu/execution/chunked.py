@@ -189,8 +189,22 @@ def _decompose_aggs(aggs: List[B.BoundAggregate]):
     merge: List[B.BoundAggregate] = []
     overlay: Dict[str, B.BoundExpr] = {}
     for a in aggs:
-        if a.distinct or a.order_by or a.ltype.id is TypeId.HUGEINT:
+        wide_int_sum = (a.func == "sum" and a.ltype.id is TypeId.HUGEINT
+                        and a.args and a.args[0].ltype.is_integer)
+        if a.distinct or a.order_by or (a.ltype.id is TypeId.HUGEINT
+                                        and not wide_int_sum):
             return None
+        if wide_int_sum:
+            # integer sum promoted to HUGEINT: per-chunk partials are
+            # narrow int64 (exact unless one chunk alone exceeds 2^63);
+            # the merge re-sums through the wide hi/lo planes, so the
+            # combined result is exact beyond int64
+            partial.append(B.BoundAggregate("sum", a.args, False, BIGINT,
+                                            a.key))
+            merge.append(B.BoundAggregate(
+                "sum", [B.BoundColumnRef(a.key, BIGINT)], False, a.ltype,
+                a.key))
+            continue
         if a.func == "avg":
             arg_t = a.args[0].ltype
             s_t = _agg_result_type("sum", a.args)

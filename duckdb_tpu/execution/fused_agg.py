@@ -117,7 +117,8 @@ def max_abs_bound(expr, src) -> Optional[int]:
 def sum_needs_wide(agg, src, nrows: int) -> bool:
     """True if SUM may exceed int64 → use the hi/lo exact accumulation."""
     if not (agg.func == "sum" and agg.args
-            and (agg.args[0].ltype.id is TypeId.HUGEINT
+            and (agg.args[0].ltype.is_integer
+                 or agg.args[0].ltype.id is TypeId.HUGEINT
                  or (agg.args[0].ltype.id is TypeId.DECIMAL
                      and agg.ltype.width > 18))):
         return False
@@ -1637,7 +1638,8 @@ def _slot_agg_partial_vectors(agg, env, live, plen):
                     (cnt_vec, "sum")]
         x = jnp.where(mask, data.astype(jnp.int64), 0)
         if (agg.func == "sum" and getattr(agg, "_wide", False)
-                and (c.ltype.id is TypeId.HUGEINT
+                and (c.ltype.is_integer
+                     or c.ltype.id is TypeId.HUGEINT
                      or (c.ltype.id is TypeId.DECIMAL
                          and agg.ltype.width > 18))):
             mask32 = jnp.int64((1 << 32) - 1)

@@ -680,6 +680,12 @@ class Planner:
 
         Outer joins are planned as nested subtrees once both sides collect.
         """
+        if ref is None:
+            # FROM-less SELECT nested as a subquery (IN (SELECT 1), EXISTS
+            # (SELECT 42), ...): one constant live row, no bindings
+            # (reference: src/planner/binder/tableref/bind_emptytableref.cpp)
+            atoms.append(Atom(len(atoms) + 20_000, _ConstantRow(), 1, set()))
+            return
         if isinstance(ref, N.BaseTableRef):
             plan, scope_adds, nrows = self._plan_base_table(ref, ctes)
             tbl = (ref.name.lower()
@@ -1787,8 +1793,13 @@ class Planner:
             build_keys.append(inner_b)
         extra = (B.BoundConjunction("and", corr_extra) if corr_extra else None)
         if not probe_keys:
-            # uncorrelated EXISTS → constant gate; rare. Use cross-style check.
-            raise BindError("uncorrelated EXISTS unsupported (use scalar count)")
+            # uncorrelated EXISTS: semi/anti join on a constant key — every
+            # probe row matches iff the build side is non-empty (reference
+            # plans this as a MARK join over a constant,
+            # src/planner/binder/query_node/plan_subquery.cpp)
+            one = BIGINT
+            probe_keys.append(B.BoundLiteral(1, one))
+            build_keys.append(B.BoundLiteral(1, one))
         semis.append(SemiSpec("anti" if negated else "semi", build,
                               probe_keys, build_keys, extra,
                               null_aware=negated and in_expr is not None))
@@ -1959,10 +1970,13 @@ def _agg_result_type(func: str, args) -> LogicalType:
             return decimal(38, t.scale)
         if t.is_float:
             return DOUBLE
-        if t.id is TypeId.HUGEINT:
+        if t.is_integer or t.id is TypeId.HUGEINT or t.id is TypeId.BOOLEAN:
+            # reference promotes every integer sum to HUGEINT with exact
+            # 128-bit accumulation (core_functions/aggregate/distributive/
+            # sum.cpp); here the (lo, hi) wide-sum planes carry the value
             from duckdb_tpu.types import HUGEINT as _HI
-            return _HI  # exact >int64 via the (lo, hi) wide-sum planes
-        return BIGINT  # duckdb: HUGEINT; int64 until i64-pair kernels land
+            return _HI
+        return BIGINT
     if func in ("avg", "mean"):
         return DOUBLE
     if func in ("min", "max", "first", "last", "any_value", "arg_min",

@@ -1100,6 +1100,25 @@ class Parser:
                 if isinstance(e, N.ColumnRef) and self.peek(1).type == TokType.IDENT:
                     self.next()
                     e = N.ColumnRef(e.parts + (self.expect_ident(),))
+                elif self.peek(1).type == TokType.IDENT:
+                    # non-column expression: {'a':1}.a is struct field
+                    # access; ('x').upper() is dot function chaining
+                    # (reference: transform_columnref.cpp dot resolution)
+                    self.next()
+                    name = self.expect_ident()
+                    if self.peek().value == "(" and \
+                            self.peek().type == TokType.OP:
+                        self.next()
+                        args = [e]
+                        if not self.accept_op(")"):
+                            args.append(self.parse_expr())
+                            while self.accept_op(","):
+                                args.append(self.parse_expr())
+                            self.expect_op(")")
+                        e = N.FunctionCall(name, args)
+                    else:
+                        e = N.FunctionCall("struct_extract",
+                                           [e, N.Literal(name)])
                 else:
                     break
             elif self.peek().value in ("->", "->>") \

@@ -51,3 +51,72 @@ def test_narrow_sums_unaffected():
     con.sql("INSERT INTO t VALUES (1.50), (2.25), (NULL)")
     assert con.sql("SELECT sum(v) FROM t").rows() == \
         [(decimal.Decimal("3.75"),)]
+
+
+def test_sum_bigint_promotes_to_hugeint():
+    """sum(BIGINT) must not wrap around int64 (reference:
+    core_functions/aggregate/distributive/sum.cpp promotes to HUGEINT)."""
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE big(x BIGINT)")
+    con.sql("INSERT INTO big VALUES (9223372036854775807),"
+            "(9223372036854775807),(5)")
+    assert con.sql("SELECT sum(x) FROM big").rows() == \
+        [(18446744073709551619,)]
+    assert con.sql(
+        "SELECT sum(x) FROM (VALUES (9223372036854775807),"
+        "(9223372036854775807)) t(x)").rows() == [(18446744073709551614,)]
+    # negatives
+    assert con.sql(
+        "SELECT sum(x) FROM (VALUES (-9223372036854775807),"
+        "(-9223372036854775807),(-5)) t(x)").rows() == \
+        [(-18446744073709551619,)]
+
+
+def test_sum_bigint_grouped_and_sorted_paths():
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE t2 (g BIGINT, x BIGINT)")
+    con.sql("INSERT INTO t2 SELECT range % 3, 9223372036854775807 - range "
+            "FROM range(5000)")
+    exp = sum(9223372036854775807 - i for i in range(5000))
+    assert con.sql("SELECT sum(x) FROM t2").rows()[0][0] == exp
+    per_g = {g: sum(9223372036854775807 - i for i in range(5000)
+                    if i % 3 == g) for g in range(3)}
+    got = con.sql("SELECT g, sum(x) FROM t2 GROUP BY g ORDER BY g").rows()
+    assert got == [(g, per_g[g]) for g in range(3)]
+    # sparse keys exercise the sort-group strategy
+    con.sql("CREATE TABLE t3 (g BIGINT, x BIGINT)")
+    con.sql("INSERT INTO t3 SELECT range * 1000001, 9223372036854775807 "
+            "FROM range(100)")
+    got = con.sql("SELECT g, sum(x) FROM t3 GROUP BY g ORDER BY g "
+                  "LIMIT 2").rows()
+    assert got == [(0, 9223372036854775807), (1000001, 9223372036854775807)]
+
+
+def test_sum_small_ints_still_exact():
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    r = con.sql("SELECT sum(i) FROM range(1000) t(i)").rows()
+    assert r == [(499500,)]
+
+
+def test_sum_bigint_property_random():
+    """Property sweep: random int64 mixes vs python exact arithmetic."""
+    import random
+
+    import duckdb_tpu
+
+    rng = random.Random(42)
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE p (g INT, x BIGINT)")
+    vals = [(rng.randrange(3),
+             rng.randrange(-(2**63), 2**63)) for _ in range(500)]
+    con.sql("INSERT INTO p VALUES " +
+            ",".join(f"({g},{x})" for g, x in vals))
+    exp = {g: sum(x for gg, x in vals if gg == g) for g in range(3)}
+    got = con.sql("SELECT g, sum(x) FROM p GROUP BY g ORDER BY g").rows()
+    assert got == [(g, exp[g]) for g in sorted(exp)]
