@@ -35,9 +35,40 @@ def _column_to_arrow(vals, valid, dvals, t: LogicalType):
             codes, pa.array([str(x) for x in dvals], pa.string()))
     if t.id is TypeId.BOOLEAN:
         return pa.array(vals.astype(np.bool_), pa.bool_(), mask=mask)
-    if t.id is TypeId.DECIMAL:
-        return pa.array(vals.astype(np.int64), mask=mask).cast(
-            pa.decimal128(max(getattr(t, 'width', 18) or 18, 1), t.scale or 0))
+    if t.id is TypeId.DECIMAL or t.id is TypeId.HUGEINT:
+        # decimal128 stores the UNSCALED integer as 16-byte little-endian
+        # two's complement — exactly the engine's scaled-int64 encoding,
+        # so build the buffers directly (a plain int->decimal cast would
+        # multiply the value by 10^scale)
+        pair = np.empty((len(vals), 2), dtype="<i8")
+        if vals.dtype == object:
+            # wide-sum results beyond int64 arrive as python ints
+            m64 = (1 << 64) - 1
+            pair[:, 0] = np.array(
+                [np.uint64((int(v) if v is not None else 0) & m64)
+                 for v in vals]).astype(np.int64)
+            pair[:, 1] = [(int(v) if v is not None else 0) >> 64
+                          for v in vals]
+        else:
+            ints = vals.astype(np.int64)
+            pair[:, 0] = ints
+            pair[:, 1] = ints >> 63  # sign extension into the high half
+        data = pa.py_buffer(pair.tobytes())
+        if valid is None:
+            bitmap, nulls = None, 0
+        else:
+            bitmap = pa.py_buffer(
+                np.packbits(valid, bitorder="little").tobytes())
+            nulls = int((~valid).sum())
+        if t.id is TypeId.HUGEINT:
+            # reference exports HUGEINT as decimal128(38, 0)
+            # (src/common/arrow/arrow_converter.cpp)
+            atype = pa.decimal128(38, 0)
+        else:
+            atype = pa.decimal128(max(getattr(t, "width", 18) or 18, 1),
+                                  t.scale or 0)
+        return pa.Array.from_buffers(
+            atype, len(vals), [bitmap, data], null_count=nulls)
     if t.id is TypeId.DATE:
         return pa.array(vals.astype(np.int32), pa.date32(), mask=mask)
     if t.id is TypeId.TIMESTAMP:

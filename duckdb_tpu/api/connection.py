@@ -576,12 +576,19 @@ class Connection:
         if s.unique:
             names = {c.name.lower(): c.name for c in entry.columns}
             ucols = [names[c] for c in cols if c in names]
-            if len(ucols) == len(cols):
-                entry.constraints.append(("unique", ucols))
-                self._verify_existing_unique(entry, ucols, s.name)
-                # constraint edits must publish through the implicit
-                # transaction like any other table write
-                entry.version = getattr(entry, "version", 0) + 1
+            if len(ucols) != len(cols):
+                # expression indexes can't be enforced yet — refuse rather
+                # than register an unenforced unique index (ADVICE r4)
+                from duckdb_tpu.errors import NotImplementedException
+
+                raise NotImplementedException(
+                    "UNIQUE index over expressions is not supported; "
+                    "use plain columns")
+            entry.constraints.append(("unique", ucols))
+            self._verify_existing_unique(entry, ucols, s.name)
+            # constraint edits must publish through the implicit
+            # transaction like any other table write
+            entry.version = getattr(entry, "version", 0) + 1
         idxs[key] = {"table": entry.name, "exprs": list(s.exprs),
                      "unique": s.unique, "sql": ""}
         if self.database not in (":memory:", "") \
@@ -647,19 +654,13 @@ class Connection:
         vals = []
         for a in s.args:
             vals.append(ExprBinder(Scope()).bind(a).const_value())
-        out = []
-        i = 0
-        # substitute $n (1-based) and ? (positional) placeholders
-        import re as _re
 
-        def sub(m):
-            nonlocal i
-            if m.group(0) == "?":
-                v = vals[i] if i < len(vals) else None
-                i += 1
-            else:
-                k = int(m.group(0)[1:]) - 1
-                v = vals[k] if 0 <= k < len(vals) else None
+        # substitute $n (1-based) and ? (positional) placeholders by
+        # TOKEN, not by regex over raw text — the lexer already skips
+        # string literals and comments, so 'cost $1' stays data
+        from duckdb_tpu.sql.lexer import tokenize as _tok
+
+        def render(v):
             if v is None:
                 return "NULL"
             if isinstance(v, bool):
@@ -668,8 +669,33 @@ class Connection:
                 return "'" + v.replace("'", "''") + "'"
             return str(v)
 
-        out = _re.sub(r"\?|\$\d+", sub,  sql)
-        return self.sql(out)
+        toks = _tok(sql)
+        params = [t for t in toks
+                  if t.type == "OP"
+                  and (t.value == "?"
+                       or (t.value.startswith("$")
+                           and t.value[1:].isdigit()))]
+        need = sum(1 for t in params if t.value == "?") or max(
+            (int(t.value[1:]) for t in params if t.value != "?"),
+            default=0)
+        if need != len(vals):
+            from duckdb_tpu.planner.binder import BindError
+
+            raise BindError(
+                f"Prepared statement needs {need} parameters, "
+                f"{len(vals)} given")
+        pieces, last, i = [], 0, 0
+        for t in params:
+            if t.value == "?":
+                v = vals[i]
+                i += 1
+            else:
+                v = vals[int(t.value[1:]) - 1]
+            pieces.append(sql[last:t.pos])
+            pieces.append(render(v))
+            last = t.pos + len(t.value)
+        pieces.append(sql[last:])
+        return self.sql("".join(pieces))
 
     def _count_result(self, n: int) -> Result:
         """DML statements return the changed-row count (reference: INSERT/

@@ -446,7 +446,8 @@ def _prep_join_step(executor, j: P.Join, pfx: str,
     skips the entire build-side execution — the reference's hash table
     lives for one query (join_hashtable.cpp), ours persists like an index
     until the data changes."""
-    if j.jtype != "inner" or j.extra is not None or j.null_aware:
+    if j.jtype not in ("inner", "semi", "anti") or j.extra is not None \
+            or j.null_aware:
         return None
     vkey = _scan_versions(executor, j.build)
     forced_sorted = getattr(j, "_bucket_overflowed", False)
@@ -462,6 +463,7 @@ def _prep_join_step(executor, j: P.Join, pfx: str,
     step = _prep_join_step_fresh(executor, j, pfx, aux, forced_sorted)
     if step is not None:
         step.vkey = vkey  # build-subtree version key (probe-cache keying)
+        step.jtype = j.jtype  # set HERE so cached steps stay consistent
     if step is not None and vkey is not None \
             and step.build_plen <= PREP_CACHE_MAX_BUILD:
         cache.clear()
@@ -669,7 +671,6 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
         step = _prep_join_step(executor, j, f"j{i}", aux)
         if step is None:
             return None
-        step.jtype = j.jtype
         join_steps.append(step)
 
     for agg in node.aggs:

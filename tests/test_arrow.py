@@ -84,3 +84,38 @@ def test_arrow_big_no_row_loop():
     dt = time.time() - t0
     assert tbl.num_rows == n
     assert dt < 10, f"arrow export took {dt:.1f}s — row loop suspected"
+
+
+def test_arrow_decimal_export_exact():
+    """ADVICE r4: decimal export must not inflate by 10^scale."""
+    import decimal
+
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE d (v DECIMAL(10,2))")
+    con.sql("INSERT INTO d VALUES (34.56), (34.56), (NULL), (-1.23)")
+    t = con.sql("SELECT sum(v) s, min(v) m FROM d").arrow()
+    assert t.column("s")[0].as_py() == decimal.Decimal("67.89")
+    assert t.column("m")[0].as_py() == decimal.Decimal("-1.23")
+    t2 = con.sql("SELECT v FROM d").arrow()
+    assert [x.as_py() for x in t2.column("v")] == [
+        decimal.Decimal("34.56"), decimal.Decimal("34.56"), None,
+        decimal.Decimal("-1.23")]
+
+
+def test_arrow_decimal38_and_hugeint_beyond_int64():
+    import decimal
+
+    import duckdb_tpu
+
+    con = duckdb_tpu.connect()
+    con.sql("CREATE TABLE w (v DECIMAL(18,2))")
+    con.sql("INSERT INTO w SELECT 9999999999999999.99 FROM range(2000)")
+    t = con.sql("SELECT sum(v) s FROM w").arrow()
+    assert t.column("s")[0].as_py() == \
+        decimal.Decimal(999999999999999999 * 2000).scaleb(-2)
+    t2 = con.sql("SELECT sum(x) s FROM (VALUES (9223372036854775807),"
+                 "(9223372036854775807)) t(x)").arrow()
+    assert t2.column("s")[0].as_py() == \
+        decimal.Decimal(18446744073709551614)
