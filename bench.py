@@ -67,25 +67,55 @@ def timed(con, sql, runs=5, warmups=3):
     # steady state needs THREE runs: run 1 populates the plan cache, run 2
     # learns stage cardinalities (compaction caps, group counts) and
     # re-traces with the learned shapes, run 3 is steady
+    wtimes = []
     for _ in range(warmups):
+        t0 = time.perf_counter()
         con.sql(sql)
+        wtimes.append(time.perf_counter() - t0)
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
         con.sql(sql)
         times.append(time.perf_counter() - t0)
-    return statistics.median(times)
+    med = statistics.median(times)
+    # compile credit: warmup time beyond 3 steady runs is XLA compilation
+    # (cold persistent cache), not engine speed — credit it back to the
+    # budget so one cold query costs itself, not the whole secondary set
+    _credit_compile(max(0.0, sum(wtimes) - 3 * med))
+    return med
 
 
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+# compile-credit cap: bounded so a pathological compile storm still ends
+# the run before the driver's own timeout can swallow the headline line
+CREDIT_CAP_S = float(os.environ.get("BENCH_CREDIT_CAP_S", "900"))
 # the budget clock starts AFTER data generation/loading: a first run on a
 # fresh machine pays one-time dbgen cost without starving the measurements
 # (data persists in data/ across runs)
 _T_START = None
+_CREDIT = 0.0
+
+
+def _credit_compile(secs):
+    global _CREDIT, _T_START
+    take = min(secs, CREDIT_CAP_S - _CREDIT)
+    if take > 0:
+        _CREDIT += take
+        _T_START += take
 
 
 def _remaining():
     return BUDGET_S - (time.time() - _T_START)
+
+
+def _emit_partial(secondary):
+    """Persist partial secondaries after every query: a driver timeout
+    loses one query, not the whole set (VERDICT r4 item 1)."""
+    try:
+        with open(os.path.join(ROOT, "BENCH_partial.json"), "w") as f:
+            json.dump(secondary, f)
+    except OSError:
+        pass
 
 
 def main():
@@ -128,6 +158,7 @@ def main():
         rt = base.get(f"{q}_sf{SF:g}_s")
         if rt:
             secondary[f"{q}_sf{SF:g}_vs_baseline"] = round(rt / t, 3)
+        _emit_partial(secondary)
 
     # compute-dominated comparison at SF10: SF1 latencies sit near the
     # tunneled runtime's ~30 ms dispatch floor, so SF10 is the number that
@@ -154,6 +185,7 @@ def main():
             rt = base.get(f"{q}_sf{SF2:g}_s")
             if rt:
                 secondary[f"{q}_sf{SF2:g}_vs_baseline"] = round(rt / t, 3)
+            _emit_partial(secondary)
 
     print(json.dumps({
         "metric": f"tpch_q1_sf{SF:g}_rows_per_s",

@@ -111,6 +111,15 @@ def max_abs_bound(expr, src) -> Optional[int]:
         return cb
     if isinstance(expr, B.BoundNegate):
         return max_abs_bound(expr.child, src)
+    if isinstance(expr, B.BoundCase):
+        # bound = max over result branches (conditional counting:
+        # sum(CASE WHEN p THEN 1 ELSE 0 END) must stay on the narrow path)
+        bounds = [max_abs_bound(r, src) for _, r in expr.whens]
+        bounds.append(max_abs_bound(expr.else_expr, src)
+                      if expr.else_expr is not None else 0)
+        if any(b is None for b in bounds):
+            return None
+        return max(bounds)
     return None
 
 

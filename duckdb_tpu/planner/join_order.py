@@ -250,7 +250,7 @@ def dp_join_order(planner, by_id: Dict[int, object],
         if not isinstance(tree, tuple):
             a = by_id[tree]
             return a.plan, set(a.keys), max(1.0, float(a.rows)), \
-                max(1.0, float(a.rows))
+                max(1.0, float(getattr(a, "base_rows", 0) or a.rows))
         lp, lk, lc, lb = emit(tree[0])
         rp, rk, rc, rb = emit(tree[1])
         # probe spine = the side containing the LARGEST BASE TABLE, ties

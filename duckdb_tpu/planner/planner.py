@@ -245,6 +245,14 @@ class Atom:
     # key → (catalog table, column) for base-scan atoms; drives the
     # fanout estimate in the greedy join order (PK edge ⇒ fanout 1)
     col_of: Dict[str, Tuple[str, str]] = field(default_factory=dict)
+    # UNFILTERED base-table rows: pushed filters scale `rows` down, but
+    # probe-spine orientation must follow the base table size (a filtered
+    # fact side as BUILD = duplicate keys = no fused pipeline)
+    base_rows: int = 0
+
+    def __post_init__(self):
+        if not self.base_rows:
+            self.base_rows = self.rows
 
 
 @dataclass
@@ -1198,7 +1206,9 @@ class Planner:
         # (src/optimizer/join_order/); this is the bushy special case that
         # matters for star/snowflake schemas (TPC-H Q3/Q5/Q7-Q10).
         if len(by_id) > 2:
-            spine_id = max(by_id.values(), key=lambda a: a.rows).id
+            spine_id = max(by_id.values(),
+                           key=lambda a: (getattr(a, "base_rows", 0)
+                                          or a.rows, a.rows)).id
             changed = True
             while changed and len(by_id) > 2:
                 changed = False
@@ -1236,8 +1246,13 @@ class Planner:
                         break
 
         remaining = dict(by_id)
-        # start from the largest atom (fact-table probe spine)
-        cur = max(remaining.values(), key=lambda a: a.rows)
+        # start from the largest atom (fact-table probe spine) by BASE
+        # table size: filtered estimates flip a fact below a dimension,
+        # making the fact the duplicate-key BUILD — which kills the fused
+        # unique-build pipeline (same rule as dp emit; q12 regression)
+        cur = max(remaining.values(),
+                  key=lambda a: (getattr(a, "base_rows", 0) or a.rows,
+                                 a.rows))
         del remaining[cur.id]
         joined_keys = set(cur.keys)
         joined_ids = {cur.id}

@@ -19,6 +19,9 @@ def traced_paths(monkeypatch):
     monkeypatch.setattr(X.Executor, "DENSE_JOIN_LIMIT", 1 << 24)
     from duckdb_tpu.execution import fused_agg as FA
     monkeypatch.setattr(FA, "DENSE_LUT_LIMIT", 1 << 24)
+    # this file pins the EAGER join paths; the fused aggregate pipeline
+    # (which now also covers semi/anti probes) would pre-empt them
+    monkeypatch.setattr(FA, "build_fused_agg", lambda ex, node: None)
     calls = {"bucket": 0, "sorted": 0, "dense": 0}
     ob, os_, od = (X.Executor._bucket_join, X.Executor._sorted_join,
                    X.Executor._dense_join)

@@ -78,7 +78,11 @@ def test_exchange_join_q9(data_dir):
     assert n_exchanged >= 1
 
 
-def test_exchange_join_left_and_semi(data_dir):
+def test_exchange_join_left_and_semi(data_dir, monkeypatch):
+    # pin the EXCHANGE path: the fused aggregate pipeline now covers
+    # semi/anti probes and would otherwise pre-empt the exchange join
+    from duckdb_tpu.execution import fused_agg as FA
+    monkeypatch.setattr(FA, "build_fused_agg", lambda ex, node: None)
     for sql in [
         "SELECT count(*), sum(o_totalprice) FROM orders "
         "LEFT JOIN customer ON o_custkey = c_custkey",
