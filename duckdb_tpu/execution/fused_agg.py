@@ -276,6 +276,7 @@ class _JoinStep:
         self.build_src = build_src  # eager ColSource for stats/templates
         self.build_cols: Dict[str, Column] = {}  # key → template (metadata)
         self.phase1 = False
+        self.extra = None  # residual predicate (semi/anti + unique build)
         self.subset_idx = subset_idx  # bucket mode: which key addresses
         self.bucket_width = bucket_width  # Bc
         self.subset_size = subset_size  # S
@@ -379,6 +380,19 @@ class _JoinStep:
             env._overlay[k] = _LazyGatherCol(self, k, bidx)
 
 
+def _extra_found(step, env2, p, bidx, found):
+    """Fold a semi/anti residual into the membership mask: gather the
+    (unique) matched build row's columns, evaluate the predicate, AND it
+    with `found`. NULL predicate results are never TRUE (SQL three-valued
+    semi-join semantics, reference ScanKeyMatches)."""
+    step.register_lazy(env2, bidx)
+    c = step.extra.eval(env2)
+    ok = jnp.broadcast_to(c.data.astype(jnp.bool_), (p,))
+    if c.validity is not None:
+        ok = jnp.logical_and(ok, jnp.broadcast_to(c.validity, (p,)))
+    return jnp.logical_and(found, ok)
+
+
 class _LazyGatherCol:
     """Overlay provider: gathers one build column by the probe's bidx on
     first access (TraceEnv caches the result in _cols)."""
@@ -455,8 +469,11 @@ def _prep_join_step(executor, j: P.Join, pfx: str,
     skips the entire build-side execution — the reference's hash table
     lives for one query (join_hashtable.cpp), ours persists like an index
     until the data changes."""
-    if j.jtype not in ("inner", "semi", "anti") or j.extra is not None \
-            or j.null_aware:
+    if j.jtype not in ("inner", "semi", "anti") or j.null_aware:
+        return None
+    if j.extra is not None and j.jtype == "inner":
+        # semi/anti residuals evaluate on the (unique) matched build row;
+        # inner residuals change the match itself → eager path
         return None
     vkey = _scan_versions(executor, j.build)
     forced_sorted = getattr(j, "_bucket_overflowed", False)
@@ -473,6 +490,12 @@ def _prep_join_step(executor, j: P.Join, pfx: str,
     if step is not None:
         step.vkey = vkey  # build-subtree version key (probe-cache keying)
         step.jtype = j.jtype  # set HERE so cached steps stay consistent
+        step.extra = j.extra
+        if j.extra is not None:
+            # residual refs to build columns ride as gathered aux planes
+            for nn in B.walk(j.extra):
+                if isinstance(nn, B.BoundColumnRef):
+                    step.register_build_col(nn.key)
     if step is not None and vkey is not None \
             and step.build_plen <= PREP_CACHE_MAX_BUILD:
         cache.clear()
@@ -484,9 +507,10 @@ def _prep_join_step_fresh(executor, j: P.Join, pfx: str, aux: Dict,
                           forced_sorted: bool) -> Optional[_JoinStep]:
     bb = executor.execute(j.build)
     if not executor._build_known_unique(j, bb) \
-            and j.jtype not in ("semi", "anti"):
+            and (j.jtype not in ("semi", "anti") or j.extra is not None):
         # inner probes need ≤1 match per row; semi/anti only membership,
-        # so duplicate build keys are fine (LUT last-wins)
+        # so duplicate build keys are fine (LUT last-wins) — EXCEPT with a
+        # residual, which must evaluate on THE matched row (unique only)
         return None
     env_b = bb.env()
     key_cols = []
@@ -662,7 +686,9 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
             # IN-subquery shape (reference: semi joins in
             # physical_hash_join.cpp)
             if (base.jtype not in ("inner", "semi", "anti")
-                    or base.extra is not None or base.null_aware):
+                    or (base.extra is not None
+                        and base.jtype == "inner")
+                    or base.null_aware):
                 return None
             join_nodes.append(base)
             base = base.probe
@@ -743,6 +769,8 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
     for step in join_steps:
         for e in step.probe_keys:
             collect(e)
+        if step.extra is not None:
+            collect(step.extra)  # probe-side residual refs
 
     base_cols = {k: base_batch.src[k] for k in needed}
 
@@ -897,6 +925,9 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
         refs = set()
         for e in step.probe_keys:
             _all_refs(e, refs)
+        if step.extra is not None:
+            _all_refs(step.extra, refs)
+            refs -= set(step.build_cols)  # own gathered cols aren't deps
         if step.phase1 and refs <= avail:
             phase1_steps.append(step)
             avail |= set(step.build_cols)
@@ -954,6 +985,9 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
             refs = set()
             for e in s.probe_keys:
                 _all_refs(e, refs)
+            if s.extra is not None:
+                _all_refs(s.extra, refs)
+                refs -= set(s.build_cols)
             if refs <= avail2:
                 ordered.append(s)
                 avail2 |= set(s.build_cols)
@@ -1144,10 +1178,12 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
                     if getattr(step, "emit_cache", False):
                         arr_extras.append(
                             jnp.where(found, bidx, jnp.int32(-1)))
+                if step.extra is not None:
+                    found = _extra_found(step, env2, p, bidx, found)
                 if jt == "anti":
                     live = jnp.logical_and(live, jnp.logical_not(found))
                 else:  # inner and semi both keep matching rows
-                    live = hit
+                    live = jnp.logical_and(live, found)
                 env2.live = live
                 if jt == "inner":
                     bidx_map[step] = bidx
@@ -1189,10 +1225,12 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
         for step in phase1_steps:
             bidx, hit, found = step.probe(env2, p, live)
             jt = getattr(step, "jtype", "inner")
+            if step.extra is not None:
+                found = _extra_found(step, env2, p, bidx, found)
             if jt == "anti":
                 live = jnp.logical_and(live, jnp.logical_not(found))
             else:
-                live = hit
+                live = jnp.logical_and(live, found)
             env2.live = live
             bidx1.append(bidx)
             if jt == "inner":
@@ -1204,10 +1242,12 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
         for step in phase2_steps:
             bidx, hit, found = step.probe(env2, p, live)
             jt = getattr(step, "jtype", "inner")
+            if step.extra is not None:
+                found = _extra_found(step, env2, p, bidx, found)
             if jt == "anti":
                 live = jnp.logical_and(live, jnp.logical_not(found))
             else:
-                live = hit
+                live = jnp.logical_and(live, found)
             env2.live = live
             if jt == "inner":
                 step.register_lazy(env2, bidx)

@@ -1806,6 +1806,12 @@ class Planner:
             outer_b = self._pred_binder(scope, ctes).bind(in_expr)
             probe_keys.append(outer_b)
             build_keys.append(inner_b)
+        if in_expr is None:
+            spec = self._try_neq_exists_rewrite(build, corr_eqs, corr_extra,
+                                                negated, local_keys)
+            if spec is not None:
+                semis.append(spec)
+                return
         extra = (B.BoundConjunction("and", corr_extra) if corr_extra else None)
         if not probe_keys:
             # uncorrelated EXISTS: semi/anti join on a constant key — every
@@ -1818,6 +1824,58 @@ class Planner:
         semis.append(SemiSpec("anti" if negated else "semi", build,
                               probe_keys, build_keys, extra,
                               null_aware=negated and in_expr is not None))
+
+    def _try_neq_exists_rewrite(self, build, corr_eqs, corr_extra,
+                                negated, local_keys):
+        """EXISTS(... k = outer.k AND c <> outer.c) → semi/anti join
+        against GROUP BY k: min(c), max(c) with extra
+        (min <> outer.c OR max <> outer.c).
+
+        `exists row in group with c ≠ a` ⟺ `min(c) ≠ a OR max(c) ≠ a`
+        (NULL c values are ignored by min/max exactly as `c <> a` is
+        never TRUE for them). The aggregate build has unique keys by
+        construction, so the probe fuses into the aggregate pipeline —
+        the TPC-H q21 wait-for-another-supplier shape. The reference
+        plans this as a MARK join with a duplicate-key hash table
+        (plan_subquery.cpp); a unique build + min/max predicate is the
+        TPU-native equivalent (no expansion, one gather)."""
+        if not corr_eqs or len(corr_extra) != 1:
+            return None
+        bp = corr_extra[0]
+        if not (isinstance(bp, B.BoundComparison) and bp.op in ("<>", "!=")):
+            return None
+        kl, kr = self._keys_of(bp.left), self._keys_of(bp.right)
+        sub_keys = set()
+        for _, i in corr_eqs:
+            sub_keys |= self._keys_of(i)
+        # identify which side is inner: its keys must NOT be outer keys
+        if kl and not (kl & local_keys):
+            inner_c, outer_c = bp.left, bp.right
+        elif kr and not (kr & local_keys):
+            inner_c, outer_c = bp.right, bp.left
+        else:
+            return None
+        if self._keys_of(outer_c) & self._keys_of(inner_c):
+            return None
+        groups, build_keys = [], []
+        for _, i in corr_eqs:
+            gk = self.fresh("neqg")
+            groups.append((gk, i))
+            build_keys.append(B.BoundColumnRef(gk, i.ltype))
+        kmin, kmax = self.fresh("neqmin"), self.fresh("neqmax")
+        aggs = [B.BoundAggregate("min", [inner_c], False, inner_c.ltype,
+                                 kmin),
+                B.BoundAggregate("max", [inner_c], False, inner_c.ltype,
+                                 kmax)]
+        agg_build = P.Aggregate(build, groups, aggs)
+        mn = B.BoundColumnRef(kmin, inner_c.ltype)
+        mx = B.BoundColumnRef(kmax, inner_c.ltype)
+        extra = B.BoundConjunction("or", [
+            B.BoundComparison("<>", mn, outer_c),
+            B.BoundComparison("<>", mx, outer_c)])
+        probe_keys = [o for o, _ in corr_eqs]
+        return SemiSpec("anti" if negated else "semi", agg_build,
+                        probe_keys, build_keys, extra)
 
     def _correlated_scalar_ref(self, sub, scope, ctes, local_keys,
                                bound_preds, atoms):

@@ -74,3 +74,41 @@ def test_differential(con, q):
     for r in con.sql(q).rows():
         got.append("|".join("NULL" if v is None else str(v) for v in r))
     assert got == ref
+
+
+NEQ_SETUP = [
+    "CREATE TABLE li (ok INT, sk INT, late INT)",
+    "INSERT INTO li VALUES (1, 10, 0), (1, 11, 1), (2, 10, 1), "
+    "(2, 10, 0), (3, 12, 1), (4, NULL, 1), (4, 13, 0), (5, 14, NULL)",
+]
+
+NEQ_CASES = [
+    # EXISTS with <> correlation: q21's wait-for-another-supplier shape
+    "SELECT ok, sk FROM li l1 WHERE EXISTS (SELECT * FROM li l2 WHERE "
+    "l2.ok = l1.ok AND l2.sk <> l1.sk) ORDER BY ok, sk",
+    "SELECT ok, sk FROM li l1 WHERE NOT EXISTS (SELECT * FROM li l2 "
+    "WHERE l2.ok = l1.ok AND l2.sk <> l1.sk) ORDER BY ok, sk",
+    "SELECT ok, sk FROM li l1 WHERE EXISTS (SELECT * FROM li l2 WHERE "
+    "l2.ok = l1.ok AND l2.sk <> l1.sk AND l2.late = 1) ORDER BY ok, sk",
+    "SELECT count(*) FROM li l1 WHERE late = 1 AND NOT EXISTS "
+    "(SELECT * FROM li l3 WHERE l3.ok = l1.ok AND l3.sk <> l1.sk "
+    "AND l3.late = 1)",
+]
+
+
+@pytest.mark.skipif(not os.path.exists(REF_BIN), reason="no reference binary")
+@pytest.mark.parametrize("q", NEQ_CASES)
+def test_neq_exists_rewrite_differential(q):
+    """The <>-correlated EXISTS rewrite (min/max aggregate build) must
+    match the reference's MARK-join semantics, including NULL keys."""
+    con = duckdb_tpu.connect()
+    for stmt in NEQ_SETUP:
+        con.sql(stmt)
+    script = "; ".join(NEQ_SETUP) + "; " + q
+    out = subprocess.run([REF_BIN, "-list", "-noheader", "-c", script],
+                         capture_output=True, text=True, timeout=60)
+    assert out.returncode == 0, out.stderr
+    ref = [line for line in out.stdout.strip().splitlines() if line]
+    got = ["|".join("NULL" if v is None else str(v) for v in r)
+           for r in con.sql(q).rows()]
+    assert got == ref, q
