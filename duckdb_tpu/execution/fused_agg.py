@@ -971,32 +971,49 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
 
     order_hint = {s: stage_counts.get(_stage_id(s), None)
                   for s in phase1_steps}
-    # sort restrictive probes by learned post-probe count (unknown last),
-    # then repair dependency order (probe keys over earlier build cols)
-    p1 = sorted(phase1_steps,
-                key=lambda s: (order_hint[s] is None,
-                               order_hint[s] if order_hint[s] is not None
-                               else 0))
-    ordered, avail2 = [], set(key2col)
-    pending = list(p1)
-    while pending:
-        moved = False
-        for s in list(pending):
-            refs = set()
-            for e in s.probe_keys:
-                _all_refs(e, refs)
-            if s.extra is not None:
-                _all_refs(s.extra, refs)
-                refs -= set(s.build_cols)
-            if refs <= avail2:
-                ordered.append(s)
-                avail2 |= set(s.build_cols)
-                pending.remove(s)
-                moved = True
-        if not moved:  # cycle (cannot happen): keep original order
-            ordered.extend(pending)
-            break
-    phase1_ordered = ordered
+    # the learned post-stage counts are POSITION-dependent (each stage
+    # measures the live count after every earlier stage applied), so
+    # re-sorting on every run can flip two stages forever: each flip
+    # invalidates the other's count, exceeds its stale compaction cap,
+    # and forces the 4-attempt rerun loop on EVERY warm query (measured:
+    # q21 ran its fused program 5x per call). The order therefore
+    # FREEZES once chosen with full hints; caps keep adapting.
+    saved = node.__dict__.get("_fused_probe_order")
+    by_idx = {join_steps.index(s): s for s in phase1_steps}
+    if saved is not None and set(saved) == set(by_idx):
+        phase1_ordered = [by_idx[i] for i in saved]
+    else:
+        # sort restrictive probes by learned post-probe count (unknown
+        # last), then repair dependency order (probe keys over earlier
+        # build cols)
+        p1 = sorted(phase1_steps,
+                    key=lambda s: (order_hint[s] is None,
+                                   order_hint[s] if order_hint[s] is not None
+                                   else 0))
+        ordered, avail2 = [], set(key2col)
+        pending = list(p1)
+        while pending:
+            moved = False
+            for s in list(pending):
+                refs = set()
+                for e in s.probe_keys:
+                    _all_refs(e, refs)
+                if s.extra is not None:
+                    _all_refs(s.extra, refs)
+                    refs -= set(s.build_cols)
+                if refs <= avail2:
+                    ordered.append(s)
+                    avail2 |= set(s.build_cols)
+                    pending.remove(s)
+                    moved = True
+            if not moved:  # cycle (cannot happen): keep original order
+                ordered.extend(pending)
+                break
+        phase1_ordered = ordered
+        if phase1_steps and all(order_hint[s] is not None
+                                for s in phase1_steps):
+            node._fused_probe_order = [join_steps.index(s)
+                                       for s in phase1_ordered]
 
     allow_compact = plen > (1 << 16)
     schedule = [("filters", "f1")]
