@@ -414,11 +414,12 @@ class Executor:
         from duckdb_tpu.execution.tracing import TraceEnv, run_jitted
         from duckdb_tpu.ops import sort as S
 
-        if any(t.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP,
-                        TypeId.HUGEINT, TypeId.BLOB)
+        if any(t.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP, TypeId.BLOB)
                for _, _, t in output):
-            return None  # nested outputs carry object dicts (and HUGEINT a
-            # high plane) the packed tail would drop: general path
+            return None  # nested outputs carry object dicts the packed
+            # tail would drop: general path. (HUGEINT outputs stay: narrow
+            # values pack as int64, wide DIRECT refs ride the (lo, hi)
+            # imat pair below — integer sums are HUGEINT-typed now.)
         node = plan
         limit_node = order_node = None
         if isinstance(node, P.Limit):
@@ -474,19 +475,26 @@ class Executor:
                     return False
 
         wide_flags = []
-        for _, key, _ in output:
+        for _, key, t in output:
             e = overlay.get(key)
             if e is None:
-                wide_flags.append(_is_wide(key))
+                wide = _is_wide(key)
             elif isinstance(e, (B.BoundColumnRef, B.BoundAggregateRef)):
-                wide_flags.append(_is_wide(e.key))
+                wide = _is_wide(e.key)
             else:
                 for nn in B.walk(e):
                     if isinstance(nn, (B.BoundColumnRef,
                                        B.BoundAggregateRef)) \
                             and _is_wide(nn.key):
                         return None  # computed expr over a wide plane
-                wide_flags.append(False)
+                wide = False
+            # a wide-capable TYPE may grow a high plane inside the trace
+            # (md5_number, hugeint-producing functions) even when no wide
+            # input feeds it — ship the (lo, hi) pair for those too; a
+            # narrow column sign-extends into the hi row at no cost
+            wide_flags.append(wide or t.id is TypeId.HUGEINT
+                              or (t.id is TypeId.DECIMAL
+                                  and (t.width or 0) > 18))
         if order_node is not None:
             for e, _, _ in order_node.items:
                 for nn in B.walk(e):
@@ -617,8 +625,12 @@ class Executor:
             if wide_flags[i]:
                 lo, hi = host_ints[ii][:n], host_ints[ii + 1][:n]
                 ii += 2
-                d = np.array([int(h) * (1 << 64) + (int(l) & ((1 << 64) - 1))
-                              for h, l in zip(hi, lo)], dtype=object)
+                if np.array_equal(hi, lo >> 63):
+                    d = lo  # hi is pure sign-extension: value fits int64
+                else:
+                    d = np.array(
+                        [int(h) * (1 << 64) + (int(l) & ((1 << 64) - 1))
+                         for h, l in zip(hi, lo)], dtype=object)
             elif t.is_float:
                 d = host_floats[fi][:n]
                 fi += 1
@@ -757,9 +769,12 @@ class Executor:
     # serialized searchsorted chain (TPC-H Q3 SF10: 48 s -> sub-second)
     DENSE_JOIN_LIMIT = 1 << 27
 
+    # eager-join build cache row cap: cached Batches pin device planes
+    EAGER_BUILD_CACHE_MAX = 1 << 25
+
     def _exec_Join(self, node: P.Join) -> Batch:
         probe_b = self.execute(node.probe)
-        build_b = self.execute(node.build)
+        build_b = self._exec_build_cached(node)
         if not node.probe_keys and node.jtype not in ("asof", "asof_left"):
             # keyless join: planner routes inequality-only ON conditions
             # here (instead of CrossJoin + Filter) so the IEJoin path can
@@ -810,6 +825,29 @@ class Executor:
             return out
         return self._sorted_join(node, probe_b, build_b, pk, bk,
                                  probe_live, build_live)
+
+    def _exec_build_cached(self, node: P.Join) -> Batch:
+        """Execute the build side with a version-keyed batch cache on the
+        join node — the eager-path analog of the fused pipeline's
+        build-prep cache. A warm query skips the entire build subtree
+        (aggregate builds from flattened correlated subqueries are the
+        expensive case: q20 re-ran a 6M-row 2-key grouped aggregate on
+        every call). The cache key is every scanned (table, nrows,
+        version) under the build; chunked scan overrides disable it."""
+        from duckdb_tpu.execution.fused_agg import _scan_versions
+
+        vkey = _scan_versions(self, node.build)
+        if vkey is None:
+            return self.execute(node.build)
+        cache = node.__dict__.setdefault("_eager_build_cache", {})
+        hit = cache.get(vkey)
+        if hit is not None:
+            return hit
+        build_b = self.execute(node.build)
+        if build_b.plen <= self.EAGER_BUILD_CACHE_MAX:
+            cache.clear()
+            cache[vkey] = build_b
+        return build_b
 
     def _build_known_unique(self, node, build_b) -> bool:
         """True if catalog stats prove the build key is row-unique — skips

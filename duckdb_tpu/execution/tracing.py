@@ -27,6 +27,15 @@ def _empty_bool():
     return _EMPTY_BOOL_CACHE[0]
 
 
+_EMPTY_I64_CACHE = []
+
+
+def _empty_i64():
+    if not _EMPTY_I64_CACHE:
+        _EMPTY_I64_CACHE.append(jnp.ones((0,), jnp.int64))
+    return _EMPTY_I64_CACHE[0]
+
+
 from duckdb_tpu.blocks import Column
 from duckdb_tpu.planner import bound as B
 
@@ -135,11 +144,13 @@ def run_jitted(node, tag: str, batch, exprs: Sequence[B.BoundExpr],
             tcols = {}
             for i, k in enumerate(keys):
                 t = templates[k]
-                validity = arrays[2 * i + 1]
+                validity = arrays[3 * i + 1]
+                data_hi = arrays[3 * i + 2]
                 tcols[k] = Column(
-                    data=arrays[2 * i], ltype=t.ltype,
+                    data=arrays[3 * i], ltype=t.ltype,
                     validity=None if validity.shape[0] == 0 else validity,
                     dict_values=t.dict_values,
+                    data_hi=None if data_hi.shape[0] == 0 else data_hi,
                 )
             env = TraceEnv(tcols, plen, live, overlay)
             env.aux = dict(zip(aux_names, aux_vals))
@@ -153,4 +164,8 @@ def run_jitted(node, tag: str, batch, exprs: Sequence[B.BoundExpr],
         arrays.append(c.data)
         arrays.append(c.validity if c.validity is not None
                       else _empty_bool())
+        # wide (>int64) columns thread their high plane through as a real
+        # input — dropping it silently truncated HUGEINT values to int64
+        arrays.append(c.data_hi if c.data_hi is not None
+                      else _empty_i64())
     return fn(batch.live, tuple(aux[n] for n in aux_names), *arrays)
