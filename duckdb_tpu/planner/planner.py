@@ -68,8 +68,9 @@ def hoist_or_common(ast: N.Expr) -> List[N.Expr]:
     branch_lists = [split_conjuncts(b) for b in ast.children]
     common = [c for c in branch_lists[0]
               if all(any(c == d for d in bl) for bl in branch_lists[1:])]
+    implied = _implied_in_filters(branch_lists)
     if not common:
-        return [ast]
+        return implied + [ast]
     rest_branches = []
     for bl in branch_lists:
         rest = [c for c in bl if not any(c == d for d in common)]
@@ -77,7 +78,52 @@ def hoist_or_common(ast: N.Expr) -> List[N.Expr]:
             return common  # one branch is exactly the common set → OR is implied
         rest_branches.append(rest[0] if len(rest) == 1
                              else N.Conjunction("and", rest))
-    return common + [N.Conjunction("or", rest_branches)]
+    return implied + common + [N.Conjunction("or", rest_branches)]
+
+
+def _implied_in_filters(branch_lists) -> List[N.Expr]:
+    """Derive redundant single-column filters implied by an OR of
+    conjunctions: if EVERY branch pins column c to a literal (c = v, or
+    c IN (vs)), then `c IN (union of values)` holds whenever the OR does.
+    The derived filter pushes into c's atom — turning the q07 nation-pair
+    OR into restrictive dimension builds — while the original OR stays
+    for exactness (reference filter_combiner derives the same class)."""
+    def eq_map(conj):
+        out = {}
+        for c in conj:
+            if (isinstance(c, N.BinaryOp) and c.op == "="
+                    and isinstance(c.left, N.ColumnRef)
+                    and isinstance(c.right, N.Literal)):
+                ref, vals = c.left, [c.right]
+            elif (isinstance(c, N.BinaryOp) and c.op == "="
+                    and isinstance(c.right, N.ColumnRef)
+                    and isinstance(c.left, N.Literal)):
+                ref, vals = c.right, [c.left]
+            elif (isinstance(c, N.InList) and not c.negated
+                    and isinstance(c.expr, N.ColumnRef)
+                    and all(isinstance(i, N.Literal) for i in c.items)):
+                ref, vals = c.expr, list(c.items)
+            else:
+                continue
+            key = tuple(p.lower() for p in ref.parts)
+            out.setdefault(key, (ref, []))[1].extend(vals)
+        return out
+    maps = [eq_map(bl) for bl in branch_lists]
+    derived = []
+    for colkey, (ref, vals) in maps[0].items():
+        seen, items = set(), []
+        for m in maps:
+            if colkey not in m:
+                items = None
+                break
+            for v in m[colkey][1]:
+                if repr(v.value) not in seen:
+                    seen.add(repr(v.value))
+                    items.append(v)
+        if items:
+            derived.append(N.InList(ref, items) if len(items) > 1
+                           else N.BinaryOp("=", ref, items[0]))
+    return derived
 
 
 @dataclass
