@@ -46,10 +46,13 @@ GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
 
-SECONDARY = ["q03", "q05", "q06", "q09", "q10", "q18"]
+SECONDARY = ["q03", "q05", "q06", "q09", "q10", "q18", "q04", "q07",
+             "q12", "q14", "q17", "q19", "q21", "q22", "q02", "q08",
+             "q11", "q15", "q16", "q20", "q13"]
 # q09 LAST: its SF10 program is the largest compile; if the cache is
 # cold the budget guard skips it rather than losing the whole block
-SECONDARY_SF2 = ["q01", "q03", "q05", "q06", "q10", "q18", "q09"]
+SECONDARY_SF2 = ["q01", "q03", "q05", "q06", "q10", "q18", "q07",
+                 "q12", "q21", "q09"]
 
 
 def ensure_data():

@@ -792,6 +792,19 @@ class Executor:
         if node.jtype in ("asof", "asof_left"):
             return self._asof_join(node, probe_b, build_b, pk, bk,
                                    probe_live, build_live)
+        if node.jtype in ("inner", "semi"):
+            # runtime join-filter pushdown (BuildPrefixRangeFilter analog,
+            # reference join_hashtable.cpp:1011): tighten the probe mask
+            # by the build's ACTUAL packed-key range — device-side, no
+            # host sync. Selective (filtered) builds drop most probe rows
+            # before any join work; packing is monotone per key slot so
+            # the packed range is a sound necessary condition. Anti/outer
+            # probes must keep non-matching rows, so only inner/semi.
+            info = jnp.iinfo(pk.dtype)
+            blo = jnp.min(jnp.where(build_live, bk, info.max))
+            bhi = jnp.max(jnp.where(build_live, bk, info.min))
+            probe_live = jnp.logical_and(
+                probe_live, jnp.logical_and(pk >= blo, pk <= bhi))
         if node.jtype in ("semi", "anti") and node.extra is not None:
             out = self._try_semi_neq(node, probe_b, build_b)
             if out is not None:
