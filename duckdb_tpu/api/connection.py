@@ -1193,13 +1193,39 @@ class Connection:
             t = cd.ltype
             vals = [r[ci] for r in rows]
             valid = np.array([v is not None for v in vals], dtype=bool)
-            if t.id in (TypeId.LIST, TypeId.STRUCT):
+            if t.id in (TypeId.LIST, TypeId.STRUCT, TypeId.ARRAY,
+                        TypeId.UNION):
+                if t.id is TypeId.UNION:
+                    # rows() materializes a union as its VALUE; re-wrap
+                    # with the first member whose type matches (tagged
+                    # (tag, value) tuples pass through unchanged)
+                    def _wrap_union(v, t=t):
+                        if v is None:
+                            return None
+                        if (isinstance(v, tuple) and len(v) == 2
+                                and isinstance(v[0], int)):
+                            return v
+                        for ki, (_, ft) in enumerate(t.fields or ()):
+                            if ((ft.id is TypeId.VARCHAR
+                                 and isinstance(v, str))
+                                    or (ft.is_integer
+                                        and isinstance(v, int)
+                                        and not isinstance(v, bool))
+                                    or (ft.is_float
+                                        and isinstance(v, float))
+                                    or (ft.id is TypeId.BOOLEAN
+                                        and isinstance(v, bool))):
+                                return (ki, v)
+                        return (0, v)
+                    entries = [_wrap_union(v) for v in vals]
+                else:
+                    entries = [None if v is None else tuple(v)
+                               for v in vals]
                 phys = np.array(
                     [0 if v is None else i for i, v in enumerate(vals)],
                     dtype=np.int32)
                 # stash logical entries; merged below via re-encode
-                new_cols[cname + "\0entries"] = [
-                    None if v is None else tuple(v) for v in vals]
+                new_cols[cname + "\0entries"] = entries
             elif t.id is TypeId.VARCHAR:
                 phys = np.array([("" if v is None else str(v)) for v in vals],
                                 dtype=object)
@@ -1227,11 +1253,14 @@ class Connection:
                     return int(v)
                 phys = np.array([0 if v is None else _tmicros(v)
                                  for v in vals], dtype=t.np_dtype)
-            elif t.id is TypeId.TIMESTAMP:
+            elif t.id in (TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ):
                 def _tsmicros(v):
                     if isinstance(v, str):
                         v = datetime.datetime.fromisoformat(v)
                     if isinstance(v, datetime.datetime):
+                        if v.tzinfo is not None:
+                            v = v.astimezone(datetime.timezone.utc)\
+                                 .replace(tzinfo=None)
                         return int((v - datetime.datetime(1970, 1, 1))
                                    .total_seconds() * 1e6)
                     return int(v)
@@ -1254,7 +1283,8 @@ class Connection:
             else:
                 phys = np.zeros(n_new, dtype=old_vals.dtype)
                 valid = np.zeros(n_new, dtype=bool)
-            if t.id in (TypeId.LIST, TypeId.STRUCT):
+            if t.id in (TypeId.LIST, TypeId.STRUCT, TypeId.ARRAY,
+                        TypeId.UNION):
                 from duckdb_tpu.planner.functions_nested import encode_objects
 
                 old_entries = ([tuple(old_dict[c]) for c in old_vals]

@@ -275,8 +275,16 @@ class Result:
                 v = vals[i]
                 if t.id is TypeId.VARCHAR:
                     out.append(str(dvals[v]))
-                elif t.id is TypeId.LIST:
+                elif t.id is TypeId.BIT:
+                    out.append(str(dvals[v]))
+                elif t.id in (TypeId.LIST, TypeId.ARRAY):
                     out.append(list(dvals[v]))
+                elif t.id is TypeId.UNION:
+                    out.append(dvals[v][1])  # (tag, value) → the value
+                elif t.id is TypeId.TIMESTAMPTZ:
+                    out.append((datetime.datetime(
+                        1970, 1, 1, tzinfo=datetime.timezone.utc)
+                        + datetime.timedelta(microseconds=int(v))))
                 elif t.id is TypeId.MAP:
                     out.append(dict(dvals[v]))
                 elif t.id is TypeId.STRUCT:
@@ -414,7 +422,8 @@ class Executor:
         from duckdb_tpu.execution.tracing import TraceEnv, run_jitted
         from duckdb_tpu.ops import sort as S
 
-        if any(t.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP, TypeId.BLOB)
+        if any(t.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP, TypeId.BLOB,
+                        TypeId.ARRAY, TypeId.UNION, TypeId.BIT)
                for _, _, t in output):
             return None  # nested outputs carry object dicts the packed
             # tail would drop: general path. (HUGEINT outputs stay: narrow
@@ -2174,6 +2183,19 @@ class Executor:
                 dvals = np.union1d(ca.dict_values, cb.dict_values).astype(object)
                 da = la[jnp.clip(da, 0, len(la) - 1)]
                 db = lb[jnp.clip(db, 0, len(lb) - 1)]
+            elif t.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP,
+                          TypeId.BLOB, TypeId.BIT, TypeId.UNION,
+                          TypeId.ARRAY):
+                # object-dict types: concatenate dictionaries (b's codes
+                # shift past a's entries; no dedup needed for correctness)
+                dla = (list(ca.dict_values)
+                       if ca.dict_values is not None else [])
+                dlb = (list(cb.dict_values)
+                       if cb.dict_values is not None else [])
+                dvals = np.empty(max(len(dla) + len(dlb), 1), object)
+                for i, e in enumerate(dla + dlb):
+                    dvals[i] = e
+                db = db + len(dla)
             data = jnp.zeros((cap,), da.dtype)
             data = data.at[:na].set(da).at[na:na + nb].set(db.astype(da.dtype))
             valid = jnp.zeros((cap,), jnp.bool_)

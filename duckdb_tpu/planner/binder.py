@@ -10,6 +10,7 @@ duckdb's BoundAggregateExpression extraction.
 from __future__ import annotations
 
 import datetime
+import re
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
 
@@ -125,6 +126,19 @@ def _parse_date(s: str) -> int:
     return (d - datetime.date(1970, 1, 1)).days
 
 
+def _parse_timestamptz(s: str) -> int:
+    """Text → UTC micros. Accepts an optional ±HH[:MM] offset or Z;
+    offset-less text is interpreted in the session TimeZone (UTC)."""
+    s = s.strip()
+    if s.endswith(("Z", "z")):
+        s = s[:-1]
+    dt = datetime.datetime.fromisoformat(s)
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    epoch = datetime.datetime(1970, 1, 1)
+    return int((dt - epoch).total_seconds() * 1_000_000)
+
+
 def _parse_timestamp(s: str) -> int:
     s = s.strip()
     # duckdb rejects a time part with only an hour ('1111-11-11 11');
@@ -198,6 +212,13 @@ _TYPE_NAMES = {
     "blob": BLOB, "bytea": BLOB, "binary": BLOB, "varbinary": BLOB,
 }
 
+from duckdb_tpu.types import BIT as _BIT, TIMESTAMPTZ as _TSTZ  # noqa: E402
+
+_TYPE_NAMES.update({
+    "timestamptz": _TSTZ, "timetz": TIME,
+    "bit": _BIT, "bitstring": _BIT,
+})
+
 
 def resolve_type_name(name: str, mods: Tuple[int, ...]) -> LogicalType:
     n = name.lower()
@@ -205,6 +226,17 @@ def resolve_type_name(name: str, mods: Tuple[int, ...]) -> LogicalType:
         from duckdb_tpu.types import list_of
 
         return list_of(resolve_type_name(n[:-2], mods))
+    m = re.match(r"^(.*)\[(\d+)\]$", n)
+    if m:
+        from duckdb_tpu.types import array_of
+
+        return array_of(resolve_type_name(m.group(1), mods),
+                        int(m.group(2)))
+    if n.startswith("union(") and n.endswith(")"):
+        from duckdb_tpu.types import union_of
+
+        inner = resolve_type_name("struct(" + n[6:-1] + ")", ())
+        return union_of(*inner.fields)
     if n.startswith("struct(") and n.endswith(")"):
         from duckdb_tpu.types import struct_of
 
@@ -735,7 +767,18 @@ class ExprBinder:
             rt, impl = FP.bind_struct_insert_update(name, base_b, pairs)
             return B.BoundFunction(name, [base_b], rt, impl)
         if name in F.REGISTRY:
-            args = [self.bind(a) for a in e.args]
+            args = []
+            for a in e.args:
+                if (name in ("struct_pack", "row", "union_value")
+                        and isinstance(a, N.BinaryOp)
+                        and a.op in (":=", "=>")
+                        and isinstance(a.left, N.ColumnRef)):
+                    # named argument: field/tag := value
+                    b = self.bind(a.right)
+                    b.alias = a.left.parts[-1]
+                    args.append(b)
+                else:
+                    args.append(self.bind(a))
             rt, impl, args2 = F.REGISTRY[name](args)
             return B.BoundFunction(name, args2, rt, impl)
         raise BindError(f"Scalar Function with name {name} does not exist!")

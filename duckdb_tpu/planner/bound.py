@@ -149,10 +149,12 @@ class BoundLiteral(BoundExpr):
                 ltype=VARCHAR,
                 dict_values=np.array([self.value], dtype=object),
             )
-        if self.ltype.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP):
+        if self.ltype.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP,
+                             TypeId.ARRAY, TypeId.UNION, TypeId.BIT):
             # nested constant → single-entry dictionary, code 0
             d = np.empty(1, dtype=object)
-            d[0] = tuple(self.value)
+            d[0] = (self.value if self.ltype.id is TypeId.BIT
+                    else tuple(self.value))
             return Column(data=jnp.zeros((env.plen,), dtype=jnp.int32),
                           ltype=self.ltype, dict_values=d)
         if self.ltype.id is TypeId.INTERVAL and isinstance(
@@ -312,7 +314,8 @@ def _common_numeric(lc: Column, rc: Column):
     # the reference's implicit date→timestamp cast in comparisons
     # (/root/reference/src/function/cast/time_casts.cpp)
     lt, rt = lc.ltype.id, rc.ltype.id
-    if TypeId.TIMESTAMP in (lt, rt) and TypeId.DATE in (lt, rt):
+    _ts = (TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ)
+    if (lt in _ts or rt in _ts) and TypeId.DATE in (lt, rt):
         if lt is TypeId.DATE:
             x = x * jnp.int64(86_400_000_000)
         else:
@@ -589,18 +592,20 @@ def _coerce_to(c: Column, t: LogicalType, env: EvalEnv,
         return Column(data=d, ltype=t, validity=c.validity)
     if t.id is TypeId.VARCHAR and c.ltype.id is TypeId.VARCHAR:
         return c
-    if t.id in (TypeId.DATE, TypeId.TIMESTAMP) and c.ltype.id in (
-        TypeId.DATE,
-        TypeId.TIMESTAMP,
-    ):
+    if t.id in (TypeId.DATE, TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ) \
+            and c.ltype.id in (TypeId.DATE, TypeId.TIMESTAMP,
+                               TypeId.TIMESTAMPTZ):
         if t.id == c.ltype.id:
             return c
-        if t.id is TypeId.TIMESTAMP:
-            return Column(
-                data=c.data.astype(jnp.int64) * jnp.int64(86400_000_000),
-                ltype=t,
-                validity=c.validity,
-            )
+        if t.id in (TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ):
+            if c.ltype.id is TypeId.DATE:
+                # TIMESTAMPTZ is UTC micros; session TimeZone is UTC, so
+                # timestamp<->timestamptz is a relabel (reference applies
+                # the session offset, timezone.cpp)
+                return Column(
+                    data=c.data.astype(jnp.int64) * jnp.int64(86400_000_000),
+                    ltype=t, validity=c.validity)
+            return Column(data=c.data, ltype=t, validity=c.validity)
         return Column(
             data=(c.data // jnp.int64(86400_000_000)).astype(jnp.int32),
             ltype=t,
@@ -624,6 +629,75 @@ def _coerce_to(c: Column, t: LogicalType, env: EvalEnv,
                           dict_values=np.array([""], dtype=object))
         return Column(data=jnp.zeros((n,), t.np_dtype), ltype=t,
                       validity=jnp.zeros((n,), jnp.bool_))
+    if c.ltype.id is TypeId.BIT and t.id is TypeId.VARCHAR:
+        return Column(data=c.data, ltype=t, validity=c.validity,
+                      dict_values=c.dict_values)
+    if c.ltype.id is TypeId.LIST and t.id is TypeId.ARRAY:
+        # LIST -> ARRAY(N): validate every referenced tuple's length
+        dv = c.dict_values if c.dict_values is not None else []
+        ok = np.array([len(e) == t.width for e in dv] or [True])
+        if not ok.all():
+            bad_rows = _codes_hit_bad(c, ok)
+            if bad_rows and not try_cast:
+                from duckdb_tpu.errors import ConversionException
+
+                raise ConversionException(
+                    f"Cannot cast list of length "
+                    f"{len(dv[int(np.argmin(ok))])} to {t!r}")
+            okv = jnp.asarray(ok)[jnp.clip(c.data, 0, max(len(dv) - 1, 0))]
+            validity = (okv if c.validity is None
+                        else jnp.logical_and(c.validity, okv))
+            return Column(data=c.data, ltype=t, validity=validity,
+                          dict_values=c.dict_values)
+        return Column(data=c.data, ltype=t, validity=c.validity,
+                      dict_values=c.dict_values)
+    if c.ltype.id is TypeId.ARRAY and t.id is TypeId.LIST:
+        return Column(data=c.data, ltype=t, validity=c.validity,
+                      dict_values=c.dict_values)
+    if t.id is TypeId.UNION and c.ltype.id is TypeId.UNION:
+        # union -> union: remap tag indices by member name
+        src_names = [n for n, _ in (c.ltype.fields or ())]
+        dst_idx = {n.lower(): i for i, (n, _) in enumerate(t.fields or ())}
+        dv = c.dict_values if c.dict_values is not None else []
+        d = np.empty(max(len(dv), 1), object)
+        for i, e in enumerate(dv):
+            if e is None or not e:
+                d[i] = e
+                continue
+            tag, v = e
+            name = src_names[tag] if tag < len(src_names) else None
+            if name is None or name.lower() not in dst_idx:
+                raise BindError(
+                    f"union member {name!r} not present in {t!r}")
+            d[i] = (dst_idx[name.lower()], v)
+        return Column(data=c.data, ltype=t, validity=c.validity,
+                      dict_values=d)
+    if t.id is TypeId.UNION and c.ltype.id is not TypeId.UNION:
+        # member-type -> union: wrap each distinct value with the first
+        # tag whose type accepts it implicitly (reference union_casts.cpp)
+        from duckdb_tpu.types import implicit_cast_cost
+
+        tag = None
+        for i, (fname, ft) in enumerate(t.fields or ()):
+            if ft == c.ltype or implicit_cast_cost(c.ltype, ft) is not None:
+                tag = i
+                break
+        if tag is None:
+            raise BindError(f"no union member accepts {c.ltype!r}")
+        host = _host_values(c)
+        seen, codes = {}, np.empty(len(host), np.int32)
+        for i, v in enumerate(host):
+            e = (tag, v)
+            if e not in seen:
+                seen[e] = len(seen)
+            codes[i] = seen[e]
+        d = np.empty(max(len(seen), 1), object)
+        for e, i in seen.items():
+            d[i] = e
+        return Column(data=jnp.asarray(codes)[jnp.clip(
+            c.data.astype(jnp.int32), 0, max(len(host) - 1, 0))]
+            if c.dict_values is not None else jnp.asarray(codes),
+            ltype=t, validity=c.validity, dict_values=d)
     if t.id is TypeId.VARCHAR:
         return _cast_to_varchar(c, env)
     if c.ltype.id is TypeId.VARCHAR:
@@ -650,12 +724,14 @@ def format_varchar(v, t: LogicalType) -> str:
     if t.id is TypeId.DATE:
         return (datetime.date(1970, 1, 1)
                 + datetime.timedelta(days=int(v))).isoformat()
-    if t.id is TypeId.TIMESTAMP:
+    if t.id in (TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ):
         dt = (datetime.datetime(1970, 1, 1)
               + datetime.timedelta(microseconds=int(v)))
         s = dt.strftime("%Y-%m-%d %H:%M:%S")
         if dt.microsecond:
             s += f".{dt.microsecond:06d}".rstrip("0")
+        if t.id is TypeId.TIMESTAMPTZ:
+            s += "+00"  # session TimeZone is UTC
         return s
     if t.id is TypeId.TIME:
         us = int(v)
@@ -694,6 +770,28 @@ def _cast_to_varchar(c: Column, env) -> Column:
                   dict_values=uniq.astype(object))
 
 
+def _host_values(c: Column):
+    """Distinct host values of a column: dict values when dict-encoded,
+    else the concretized data (raises under jit → eager fallback, the
+    _cast_to_varchar contract)."""
+    if c.dict_values is not None:
+        return list(c.dict_values)
+    return [v for v in np.asarray(c.data).tolist()]
+
+
+def _codes_hit_bad(c: Column, ok: np.ndarray) -> bool:
+    """True if any VALID row references a dict entry marked not-ok."""
+    try:
+        codes = np.asarray(c.data)
+        valid = np.asarray(c.validity) if c.validity is not None else None
+        ref = codes if valid is None else codes[np.broadcast_to(
+            valid, codes.shape)]
+        ref = np.clip(ref, 0, max(len(ok) - 1, 0))
+        return bool((~ok[ref]).any())
+    except Exception:  # noqa: BLE001 (traced: defer to NULL-out)
+        return c.validity is None
+
+
 def _cast_from_varchar(c: Column, t: LogicalType,
                        try_cast: bool = False) -> Column:
     """VARCHAR → numeric/date/etc: parse each DISTINCT value once into a
@@ -703,7 +801,37 @@ def _cast_from_varchar(c: Column, t: LogicalType,
 
     from duckdb_tpu.storage.csv import parse_decimal_text
 
-    if t.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP):
+    if t.id is TypeId.UNION:
+        # VARCHAR → union: wrap into the first VARCHAR-accepting member
+        for ki, (fname, ft) in enumerate(t.fields or ()):
+            if ft.id is TypeId.VARCHAR:
+                dv = c.dict_values if c.dict_values is not None else []
+                d = np.empty(max(len(dv), 1), object)
+                for i, v in enumerate(dv):
+                    d[i] = (ki, str(v))
+                return Column(data=c.data, ltype=t, validity=c.validity,
+                              dict_values=d)
+        raise BindError(f"no union member accepts VARCHAR in {t!r}")
+    if t.id is TypeId.BIT:
+        # bitstring text: validate 0/1 per distinct value, keep the dict
+        dv = c.dict_values if c.dict_values is not None else []
+        ok = np.array([len(s_) > 0 and all(ch in "01" for ch in str(s_))
+                       for s_ in dv] or [True])
+        if not ok.all() and not try_cast and _codes_hit_bad(c, ok):
+            from duckdb_tpu.errors import ConversionException
+
+            raise ConversionException(
+                f"Could not convert string "
+                f"'{dv[int(np.argmin(ok))]}' to BIT")
+        validity = c.validity
+        if not ok.all():
+            okv = jnp.asarray(ok)[jnp.clip(c.data, 0, max(len(dv) - 1, 0))]
+            validity = okv if validity is None \
+                else jnp.logical_and(validity, okv)
+        return Column(data=c.data, ltype=t, validity=validity,
+                      dict_values=np.array([str(s_) for s_ in dv] or [""],
+                                           dtype=object))
+    if t.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP, TypeId.ARRAY):
         # nested cast: parse each distinct string into a host tuple
         # (reference: src/function/cast/list_cast.cpp, struct_cast.cpp)
         from duckdb_tpu.planner.nested_cast import cast_str_to_nested
@@ -764,6 +892,10 @@ def _cast_from_varchar(c: Column, t: LogicalType,
             from duckdb_tpu.planner.binder import _parse_timestamp
 
             return _parse_timestamp(s)
+        if t.id is TypeId.TIMESTAMPTZ:
+            from duckdb_tpu.planner.binder import _parse_timestamptz
+
+            return _parse_timestamptz(s)
         if t.id is TypeId.DECIMAL:
             return parse_decimal_text(s, t.scale)
         if t.id is TypeId.TIME:

@@ -147,8 +147,41 @@ def fold_cast(node) -> object:
                 f"the value is out of range for the destination type "
                 f"{int_type_name(dst.np_dtype)}")
         return out
+    if src.id is TypeId.VARCHAR and dst.id is TypeId.BIT:
+        sv = str(v)
+        if sv and all(ch in "01" for ch in sv):
+            return sv
+        if node.try_cast:
+            return None
+        from duckdb_tpu.errors import ConversionException
+
+        raise ConversionException(f"Could not convert string '{sv}' to BIT")
+    if src.id is TypeId.VARCHAR and dst.id is TypeId.TIMESTAMPTZ:
+        from duckdb_tpu.planner.binder import _parse_timestamptz
+
+        try:
+            return _parse_timestamptz(str(v))
+        except ValueError:
+            if node.try_cast:
+                return None
+            raise
+    if src.id is TypeId.LIST and dst.id is TypeId.ARRAY:
+        t = tuple(v)
+        if len(t) != dst.width:
+            if node.try_cast:
+                return None
+            from duckdb_tpu.errors import ConversionException
+
+            raise ConversionException(
+                f"Cannot cast list of length {len(t)} to {dst!r}")
+        return t
+    if src.id is TypeId.ARRAY and dst.id is TypeId.LIST:
+        return tuple(v)
+    if src.id in (TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ) \
+            and dst.id in (TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ):
+        return int(v)
     if src.id is TypeId.VARCHAR and dst.id in (TypeId.LIST, TypeId.STRUCT,
-                                               TypeId.MAP):
+                                               TypeId.MAP, TypeId.ARRAY):
         from duckdb_tpu.planner.nested_cast import cast_str_to_nested
 
         try:

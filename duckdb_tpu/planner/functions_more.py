@@ -229,8 +229,28 @@ def _as_bytes(s):
     return bytes(s) if not isinstance(s, str) else s.encode()
 
 
-_dict_str("bit_length", lambda s: len(_as_bytes(s)) * 8, ret=BIGINT)
-_dict_str("octet_length", lambda s: len(_as_bytes(s)), ret=BIGINT)
+def _register_length_with_bit(name, str_fn, bit_fn):
+    # BIT-typed args count BITS, not carrier bytes (reference bit.cpp)
+    base = _dict_str(name, str_fn, ret=BIGINT)
+
+    def binder(arg_exprs):
+        if arg_exprs[0].ltype.id is TypeId.BIT:
+            def impl(env, cols, node):
+                c = cols[0]
+                lut = np.fromiter((bit_fn(str(s)) for s in c.dict_values),
+                                  dtype=np.int64, count=len(c.dict_values))
+                d = jnp.asarray(lut)[jnp.clip(c.data, 0, len(lut) - 1)]
+                return Column(data=d, ltype=BIGINT, validity=c.validity)
+            return BIGINT, impl, arg_exprs
+        return base(arg_exprs)
+
+    REGISTRY[name] = binder
+
+
+_register_length_with_bit("bit_length", lambda s: len(_as_bytes(s)) * 8,
+                          lambda b: len(b))
+_register_length_with_bit("octet_length", lambda s: len(_as_bytes(s)),
+                          lambda b: (len(b) + 7) // 8)
 _dict_str("to_base64", lambda s: _b64.b64encode(_as_bytes(s)).decode(),
           aliases=("base64",))
 _dict_str("from_base64", lambda s: _b64.b64decode(s).decode("utf-8",

@@ -25,8 +25,8 @@ import numpy as np
 from duckdb_tpu.blocks import Column
 from duckdb_tpu.planner.functions import REGISTRY, register
 from duckdb_tpu.types import (
-    BIGINT, BOOLEAN, DOUBLE, SQLNULL, VARCHAR, LogicalType, TypeId, list_of,
-    map_of, struct_of,
+    BIGINT, BOOLEAN, DOUBLE, INTEGER, SQLNULL, VARCHAR, LogicalType, TypeId,
+    list_of, map_of, struct_of,
 )
 
 
@@ -127,13 +127,13 @@ def _column_from_pyvals(vals, ct: LogicalType):
     """Per-dict-entry Python values → (lut data, lut validity, dict|None)."""
     n = len(vals)
     valid = np.array([v is not None for v in vals], dtype=bool)
-    if ct.id is TypeId.VARCHAR:
+    if ct.id in (TypeId.VARCHAR, TypeId.BIT):
         strs = np.array([("" if v is None else str(v)) for v in vals],
                         dtype=object)
         uniq, inv = (np.unique(strs.astype(str), return_inverse=True)
                      if n else (np.empty(0, object), np.empty(0, np.int64)))
         return inv.astype(np.int32), valid, uniq.astype(object)
-    if ct.id in (TypeId.LIST, TypeId.STRUCT):
+    if ct.id in (TypeId.LIST, TypeId.STRUCT, TypeId.ARRAY, TypeId.UNION):
         codes, dvals = encode_objects(
             [(() if v is None else tuple(v)) for v in vals])
         return codes, valid, dvals
@@ -173,7 +173,7 @@ def _bind_list_extract(arg_exprs):
         return map_element(arg_exprs)
     if base.ltype.id is TypeId.STRUCT:
         return _bind_struct_extract(arg_exprs)
-    if base.ltype.id is not TypeId.LIST:
+    if base.ltype.id not in (TypeId.LIST, TypeId.ARRAY):
         raise BindError(
             f"list_extract expects a LIST argument, got {base.ltype!r}")
     idx = int(arg_exprs[1].const_value())
@@ -199,6 +199,8 @@ def _bind_struct_extract(arg_exprs):
     base = arg_exprs[0]
     if base.ltype.id is TypeId.MAP:
         return map_element(arg_exprs)
+    if base.ltype.id is TypeId.UNION:
+        return _bind_union_extract(arg_exprs)
     if base.ltype.id is not TypeId.STRUCT:
         raise BindError(
             f"struct_extract expects a STRUCT argument, got {base.ltype!r}")
@@ -958,3 +960,152 @@ def _fix_generate_series():
 
 
 _fix_generate_series()
+
+
+# -- UNION / BIT / fixed ARRAY ------------------------------------------------
+# Reference: src/function/scalar/union/, src/common/types/bit.cpp,
+# core_functions/scalar/array/. All three families ride the dictionary
+# plane: values transform once per DISTINCT entry on the host and reach
+# the device as one LUT gather (the engine's nested-type idiom).
+
+def _union_fields(t: LogicalType):
+    if t.id is not TypeId.UNION or not t.fields:
+        raise BindError("expected a UNION argument")
+    return list(t.fields)
+
+
+@register("union_value")
+def _bind_union_value(arg_exprs):
+    if len(arg_exprs) != 1:
+        raise BindError("union_value takes exactly one tag := value")
+    a = arg_exprs[0]
+    tag = getattr(a, "alias", None)
+    if tag is None:
+        raise BindError("union_value requires a named argument (tag := v)")
+    from duckdb_tpu.types import union_of
+
+    lt = union_of((tag, a.ltype))
+
+    def impl(env, cols, node):
+        from duckdb_tpu.planner.bound import _coerce_to
+
+        return _coerce_to(cols[0], lt, env)
+
+    return lt, impl, arg_exprs
+
+
+@register("union_tag")
+def _bind_union_tag(arg_exprs):
+    fields = _union_fields(arg_exprs[0].ltype)
+    names = [n for n, _ in fields]
+
+    def impl(env, cols, node):
+        c = cols[0]
+        return _lut_gather(c, [names[t[0]] if t else None
+                               for t in c.dict_values], VARCHAR)
+
+    return VARCHAR, impl, arg_exprs[:1]
+
+
+@register("union_extract")
+def _bind_union_extract(arg_exprs):
+    fields = _union_fields(arg_exprs[0].ltype)
+    name = str(arg_exprs[1].const_value()).lower()
+    for ki, (fname, ftype) in enumerate(fields):
+        if fname.lower() == name:
+            break
+    else:
+        raise BindError(f'union has no member "{name}"')
+
+    def impl(env, cols, node):
+        c = cols[0]
+        return _lut_gather(c, [t[1] if t and t[0] == ki else None
+                               for t in c.dict_values], ftype)
+
+    return ftype, impl, arg_exprs[:1]
+
+
+@register("array_value")
+def _bind_array_value(arg_exprs):
+    """Fixed-size ARRAY constructor (reference array_value.cpp)."""
+    from duckdb_tpu.types import array_of, max_logical_type
+
+    if not arg_exprs:
+        raise BindError("array_value requires at least one element")
+    ct = arg_exprs[0].ltype
+    for a in arg_exprs[1:]:
+        ct = max_logical_type(ct, a.ltype)
+    lt = array_of(ct, len(arg_exprs))
+    lv = REGISTRY["list_value"](arg_exprs)
+
+    def impl(env, cols, node, _lv_impl=lv[1]):
+        c = _lv_impl(env, cols, node)
+        return Column(data=c.data, ltype=lt, validity=c.validity,
+                      dict_values=c.dict_values)
+
+    return lt, impl, lv[2]
+
+
+def _bit_str(a) -> str:
+    return str(a)
+
+
+def bind_get_bit_typed(arg_exprs):
+    idx = int(arg_exprs[1].const_value())
+
+    def impl(env, cols, node):
+        c = cols[0]
+        return _lut_gather(c, [int(str(t)[idx]) if 0 <= idx < len(str(t))
+                               else None for t in c.dict_values], INTEGER)
+
+    return INTEGER, impl, arg_exprs[:1]
+
+
+def bind_set_bit_typed(arg_exprs):
+    from duckdb_tpu.types import BIT
+
+    idx = int(arg_exprs[1].const_value())
+    nv = int(arg_exprs[2].const_value())
+
+    def impl(env, cols, node):
+        def setb(t):
+            s = str(t)
+            if not (0 <= idx < len(s)):
+                return None
+            return s[:idx] + str(nv & 1) + s[idx + 1:]
+
+        c = cols[0]
+        return _lut_gather(c, [setb(t) for t in c.dict_values], BIT)
+
+    return BIT, impl, arg_exprs[:1]
+
+
+def bind_bit_position_typed(arg_exprs):
+    """1-based position of the substring bitstring, 0 when absent."""
+    sub = str(arg_exprs[0].const_value())
+
+    def impl(env, cols, node):
+        c = cols[0]
+        return _lut_gather(c, [str(t).find(sub) + 1
+                               for t in c.dict_values], INTEGER)
+
+    return INTEGER, impl, arg_exprs[1:]
+
+
+def bind_bitstring_typed(arg_exprs):
+    """bitstring(s, n): zero-extend the bitstring s to length n."""
+    from duckdb_tpu.types import BIT
+
+    n = int(arg_exprs[1].const_value())
+
+    def impl(env, cols, node):
+        def pad(t):
+            s = str(t)
+            if len(s) > n:
+                return None
+            return "0" * (n - len(s)) + s
+
+        c = cols[0]
+        return _lut_gather(c, [pad(t) for t in c.dict_values], BIT)
+
+    return BIT, impl, arg_exprs[:1]

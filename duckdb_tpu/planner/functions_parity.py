@@ -116,8 +116,13 @@ def _bind_bitnot(arg_exprs):
 
 @register("get_bit")
 def _bind_get_bit(arg_exprs):
-    # reference: src/function/scalar/bit/... get_bit(BIT, idx); we expose
-    # the integer form: bit i (0 = MSB of the minimal width) of a BIGINT
+    # reference: src/function/scalar/bit/ — BIT-typed form via the dict
+    # plane; integer form kept for BIGINT args
+    if arg_exprs[0].ltype.id is TypeId.BIT:
+        from duckdb_tpu.planner.functions_nested import bind_get_bit_typed
+
+        return bind_get_bit_typed(arg_exprs)
+
     def impl(env, cols, node):
         a = jnp.broadcast_to(cols[0].data, (env.plen,)).astype(jnp.int64)
         i = jnp.broadcast_to(cols[1].data, (env.plen,)).astype(jnp.int64)
@@ -129,6 +134,11 @@ def _bind_get_bit(arg_exprs):
 
 @register("set_bit")
 def _bind_set_bit(arg_exprs):
+    if arg_exprs[0].ltype.id is TypeId.BIT:
+        from duckdb_tpu.planner.functions_nested import bind_set_bit_typed
+
+        return bind_set_bit_typed(arg_exprs)
+
     def impl(env, cols, node):
         a = jnp.broadcast_to(cols[0].data, (env.plen,)).astype(jnp.int64)
         i = jnp.clip(jnp.broadcast_to(cols[1].data, (env.plen,)), 0,
@@ -143,6 +153,11 @@ def _bind_set_bit(arg_exprs):
 
 @register("bit_position")
 def _bind_bit_position(arg_exprs):
+    if arg_exprs[-1].ltype.id is TypeId.BIT:
+        from duckdb_tpu.planner.functions_nested import (
+            bind_bit_position_typed)
+
+        return bind_bit_position_typed(arg_exprs)
     # bit_position(substring_bits, bits): 1-based position of the first
     # set bit pattern; integer form: position of lowest set bit of arg2
     # matching arg1 — simplified to "position of first set bit" when
@@ -162,8 +177,13 @@ def _bind_bit_position(arg_exprs):
 
 @register("bitstring")
 def _bind_bitstring(arg_exprs):
+    if arg_exprs[0].ltype.id is TypeId.BIT:
+        from duckdb_tpu.planner.functions_nested import (
+            bind_bitstring_typed)
+
+        return bind_bitstring_typed(arg_exprs)
     # bitstring('0101', n) → zero-padded bit string of length n (VARCHAR
-    # carrier: we have no BIT type; reference src/function/scalar/bit/)
+    # carrier when called on plain text)
     n = int(arg_exprs[1].const_value())
 
     def impl(env, cols, node):

@@ -94,15 +94,19 @@ def cast_str_to_nested(s: str, t: LogicalType):
     """Parse a string literal into the engine's host value for `t`
     (a tuple of element values; struct = tuple in field order)."""
     s = s.strip()
-    if t.id is TypeId.LIST:
+    if t.id in (TypeId.LIST, TypeId.ARRAY):
         if not (s.startswith("[") and s.endswith("]")):
             raise ValueError(s)
         inner = s[1:-1].strip()
         if not inner:
-            return ()
-        ct = t.child or LogicalType(TypeId.VARCHAR)
-        return tuple(_cast_scalar(p, ct, _is_quoted(p))
-                     for p in _split_top(inner))
+            out = ()
+        else:
+            ct = t.child or LogicalType(TypeId.VARCHAR)
+            out = tuple(_cast_scalar(p, ct, _is_quoted(p))
+                        for p in _split_top(inner))
+        if t.id is TypeId.ARRAY and len(out) != t.width:
+            raise ValueError(f"array length {len(out)} != {t.width}")
+        return out
     if t.id in (TypeId.STRUCT, TypeId.MAP):
         if not (s.startswith("{") and s.endswith("}")):
             raise ValueError(s)

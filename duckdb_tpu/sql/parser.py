@@ -1165,8 +1165,25 @@ class Parser:
                 self.next(); self.next()
                 name += "[]"
             return name, ()
-        if name == "timestamp" and self.kw() in ("with", "without"):
+        if name == "union" and self.peek().value == "(":
+            # UNION(num INT, str VARCHAR) → canonical name, mirrors STRUCT
+            self.next()
+            fields = []
+            while True:
+                fname = self.expect_ident()
+                ftype, fmods = self.parse_type_name()
+                if fmods:
+                    ftype += "(" + ",".join(str(m) for m in fmods) + ")"
+                fields.append(f"{fname} {ftype}")
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+            return "union(" + ", ".join(fields) + ")", ()
+        if name in ("timestamp", "time") and self.kw() in ("with", "without"):
+            tz = self.kw() == "with"
             self.accept_kw("with", "time", "zone") or self.accept_kw("without", "time", "zone")
+            if tz and name == "timestamp":
+                name = "timestamptz"
         mods: Tuple[int, ...] = ()
         if self.peek().value == "(":
             self.next()
@@ -1176,10 +1193,17 @@ class Parser:
             self.expect_op(")")
             mods = tuple(nums)
         while (self.peek().value == "[" and self.peek().type == TokType.OP
-               and self.peek(1).value == "]"):
+               and self.peek(1).value in ("]",)
+               or (self.peek().value == "["
+                   and self.peek(1).type == TokType.NUMBER
+                   and self.peek(2).value == "]")):
             self.next()
-            self.next()
-            name += "[]"
+            if self.peek().type == TokType.NUMBER:
+                n = int(self.next().value)
+                name += f"[{n}]"  # fixed-size ARRAY (reference types.hpp)
+            else:
+                name += "[]"
+            self.expect_op("]")
         return name, mods
 
     def parse_primary(self) -> N.Expr:
@@ -1266,6 +1290,22 @@ class Parser:
         if k in ("date", "timestamp", "time") and self.peek(1).type == TokType.STRING:
             self.next()
             return N.Literal(self.next().value, type_hint=k)
+        if k in ("timestamptz", "bit", "bitstring") \
+                and self.peek(1).type == TokType.STRING:
+            self.next()
+            return N.CastExpr(N.Literal(self.next().value),
+                              "timestamptz" if k == "timestamptz" else "bit",
+                              ())
+        if (k in ("timestamp", "time")
+                and self.kw(1) in ("with", "without")
+                and self.peek(4).type == TokType.STRING):
+            # TIMESTAMP WITH TIME ZONE '...' typed literal
+            tz = self.kw(1) == "with"
+            base = k
+            for _ in range(4):
+                self.next()
+            name = ("timestamptz" if tz and base == "timestamp" else base)
+            return N.CastExpr(N.Literal(self.next().value), name, ())
         if k == "interval":
             self.next()
             if self.peek().type == TokType.STRING:

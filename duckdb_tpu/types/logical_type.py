@@ -39,6 +39,10 @@ class TypeId(enum.Enum):
     LIST = "list"
     STRUCT = "struct"
     MAP = "map"
+    TIMESTAMPTZ = "timestamptz"
+    BIT = "bit"
+    UNION = "union"
+    ARRAY = "array"
 
 
 _INT_ORDER = [
@@ -74,6 +78,18 @@ _PHYSICAL = {
     TypeId.LIST: np.int32,
     TypeId.STRUCT: np.int32,
     TypeId.MAP: np.int32,
+    # TIMESTAMPTZ: micros since epoch in UTC (the reference's instant
+    # semantics, types.hpp TIMESTAMP_TZ); session TimeZone applies at
+    # render/extract only
+    TypeId.TIMESTAMPTZ: np.int64,
+    # BIT carries a '0'/'1' text bitstring in the dictionary plane
+    # (reference bit.cpp stores packed bytes; exact value semantics,
+    # different carrier)
+    TypeId.BIT: np.int32,
+    # UNION values are dict-encoded (tag_index, value) records; ARRAY is
+    # LIST with a fixed, type-enforced length (width)
+    TypeId.UNION: np.int32,
+    TypeId.ARRAY: np.int32,
 }
 
 
@@ -91,6 +107,13 @@ class LogicalType:
             return f"DECIMAL({self.width},{self.scale})"
         if self.id is TypeId.LIST:
             return f"{self.child!r}[]"
+        if self.id is TypeId.ARRAY:
+            return f"{self.child!r}[{self.width}]"
+        if self.id is TypeId.TIMESTAMPTZ:
+            return "TIMESTAMP WITH TIME ZONE"
+        if self.id is TypeId.UNION and self.fields:
+            inner = ", ".join(f"{n} {t!r}" for n, t in self.fields)
+            return f"UNION({inner})"
         if self.id is TypeId.STRUCT and self.fields:
             inner = ", ".join(f"{n} {t!r}" for n, t in self.fields)
             return f"STRUCT({inner})"
@@ -126,7 +149,8 @@ class LogicalType:
 
     @property
     def is_temporal(self) -> bool:
-        return self.id in (TypeId.DATE, TypeId.TIME, TypeId.TIMESTAMP)
+        return self.id in (TypeId.DATE, TypeId.TIME, TypeId.TIMESTAMP,
+                           TypeId.TIMESTAMPTZ)
 
     @property
     def np_dtype(self):
@@ -154,6 +178,18 @@ TIMESTAMP = LogicalType(TypeId.TIMESTAMP)
 INTERVAL = LogicalType(TypeId.INTERVAL)
 VARCHAR = LogicalType(TypeId.VARCHAR)
 BLOB = LogicalType(TypeId.BLOB)
+TIMESTAMPTZ = LogicalType(TypeId.TIMESTAMPTZ)
+BIT = LogicalType(TypeId.BIT)
+
+
+def union_of(*fields) -> LogicalType:
+    return LogicalType(TypeId.UNION, fields=tuple(fields))
+
+
+def array_of(child: LogicalType, n: int) -> LogicalType:
+    if n <= 0:
+        raise ValueError(f"invalid ARRAY size {n}")
+    return LogicalType(TypeId.ARRAY, width=n, child=child)
 
 
 def decimal(width: int, scale: int) -> LogicalType:
@@ -187,11 +223,32 @@ def implicit_cast_cost(src: LogicalType, dst: LogicalType) -> Optional[int]:
         return 25 if d is TypeId.DOUBLE else 35
     if s is TypeId.FLOAT and d is TypeId.DOUBLE:
         return 10
-    if s is TypeId.DATE and d is TypeId.TIMESTAMP:
+    if s is TypeId.DATE and d in (TypeId.TIMESTAMP, TypeId.TIMESTAMPTZ):
         return 10
-    if s is TypeId.VARCHAR and d in (TypeId.DATE, TypeId.TIMESTAMP):
-        # string literals used in temporal comparisons
+    if s is TypeId.TIMESTAMP and d is TypeId.TIMESTAMPTZ:
+        return 10
+    if s is TypeId.TIMESTAMPTZ and d is TypeId.TIMESTAMP:
+        return 12
+    if s is TypeId.VARCHAR and d in (TypeId.DATE, TypeId.TIMESTAMP,
+                                     TypeId.TIMESTAMPTZ, TypeId.BIT):
+        # string literals used in temporal/bit comparisons
         return 90
+    if s is TypeId.ARRAY and d is TypeId.LIST:
+        return 10  # fixed arrays relax to lists (reference cast_rules)
+    if s is TypeId.LIST and d is TypeId.ARRAY:
+        return 30
+    if s is TypeId.UNION and d is TypeId.UNION:
+        # subset-by-name widening
+        dnames = {n.lower() for n, _ in (dst.fields or ())}
+        if all(n.lower() in dnames for n, _ in (src.fields or ())):
+            return 20
+        return None
+    if d is TypeId.UNION and dst.fields:
+        # member type -> union wrap (union_casts.cpp)
+        for _, ft in dst.fields:
+            c = 0 if ft == src else implicit_cast_cost(src, ft)
+            if c is not None:
+                return 100 + c
     return None
 
 
@@ -203,6 +260,14 @@ def max_logical_type(a: LogicalType, b: LogicalType) -> LogicalType:
         return b
     if b.id is TypeId.SQLNULL:
         return a
+    if a.id is TypeId.UNION and b.id is TypeId.UNION:
+        # merge members by name (reference MaxLogicalType union handling)
+        fields = list(a.fields or ())
+        names = {n.lower() for n, _ in fields}
+        for n, t in (b.fields or ()):
+            if n.lower() not in names:
+                fields.append((n, t))
+        return LogicalType(TypeId.UNION, fields=tuple(fields))
     # decimal/decimal → widen to cover both
     if a.id is TypeId.DECIMAL and b.id is TypeId.DECIMAL:
         scale = max(a.scale, b.scale)

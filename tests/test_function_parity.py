@@ -39,7 +39,6 @@ EXCEPTIONS = {
     # TIME WITH TIME ZONE physical type absent
     "timetz_byte_comparable",
     # UNION type absent (types.hpp:193-260 UNION; tracked in COMPONENTS.md)
-    "union_extract", "union_tag", "union_value",
     # unsigned-int compressed-materialization internals (no UINT types)
     "__internal_compress_integral_ubigint",
     "__internal_compress_integral_uinteger",
