@@ -322,6 +322,24 @@ class Connection:
                 del _OPEN_DBS[_abspath(self.database)]
 
     def _execute_statement(self, s):
+        try:
+            return self._execute_statement_inner(s)
+        except OverflowError as err:
+            # host-side constant math beyond the representable range
+            # (>int64 literal arithmetic, timedelta overflow, ERANGE from
+            # libm) — report as the typed out-of-range error the
+            # reference raises for the same inputs
+            from duckdb_tpu.errors import OutOfRangeException
+
+            raise OutOfRangeException(
+                f"Out of Range Error: value out of range ({err})")
+        except ArithmeticError as err:  # decimal.InvalidOperation et al.
+            from duckdb_tpu.errors import ConversionException
+
+            raise ConversionException(
+                f"Conversion Error: invalid numeric operation ({err})")
+
+    def _execute_statement_inner(self, s):
         if isinstance(s, N.SelectStatement):
             import time as _time
 
@@ -1235,10 +1253,15 @@ class Connection:
                      for v in vals], dtype=t.np_dtype)
             elif t.id is TypeId.DATE:
                 epoch = datetime.date(1970, 1, 1)
+
+                def _days(v):
+                    if isinstance(v, str):
+                        v = datetime.date.fromisoformat(v)
+                    if isinstance(v, datetime.datetime):
+                        v = v.date()  # TIMESTAMP value into a DATE column
+                    return (v - epoch).days
                 phys = np.array(
-                    [0 if v is None else
-                     ((datetime.date.fromisoformat(v) if isinstance(v, str)
-                       else v) - epoch).days for v in vals],
+                    [0 if v is None else _days(v) for v in vals],
                     dtype=t.np_dtype)
             elif t.id is TypeId.TIME:
                 def _tmicros(v):

@@ -477,6 +477,13 @@ def _compute_agg(agg: BoundAggregate, inp, gids, nseg, live, plen, key_data,
         return Column(data=d, ltype=agg.ltype, validity=nonempty)
 
     if f in ("avg", "mean"):
+        if c.data_hi is not None:
+            # wide (>int64) inputs: float accumulation via the limb-aware
+            # conversion (result is DOUBLE anyway)
+            x = jnp.where(mask, _float_of(c, data), 0.0)
+            s = _seg_sum(x, gids, num_segments=nseg)[:-1]
+            return Column(data=s / cnt.astype(jnp.float64), ltype=DOUBLE,
+                          validity=nonempty)
         if c.ltype.id is TypeId.DECIMAL:
             x = jnp.where(mask, data.astype(jnp.int64), 0)
             s = _seg_sum(x, gids, num_segments=nseg)[:-1]
@@ -588,6 +595,11 @@ def _compute_agg(agg: BoundAggregate, inp, gids, nseg, live, plen, key_data,
             except (BindError, ValueError):
                 q = 0.5
         interpolate = f in ("median", "quantile_cont") and not c.ltype.id is TypeId.VARCHAR
+        if c.data_hi is not None:
+            # wide (>int64) inputs: rank in float64 via the limb-aware
+            # conversion (~1 ulp at 1e19; the reference is exact)
+            data = _float_of(c, data)
+            c = Column(data=data, ltype=DOUBLE, validity=c.validity)
         kd = _key_data(c, plen)
         operands = [jnp.logical_not(mask), gids.astype(jnp.int32),
                     jnp.where(mask, kd, 0)]
@@ -971,9 +983,19 @@ def _approx_count_distinct(agg, c, data, mask, gids, nseg, plen):
 
 
 def _float_of(c, data):
+    d = data
     if c.ltype.id is TypeId.DECIMAL:
-        return data.astype(jnp.float64) / (10.0 ** c.ltype.scale)
-    return data.astype(jnp.float64)
+        out = d.astype(jnp.float64) / (10.0 ** c.ltype.scale)
+    else:
+        out = d.astype(jnp.float64)
+    if c.data_hi is not None:
+        # wide value = hi*2^64 + uint64(lo)
+        s = jnp.float64(10.0 ** c.ltype.scale
+                        if c.ltype.id is TypeId.DECIMAL else 1.0)
+        out = out + jnp.where(d < 0, jnp.float64(2.0**64) / s, 0.0) \
+            + jnp.broadcast_to(c.data_hi, d.shape).astype(jnp.float64) \
+            * (jnp.float64(2.0**64) / s)
+    return out
 
 
 def _decode_float_key(enc, dtype):

@@ -35,8 +35,17 @@ STAT_AGGS = _TWO_ARG | _ONE_ARG
 def _f64(c: Column, plen: int) -> jnp.ndarray:
     d = jnp.broadcast_to(c.data, (plen,))
     if c.ltype.id is TypeId.DECIMAL:
-        return d.astype(jnp.float64) / jnp.float64(10.0 ** c.ltype.scale)
-    return d.astype(jnp.float64)
+        out = d.astype(jnp.float64) / jnp.float64(10.0 ** c.ltype.scale)
+    else:
+        out = d.astype(jnp.float64)
+    if c.data_hi is not None:
+        # wide value = hi*2^64 + uint64(lo)
+        s = jnp.float64(10.0 ** c.ltype.scale
+                        if c.ltype.id is TypeId.DECIMAL else 1.0)
+        out = out + jnp.where(d < 0, jnp.float64(2.0**64) / s, 0.0) \
+            + jnp.broadcast_to(c.data_hi, d.shape).astype(jnp.float64) \
+            * (jnp.float64(2.0**64) / s)
+    return out
 
 
 def compute_stat_agg(agg, c, data, mask, gids, nseg, plen, n_groups,

@@ -114,6 +114,19 @@ class Scope:
         except BindError:
             return None
 
+    def remove_keys(self, keys) -> None:
+        """Drop bindings whose key is in `keys` (semi/anti join build
+        columns leave scope after the join — reference binder hides the
+        right side of SEMI/ANTI syntax joins)."""
+        keys = set(keys)
+        self.by_qual = {q: b for q, b in self.by_qual.items()
+                        if b.key not in keys}
+        self.by_name = {n: [b for b in bs if b.key not in keys]
+                        for n, bs in self.by_name.items()}
+        self.by_name = {n: bs for n, bs in self.by_name.items() if bs}
+        self.order = [(a, c, b) for (a, c, b) in self.order
+                      if b.key not in keys]
+
     def columns_of(self, alias: str):
         return [(a, c, b) for (a, c, b) in self.order if a.lower() == alias.lower()]
 
@@ -309,7 +322,14 @@ def bind_literal(lit: N.Literal) -> B.BoundExpr:
     if isinstance(v, bool):
         return B.BoundLiteral(v, BOOLEAN)
     if isinstance(v, int):
-        t = INTEGER if -(2**31) <= v < 2**31 else BIGINT
+        if -(2**31) <= v < 2**31:
+            t = INTEGER
+        elif -(2**63) <= v < 2**63:
+            t = BIGINT
+        elif -(2**127) <= v < 2**127:
+            t = HUGEINT  # reference promotes oversized literals to HUGEINT
+        else:
+            raise BindError(f"integer literal {v} out of range")
         return B.BoundLiteral(v, t)
     if isinstance(v, float):
         return B.BoundLiteral(v, DOUBLE)
@@ -344,6 +364,18 @@ def _arith_result_type(op: str, lt: LogicalType, rt: LogicalType) -> LogicalType
         return DATE
     if rt.id is TypeId.DATE and lt.is_integer and op == "+":
         return DATE
+    _temporal = (TypeId.DATE, TypeId.TIME, TypeId.TIMESTAMP,
+                 TypeId.TIMESTAMPTZ)
+    if lt.id in _temporal and rt.id in _temporal and op == "-":
+        return INTERVAL  # timestamp difference
+    if not (lt.is_numeric or lt.id is TypeId.BOOLEAN) \
+            or not (rt.is_numeric or rt.id is TypeId.BOOLEAN):
+        # the reference rejects arithmetic over VARCHAR/DATE-mixed
+        # operand sets with a binder error ("No function matches")
+        raise BindError(
+            f"Binder Error: No function matches "
+            f"'{op}({lt!r}, {rt!r})'. You might need to add explicit "
+            f"type casts.")
     if lt.is_float or rt.is_float:
         return DOUBLE
     if TypeId.DECIMAL in (lt.id, rt.id):
@@ -779,7 +811,13 @@ class ExprBinder:
                     args.append(b)
                 else:
                     args.append(self.bind(a))
-            rt, impl, args2 = F.REGISTRY[name](args)
+            try:
+                rt, impl, args2 = F.REGISTRY[name](args)
+            except (IndexError, KeyError) as err:
+                # binder-time metadata failures (missing/extra constant
+                # args, unexpected argument types) are USER errors
+                raise BindError(
+                    f"Binder Error: invalid arguments to {name} ({err!r})")
             return B.BoundFunction(name, args2, rt, impl)
         raise BindError(f"Scalar Function with name {name} does not exist!")
 

@@ -166,6 +166,15 @@ class BoundLiteral(BoundExpr):
             v = (mo * 30 + dd) * 86_400_000_000 + us
             return Column(data=_bcast(env, jnp.asarray(v, dtype=jnp.int64)),
                           ltype=self.ltype)
+        if (self.ltype.id is TypeId.HUGEINT
+                and not -(2**63) <= int(self.value) < 2**63):
+            # oversized literal: (lo, hi) wide planes (int128 carrier)
+            v = int(self.value)
+            lo = np.uint64(v & ((1 << 64) - 1)).astype(np.int64)
+            return Column(
+                data=_bcast(env, jnp.asarray(lo, dtype=jnp.int64)),
+                data_hi=_bcast(env, jnp.asarray(v >> 64, dtype=jnp.int64)),
+                ltype=self.ltype)
         return Column(
             data=_bcast(env, jnp.asarray(self.value, dtype=self.ltype.np_dtype)),
             ltype=self.ltype,
@@ -222,6 +231,9 @@ class BoundComparison(BoundExpr):
         rc = self.right.eval(env)
         if lc.ltype.id is TypeId.VARCHAR or rc.ltype.id is TypeId.VARCHAR:
             data = self._eval_varchar(lc, rc)
+        elif (lc.data_hi is not None or rc.data_hi is not None) \
+                and not (lc.ltype.is_float or rc.ltype.is_float):
+            data = _wide_compare(self.op, lc, rc, env.plen)
         elif (TypeId.DECIMAL in (lc.ltype.id, rc.ltype.id)
               and not (lc.ltype.is_float or rc.ltype.is_float)
               and lc.ltype.scale != rc.ltype.scale):
@@ -299,6 +311,35 @@ def _decimal_align(lc: Column, rc: Column):
     return x, y, s
 
 
+def _wide_compare(op: str, lc: Column, rc: Column, plen: int):
+    """int128 comparison via (hi, lo) limbs: hi compares signed, lo
+    unsigned (two's complement lexicographic). Covers HUGEINT values
+    beyond int64 (wide sums, oversized literals)."""
+    def limbs(c):
+        lo = jnp.broadcast_to(c.data, (plen,)).astype(jnp.int64)
+        hi = (jnp.broadcast_to(c.data_hi, (plen,)).astype(jnp.int64)
+              if c.data_hi is not None else lo >> 63)
+        # unsigned ordering key for the low limb: flip the sign bit
+        ulo = lo ^ jnp.int64(-(2**63))
+        return hi, ulo
+
+    ha, ua = limbs(lc)
+    hb, ub = limbs(rc)
+    eq = jnp.logical_and(ha == hb, ua == ub)
+    lt = jnp.logical_or(ha < hb, jnp.logical_and(ha == hb, ua < ub))
+    if op in ("=", "=="):
+        return eq
+    if op in ("<>", "!="):
+        return jnp.logical_not(eq)
+    if op == "<":
+        return lt
+    if op == "<=":
+        return jnp.logical_or(lt, eq)
+    if op == ">":
+        return jnp.logical_not(jnp.logical_or(lt, eq))
+    return jnp.logical_not(lt)
+
+
 def _common_numeric(lc: Column, rc: Column):
     """Coerce two non-varchar columns to comparable device arrays."""
     if TypeId.DECIMAL in (lc.ltype.id, rc.ltype.id):
@@ -325,8 +366,18 @@ def _common_numeric(lc: Column, rc: Column):
 
 def _to_double(c: Column) -> jnp.ndarray:
     if c.ltype.id is TypeId.DECIMAL:
-        return c.data.astype(jnp.float64) / jnp.float64(10**c.ltype.scale)
-    return c.data.astype(jnp.float64)
+        d = c.data.astype(jnp.float64) / jnp.float64(10**c.ltype.scale)
+    else:
+        d = c.data.astype(jnp.float64)
+    if c.data_hi is not None:
+        # wide value = hi·2^64 + uint64(lo): lift the low limb to its
+        # unsigned magnitude, then add the high limb's contribution
+        scale = jnp.float64(10**c.ltype.scale
+                            if c.ltype.id is TypeId.DECIMAL else 1)
+        ulo = d + jnp.where(c.data < 0, jnp.float64(2.0**64) / scale, 0.0)
+        d = c.data_hi.astype(jnp.float64) * (jnp.float64(2.0**64) / scale) \
+            + ulo
+    return d
 
 
 @dataclass
@@ -1073,7 +1124,13 @@ class BoundFunction(BoundExpr):
 
     def eval(self, env: EvalEnv) -> Column:
         cols = [a.eval(env) for a in self.args]
-        return self.impl(env, cols, self)
+        try:
+            return self.impl(env, cols, self)
+        except IndexError:
+            # an impl indexing past its argument list = caller arity
+            # mismatch the binder didn't pre-check — a USER error
+            raise BindError(
+                f"Binder Error: wrong number of arguments to {self.name}")
 
 
 @dataclass

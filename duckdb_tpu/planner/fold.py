@@ -119,10 +119,19 @@ def fold_cast(node) -> object:
         return v
     if dst.id is TypeId.DECIMAL:
         if src.id is TypeId.DECIMAL:
-            return v * 10 ** (dst.scale - src.scale)
-        if src.is_integer or src.id is TypeId.BOOLEAN:
-            return int(v) * 10**dst.scale
-        return round(float(v) * 10**dst.scale)
+            out = v * 10 ** (dst.scale - src.scale)
+        elif src.is_integer or src.id is TypeId.BOOLEAN:
+            out = int(v) * 10**dst.scale
+        else:
+            out = round(float(v) * 10**dst.scale)
+        if abs(out) >= 10 ** dst.width:
+            if node.try_cast:
+                return None
+            from duckdb_tpu.errors import ConversionException
+
+            raise ConversionException(
+                f"value {v} is out of range for {dst!r}")
+        return out
     if dst.id is TypeId.DOUBLE:
         return v / 10**src.scale if src.id is TypeId.DECIMAL else float(v)
     if dst.is_integer:

@@ -45,7 +45,15 @@ def dict_transform(col: Column, fn, device=None, device_key=None) -> Column:
     dictionary is large, the transform runs vectorized on device and only
     distinct RESULTS are decoded; the host per-value loop is the
     low-cardinality / non-ASCII fallback."""
-    if col.dict_values is None:  # typed-NULL input (e.g. fn(NULL))
+    if col.dict_values is None:
+        if col.ltype.id not in (TypeId.VARCHAR, TypeId.BLOB, TypeId.BIT,
+                                TypeId.SQLNULL):
+            from duckdb_tpu.planner.bound import BindError
+
+            raise BindError(
+                f"Binder Error: string function over {col.ltype!r} "
+                "argument (no implicit cast)")
+        # typed-NULL input (e.g. fn(NULL))
         return Column(data=jnp.zeros_like(col.data), ltype=VARCHAR,
                       validity=jnp.zeros(col.data.shape, jnp.bool_),
                       dict_values=np.array([""], dtype=object))
@@ -325,7 +333,16 @@ def _bind_abs(arg_exprs):
 @register("round")
 def _bind_round(arg_exprs):
     t = arg_exprs[0].ltype
-    nd = int(arg_exprs[1].const_value()) if len(arg_exprs) > 1 else 0
+    _ndv = arg_exprs[1].const_value() if len(arg_exprs) > 1 else 0
+    if _ndv is None:
+        # round(x, NULL) → NULL (reference NULL propagation)
+        def impl(env, cols, node):
+            c = cols[0]
+            return Column(data=jnp.zeros(c.data.shape, jnp.float64),
+                          ltype=DOUBLE,
+                          validity=jnp.zeros(c.data.shape, jnp.bool_))
+        return DOUBLE, impl, arg_exprs[:1]
+    nd = int(_ndv)
     if t.id is TypeId.DECIMAL:
         rt = decimal(t.width, min(t.scale, nd))
 

@@ -225,7 +225,21 @@ def _bind_if(arg_exprs):
 # -- strings (device plane ops; host per-distinct loop as fallback) ----------
 def _str_transform(name, fn_builder, nconst=0, dev_builder=None):
     def bind(arg_exprs):
+        if len(arg_exprs) < 1 + nconst:
+            from duckdb_tpu.planner.bound import BindError
+
+            raise BindError(
+                f"Binder Error: {name} requires {1 + nconst} arguments, "
+                f"{len(arg_exprs)} given")
         consts = [a.const_value() for a in arg_exprs[1:1 + nconst]]
+        if any(c is None for c in consts):
+            # NULL modifier argument → NULL result (SQL propagation)
+            def impl(env, cols, node):
+                c = cols[0]
+                return Column(data=jnp.zeros_like(c.data), ltype=VARCHAR,
+                              validity=jnp.zeros(c.data.shape, jnp.bool_),
+                              dict_values=np.array([""], dtype=object))
+            return VARCHAR, impl, arg_exprs[:1]
         fn = fn_builder(*consts)
         dev = None
         if dev_builder is not None:
@@ -303,6 +317,10 @@ def _bind_strpos(arg_exprs):
     from duckdb_tpu.planner.functions import dict_int
 
     needle = arg_exprs[1].const_value()
+    if needle is not None and not isinstance(needle, str):
+        from duckdb_tpu.planner.bound import format_varchar
+
+        needle = format_varchar(needle, arg_exprs[1].ltype)
 
     def impl(env, cols, node):
         dev = None

@@ -54,6 +54,12 @@ def _dict_str(name, pyfn, ret=VARCHAR, aliases=()):
     """Register a unary VARCHAR function computed per distinct value."""
 
     def binder(arg_exprs):
+        if len(arg_exprs) != 1:
+            from duckdb_tpu.planner.bound import BindError
+
+            raise BindError(
+                f"Binder Error: {name} takes 1 argument, "
+                f"{len(arg_exprs)} given")
         if ret.id is TypeId.VARCHAR:
             def impl(env, cols, node):
                 return dict_transform(cols[0], pyfn)
@@ -81,7 +87,18 @@ def _dict_str2(name, pyfn, ret=VARCHAR, aliases=()):
     documented VARCHAR model is per-distinct host compute)."""
 
     def binder(arg_exprs):
+        if len(arg_exprs) != 2:
+            from duckdb_tpu.planner.bound import BindError
+
+            raise BindError(
+                f"Binder Error: {name} takes 2 arguments, "
+                f"{len(arg_exprs)} given")
         other = arg_exprs[1].const_value()
+        if other is not None and arg_exprs[1].ltype.id is not TypeId.VARCHAR:
+            # reference casts non-VARCHAR args to text (instr(s, -2))
+            from duckdb_tpu.planner.bound import format_varchar
+
+            other = format_varchar(other, arg_exprs[1].ltype)
 
         def impl(env, cols, node):
             c = cols[0]

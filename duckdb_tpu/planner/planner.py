@@ -840,6 +840,10 @@ class Planner:
                     jt2, probe, build = jt, lplan, rplan
                 plan = P.Join(probe, build, jt2, pk, bk, extra)
                 keys = lkeyset | (rkeyset if jt2 != "semi" and jt2 != "anti" else set())
+                if jt2 in ("semi", "anti"):
+                    # build columns leave scope: SELECT t2.y after a SEMI
+                    # JOIN must be a binder error, not an executor KeyError
+                    scope.remove_keys(rkeyset)
                 aid = len(atoms) + 10_000
                 atom = Atom(aid, plan, 100_000, lkeyset | rkeyset)
                 for k in atom.keys:
@@ -1555,6 +1559,19 @@ class Planner:
             output.append((name, key, be.ltype))
         if sel.having is not None and has_agg:
             hb = post_binder.bind(sel.having)
+            if isinstance(plan, P.Aggregate):
+                # ungrouped pre-aggregation refs surviving the post-agg
+                # binder are user errors (reference: "must appear in the
+                # GROUP BY clause or be used in an aggregate function")
+                allowed = {gk for gk, _ in plan.groups} \
+                    | {a.key for a in plan.aggs}
+                for nn in B.walk(hb):
+                    if isinstance(nn, B.BoundColumnRef) \
+                            and nn.key not in allowed:
+                        raise BindError(
+                            "Binder Error: HAVING column must appear in "
+                            "the GROUP BY clause or be used in an "
+                            "aggregate function")
             plan = P.Filter(plan, hb)
         qual_b = post_binder.bind(sel.qualify) if sel.qualify is not None else None
         if windows:
@@ -1678,6 +1695,23 @@ class Planner:
                     "arg_min_nulls_last": "arg_min",
                     }.get(name, name)
             args = [binder.bind(a) for a in fc.args]
+        _arity = {"arg_min": 2, "arg_max": 2, "arg_min_null": 2,
+                  "arg_max_null": 2, "corr": 2, "covar_pop": 2,
+                  "covar_samp": 2, "regr_slope": 2, "regr_intercept": 2,
+                  "regr_r2": 2, "regr_count": 2, "regr_avgx": 2,
+                  "regr_avgy": 2, "regr_sxx": 2, "regr_syy": 2,
+                  "regr_sxy": 2}.get(func)
+        if _arity is not None and len(args) != _arity:
+            raise BindError(
+                f"Binder Error: {func} requires {_arity} arguments, "
+                f"{len(args)} given")
+        if not args and func != "count_star":
+            raise BindError(
+                f"Binder Error: {func} requires at least one argument")
+        if func == "string_agg" and args \
+                and args[0].ltype.id is not TypeId.VARCHAR:
+            # reference casts any argument to VARCHAR (string_agg.cpp)
+            args[0] = B.BoundCast(args[0], VARCHAR)
         t = _agg_result_type(func, args)
         order_b = [(binder.bind(it.expr), it.descending, it.nulls_first)
                    for it in fc.order_by]
@@ -1850,6 +1884,15 @@ class Planner:
             item_ast = sel.select_list[0][0]
             inner_b = self._pred_binder(sub_scope, ctes).bind(item_ast)
             outer_b = self._pred_binder(scope, ctes).bind(in_expr)
+            if inner_b.ltype != outer_b.ltype:
+                # mixed-type IN: both sides coerce to the common
+                # comparison type (raises a typed binder error when
+                # incomparable; bad strings raise Conversion at runtime)
+                mt = max_logical_type(outer_b.ltype, inner_b.ltype)
+                if outer_b.ltype != mt:
+                    outer_b = B.BoundCast(outer_b, mt)
+                if inner_b.ltype != mt:
+                    inner_b = B.BoundCast(inner_b, mt)
             probe_keys.append(outer_b)
             build_keys.append(inner_b)
         if in_expr is None:

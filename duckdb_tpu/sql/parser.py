@@ -1314,10 +1314,33 @@ class Parser:
                 if self.peek().type == TokType.IDENT and self.kw() in _INTERVAL_UNITS:
                     unit = self.next().value.lower()
                 return N.IntervalLiteral(val, unit)
-            if self.peek().type == TokType.NUMBER:
+            if self.peek().type == TokType.NUMBER \
+                    and self.peek(1).type == TokType.IDENT:
                 val = self.next().value
                 unit = self.next().value.lower()
                 return N.IntervalLiteral(val, unit)
+            if self.peek().value == "(" or \
+                    self.peek().type in (TokType.NUMBER, TokType.IDENT):
+                # INTERVAL (expr) unit — expression intervals bind to the
+                # to_<unit> constructors (reference transform_interval.cpp)
+                e = self.parse_unary()
+                unit = self.expect_ident().lower()
+                fn = {
+                    "year": "to_years", "years": "to_years",
+                    "month": "to_months", "months": "to_months",
+                    "week": "to_weeks", "weeks": "to_weeks",
+                    "day": "to_days", "days": "to_days",
+                    "hour": "to_hours", "hours": "to_hours",
+                    "minute": "to_minutes", "minutes": "to_minutes",
+                    "second": "to_seconds", "seconds": "to_seconds",
+                    "millisecond": "to_milliseconds",
+                    "milliseconds": "to_milliseconds",
+                    "microsecond": "to_microseconds",
+                    "microseconds": "to_microseconds",
+                }.get(unit)
+                if fn is None:
+                    raise ParserError(f"bad INTERVAL unit {unit}")
+                return N.FunctionCall(fn, [e])
             raise ParserError("bad INTERVAL literal")
         if k == "case":
             return self.parse_case()

@@ -233,6 +233,11 @@ def implicit_cast_cost(src: LogicalType, dst: LogicalType) -> Optional[int]:
                                      TypeId.TIMESTAMPTZ, TypeId.BIT):
         # string literals used in temporal/bit comparisons
         return 90
+    if s is TypeId.VARCHAR and (dst.is_numeric or d is TypeId.BOOLEAN):
+        # reference allows implicit VARCHAR -> anything at highest cost
+        # (cast_rules.cpp 149): binding succeeds, unparseable strings
+        # raise a Conversion Error at evaluation
+        return 149
     if s is TypeId.ARRAY and d is TypeId.LIST:
         return 10  # fixed arrays relax to lists (reference cast_rules)
     if s is TypeId.LIST and d is TypeId.ARRAY:
@@ -285,8 +290,14 @@ def max_logical_type(a: LogicalType, b: LogicalType) -> LogicalType:
         return b
     if implicit_cast_cost(b, a) is not None:
         return a
-    # float vs decimal etc fall through above; remaining: error
-    raise TypeError(f"cannot compare/combine types {a} and {b}")
+    # float vs decimal etc fall through above; remaining: typed error
+    raise BindTypeError(
+        f"Binder Error: Cannot compare values of type {a} and type {b}")
+
+
+class BindTypeError(TypeError, ValueError):
+    """Typed binder error for incomparable types (subclasses ValueError
+    so the generic engine-error handling classifies it as a rejection)."""
 
 
 def _int_decimal_width(t: LogicalType) -> int:
