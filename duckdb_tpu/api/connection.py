@@ -323,7 +323,7 @@ class Connection:
 
     def _execute_statement(self, s):
         try:
-            return self._execute_statement_inner(s)
+            return self._execute_statement_guarded(s)
         except OverflowError as err:
             # host-side constant math beyond the representable range
             # (>int64 literal arithmetic, timedelta overflow, ERANGE from
@@ -338,6 +338,46 @@ class Connection:
 
             raise ConversionException(
                 f"Conversion Error: invalid numeric operation ({err})")
+
+    def _execute_statement_guarded(self, s):
+        from duckdb_tpu.execution.cache_registry import (clear_all, is_oom,
+                                                         pressure_trim)
+
+        if pressure_trim(getattr(s, "_sql_text", None) or id(type(s))):
+            self.log.info("MemoryPressure",
+                          "proactive eviction: device residency above the "
+                          "pressure threshold; caches dropped")
+        oom = False
+        try:
+            return self._execute_statement_inner(s)
+        except ArithmeticError:
+            raise
+        except Exception as err:  # noqa: BLE001 — OOM-classify, re-raise
+            if not is_oom(err):
+                raise
+            oom = True
+        # NOTE the retry happens OUTSIDE the except block: the first
+        # attempt's exception traceback pins every frame of the failed
+        # execution (batches, build planes, program inputs) — retrying
+        # inside the handler re-ran against a still-full device
+        assert oom
+        n = clear_all()
+        self.log.info(
+            "MemoryPressure",
+            f"device OOM: cleared {n} cache stores, retrying cold")
+        # HBM pressure: every cached device plane (join preps, probe maps,
+        # build batches, table columns) was dropped; re-run cold — the
+        # reference's buffer manager evicts under pressure the same way
+        try:
+            return self._execute_statement_inner(s)
+        except Exception as err2:  # noqa: BLE001
+            if is_oom(err2):
+                from duckdb_tpu.errors import OutOfMemoryException
+
+                raise OutOfMemoryException(
+                    "Out of Memory Error: query exceeds device memory "
+                    "even with caches evicted")
+            raise
 
     def _execute_statement_inner(self, s):
         if isinstance(s, N.SelectStatement):

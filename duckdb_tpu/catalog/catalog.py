@@ -57,6 +57,15 @@ class DeviceBufferPool:
             entry._device.pop(name, None)
             self.release(entry, name)
 
+    def evict_all(self):
+        """Drop every device-resident column (OOM recovery: columns
+        re-promote from the host tier on next touch)."""
+        for rec in list(self._resident.values()):
+            _, _, entry, name = rec
+            entry._device.pop(name, None)
+        self._resident.clear()
+        self.used = 0
+
 
 POOL = DeviceBufferPool()
 

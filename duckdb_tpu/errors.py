@@ -61,6 +61,10 @@ class IOException(Error):
     prefix = "IO Error: "
 
 
+class OutOfMemoryException(Error):
+    prefix = "Out of Memory Error: "
+
+
 class SyntaxException(Error):
     prefix = "Syntax Error: "
 

@@ -861,7 +861,9 @@ class Executor:
         vkey = _scan_versions(self, node.build)
         if vkey is None:
             return self.execute(node.build)
-        cache = node.__dict__.setdefault("_eager_build_cache", {})
+        from duckdb_tpu.execution.fused_agg import _cache_store
+
+        cache = _cache_store(node, "_eager_build_cache")
         hit = cache.get(vkey)
         if hit is not None:
             return hit
@@ -1576,7 +1578,9 @@ class Executor:
             from duckdb_tpu.parallel.shard import shard_map_compat
             from jax.sharding import Mesh, PartitionSpec as PS
 
-            cache = node.__dict__.setdefault("_probe_cache", {})
+            from duckdb_tpu.execution.fused_agg import _cache_store
+
+            cache = _cache_store(node, "_probe_cache")
             sig = (n, plen, size)
             if sig not in cache:
                 mesh = Mesh(np.array(_jax.devices()[:n]), ("dp",))

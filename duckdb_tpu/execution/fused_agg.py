@@ -457,6 +457,17 @@ def _scan_versions(executor, node):
 PREP_CACHE_MAX_BUILD = 1 << 25
 
 
+def _cache_store(node, attr: str):
+    """Per-node device-pinning cache dict, registered for HBM-pressure
+    eviction (execution/cache_registry.py)."""
+    store = node.__dict__.get(attr)
+    if store is None:
+        from duckdb_tpu.execution.cache_registry import tracked_dict
+
+        store = node.__dict__[attr] = tracked_dict()
+    return store
+
+
 def _prep_join_step(executor, j: P.Join, pfx: str,
                     aux: Dict) -> Optional[_JoinStep]:
     """Execute the build side eagerly and prepare probe state as aux
@@ -477,7 +488,7 @@ def _prep_join_step(executor, j: P.Join, pfx: str,
         return None
     vkey = _scan_versions(executor, j.build)
     forced_sorted = getattr(j, "_bucket_overflowed", False)
-    cache = j.__dict__.setdefault("_prep_cache", {})
+    cache = _cache_store(j, "_prep_cache")
     if vkey is not None:
         cached = cache.get((vkey, forced_sorted))
         if cached is not None:
@@ -1119,7 +1130,7 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
             cached_flags.append(False)
             continue
         ckey = (vkey, base_ver)
-        bc = j.__dict__.setdefault("_bidx_cache", {})
+        bc = _cache_store(j, "_bidx_cache")
         cached = bc.get(ckey)
         if cached is not None and cached.shape[0] == plen:
             step.use_cached = True
@@ -1129,7 +1140,7 @@ def build_fused_agg(executor, node: P.Aggregate) -> Optional[FusedAgg]:
             step.emit_cache = True
 
             def _store(arr, j=j, ckey=ckey):
-                cache = j.__dict__.setdefault("_bidx_cache", {})
+                cache = _cache_store(j, "_bidx_cache")
                 cache.clear()
                 cache[ckey] = arr
 
@@ -1604,7 +1615,7 @@ def _run_sharded(executor, node, fa: FusedAgg, n: int):
     batch = fa.base_batch
     plen = batch.plen
     cols = {k: batch.src[k] for k in fa.needed}
-    cache = node.__dict__.setdefault("_shard_cache", {})
+    cache = _cache_store(node, "_shard_cache")
     # probe-result caches (.cbidx) are probe-length and single-chip-only
     # (body_partials recomputes probes per shard); don't replicate them
     aux_names = tuple(n for n in sorted(fa.aux) if not n.endswith(".cbidx"))

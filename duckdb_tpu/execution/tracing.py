@@ -129,7 +129,13 @@ def run_jitted(node, tag: str, batch, exprs: Sequence[B.BoundExpr],
     cols = {}
     for k in keys:
         cols[k] = batch.src[k]
-    cache = node.__dict__.setdefault("_trace_cache", {})
+    cache = node.__dict__.get("_trace_cache")
+    if cache is None:
+        # registered for OOM eviction: compiled closures transitively pin
+        # template columns, join-step build planes, and aux arrays
+        from duckdb_tpu.execution.cache_registry import tracked_dict
+
+        cache = node.__dict__["_trace_cache"] = tracked_dict()
     aux_names = tuple(sorted(aux))
     # `variant` captures body-shaping parameters that are CLOSURE constants
     # of the trace (learned compaction caps, group capacities): a re-run
@@ -137,7 +143,14 @@ def run_jitted(node, tag: str, batch, exprs: Sequence[B.BoundExpr],
     sig = (tag, batch.plen, tuple(keys), variant,
            tuple((n, aux[n].shape, str(aux[n].dtype)) for n in aux_names))
     if sig not in cache:
-        templates = dict(cols)
+        # metadata-only templates: capturing the input COLUMNS here would
+        # pin their device planes for the life of the compiled program
+        # (blocking pool eviction); the program needs only ltype + dict
+        from types import SimpleNamespace
+
+        templates = {k: SimpleNamespace(ltype=c.ltype,
+                                        dict_values=c.dict_values)
+                     for k, c in cols.items()}
         plen = batch.plen
 
         def program(live, aux_vals, *arrays):

@@ -101,6 +101,22 @@ def parse_bytes(v) -> int:
     """'512MB' / '2GiB' / int → bytes (0 = unlimited)."""
     if isinstance(v, (int, float)):
         return int(v)
+    if str(v).strip().lower() == "80% of hbm":
+        # the default: 80% of the accelerator's memory. The tunneled
+        # runtime reports no memory_stats, so fall back to the v5e's
+        # 16 GiB HBM; CPU backends run unlimited (host RAM is the pool)
+        try:
+            import jax
+
+            d = jax.devices()[0]
+            stats = getattr(d, "memory_stats", lambda: None)()
+            if stats and stats.get("bytes_limit"):
+                return int(stats["bytes_limit"] * 0.8)
+            if d.platform != "cpu":
+                return int((16 << 30) * 0.8)
+        except Exception:  # noqa: BLE001 — backend probing is best-effort
+            pass
+        return 0
     s_ = str(v).strip().upper().replace("IB", "B")
     mult = 1
     for suffix, m in (("TB", 1 << 40), ("GB", 1 << 30), ("MB", 1 << 20),
@@ -119,6 +135,14 @@ def parse_bytes(v) -> int:
 class SettingsManager:
     def __init__(self):
         self.values: Dict[str, object] = {s.name: s.default for s in SETTINGS}
+        # apply the default memory budget at startup (SET only re-applies)
+        from duckdb_tpu.catalog.catalog import POOL, set_memory_limit
+
+        if not POOL.limit:
+            try:
+                set_memory_limit(parse_bytes(self.values["memory_limit"]))
+            except Exception:  # noqa: BLE001 — budget probing best-effort
+                pass
 
     @staticmethod
     def _canon(name: str) -> str:
