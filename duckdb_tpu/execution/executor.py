@@ -1910,8 +1910,7 @@ class Executor:
         return execute_window(self, node)
 
     # -- order / limit --------------------------------------------------------
-    def _exec_Order(self, node: P.Order) -> Batch:
-        b = self.execute(node.child)
+    def _order_norm_keys(self, node: P.Order, b: Batch):
         env = b.env()
         norm = []
         for expr, desc, nulls_first in node.items:
@@ -1933,6 +1932,11 @@ class Executor:
             else:
                 k = S.orderable_int64(data, validity, desc, nulls_first)
             norm.append(k)
+        return norm
+
+    def _exec_Order(self, node: P.Order) -> Batch:
+        b = self.execute(node.child)
+        norm = self._order_norm_keys(node, b)
         n_shards = self._join_shards(rows=b.plen)
         if n_shards > 1 and b.plen >= (1 << 14):
             out = self._sharded_order(node, b, norm, n_shards)
@@ -2008,6 +2012,10 @@ class Executor:
         return Batch(src=src, plen=rows.shape[0], live=out_live)
 
     def _exec_Limit(self, node: P.Limit) -> Batch:
+        if (node.n is not None and isinstance(node.child, P.Order)):
+            out = self._sharded_topn(node)
+            if out is not None:
+                return out
         b = self.execute(node.child)
         if node.n is not None:
             # static capacity from the literal limit — no host sync
@@ -2029,6 +2037,45 @@ class Executor:
         pos = jnp.arange(cap)
         rows = idx[jnp.clip(pos + lo, 0, idx.shape[0] - 1)]
         return Batch(src=GatherCols(b.src, rows), plen=cap, live=pos < out)
+
+    def _sharded_topn(self, node: P.Limit) -> Optional[Batch]:
+        """Distributed TopN: each shard sorts ITS rows and keeps the top
+        (offset+n), the n·k candidates gather to every chip, and one final
+        small sort picks the winners — O(rows/n · log) per chip plus one
+        k-sized all_gather instead of a full distributed sort. Reference
+        analog: per-thread heaps merged at the sink
+        (src/execution/operator/order/physical_top_n.cpp)."""
+        order = node.child
+        k = (node.offset or 0) + node.n
+        if k <= 0 or k > (1 << 14):
+            return None
+        b = self.execute(order.child)
+        n_shards = self._join_shards(rows=b.plen)
+        if n_shards <= 1 or b.plen < (1 << 15) or b.plen % n_shards:
+            return None
+        norm = self._order_norm_keys(order, b)
+        from duckdb_tpu.parallel.shard import get_sharded_topn
+
+        step = get_sharded_topn(n_shards, min(k, b.plen // n_shards),
+                                len(norm))
+        cand_keys, cand_rows = step(
+            jnp.stack(norm), b.live, jnp.arange(b.plen, dtype=jnp.int32))
+        cand_keys, cand_rows = _unshard(cand_keys, cand_rows)
+        # final selection among n·k candidates (single device, tiny)
+        ops = [cand_keys[i] for i in range(len(norm))] + [cand_rows]
+        out = jax.lax.sort(ops, num_keys=len(norm), is_stable=True)
+        rows_sorted = out[-1]
+        lo = node.offset or 0
+        cap = max(128, pad_bucket(node.n))
+        pos = jnp.arange(cap)
+        total = jnp.minimum(jnp.sum(b.live), rows_sorted.shape[0])
+        n_out = jnp.clip(total - lo, 0, node.n)
+        rows = rows_sorted[jnp.clip(pos + lo, 0, rows_sorted.shape[0] - 1)]
+        self._log("INFO", "sharded_topn",
+                  f"TopN(k={k}) over {n_shards} shards: local top-k + "
+                  f"candidate merge")
+        return Batch(src=GatherCols(b.src, jnp.clip(rows, 0, b.plen - 1)),
+                     plen=cap, live=pos < n_out)
 
     # -- set ops --------------------------------------------------------------
     def _exec_ListPack(self, node: P.ListPack) -> Batch:

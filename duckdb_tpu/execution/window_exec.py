@@ -63,6 +63,10 @@ def execute_window(executor, node: P.Window):
                 _bdata(c, plen).astype(jnp.int64)
                 if c.ltype.id is TypeId.VARCHAR else _bdata(c, plen),
                 c.validity, False, True))
+        dist = _try_sharded_window(executor, w, env, b, pkeys)
+        if dist is not None:
+            out_cols[w.key] = dist
+            continue
         okeys = []
         for e, desc, nf in w.order_by:
             c = e.eval(env)
@@ -112,6 +116,91 @@ def execute_window(executor, node: P.Window):
 
     return Batch(src=ChainCols([DictCols(out_cols), b.src]), plen=plen,
                  live=b.live)
+
+
+_SHARDED_WINDOW_FNS = {"row_number", "rank", "dense_rank", "count", "sum",
+                       "avg", "min", "max"}
+_SHARDED_MIN_ROWS = 1 << 14
+
+
+def _try_sharded_window(executor, w: P.BoundWindow, env, b, pkeys):
+    """Distributed window via hash-partition exchange + local segmented
+    kernel (parallel/shard.make_sharded_window; reference strategy:
+    src/common/sort/hashed_sort.cpp). Covers the analytic core —
+    ranking functions and default-frame aggregates — over PARTITION BY
+    windows; anything else stays on the single-chip path."""
+    from duckdb_tpu.execution.executor import _bdata, _full_valid
+
+    plen = b.plen
+    n = executor._join_shards(rows=plen)
+    if (n <= 1 or plen < _SHARDED_MIN_ROWS or not pkeys
+            or w.frame is not None
+            or w.func not in _SHARDED_WINDOW_FNS or len(w.args) > 1):
+        return None
+    if w.func in ("min", "max") and w.order_by:
+        return None  # running min/max not in the exchange kernel yet
+    running = bool(w.order_by)
+    okeys = []
+    for e, desc, nf in w.order_by:
+        c = e.eval(env)
+        okeys.append(S.orderable_int64(
+            _bdata(c, plen).astype(jnp.int64)
+            if c.ltype.id is TypeId.VARCHAR else _bdata(c, plen),
+            c.validity, desc, False if nf is None else nf))
+    if w.args:
+        ca = w.args[0].eval(env)
+        if ca.ltype.id is TypeId.VARCHAR or ca.data_hi is not None:
+            return None
+        if ca.ltype.is_float:
+            arg = _bdata(ca, plen).astype(jnp.float64)
+        else:
+            arg = _bdata(ca, plen).astype(jnp.int64)
+        argv = _full_valid(ca, plen)
+    else:
+        arg = jnp.ones((plen,), jnp.int64)
+        argv = jnp.ones((plen,), jnp.bool_)
+    from duckdb_tpu.parallel.shard import get_sharded_window
+
+    plen2 = plen + ((-plen) % n)
+    cap = 2 * (plen2 // n)
+    step = get_sharded_window(n, cap, len(pkeys), len(okeys), w.func,
+                              running)
+
+    def pad(x, fill):
+        extra = plen2 - x.shape[0]
+        if extra == 0:
+            return x
+        return jnp.concatenate([x, jnp.full((extra,), fill, x.dtype)])
+
+    rows_out, val, valid, overflow, need = step(
+        pad(pkeys[0], jnp.iinfo(jnp.int64).max),
+        pad(b.live, False),
+        jnp.arange(plen2, dtype=jnp.int32),
+        *pkeys, *okeys, arg, argv)
+    if int(overflow) > 0:  # host sync; skew → single-chip fallback
+        return None
+    from duckdb_tpu.execution.executor import _unshard
+
+    rows_out, val, valid = _unshard(rows_out, val, valid)
+    executor._log("INFO", "sharded_window",
+                  f"window {w.func} hash-partitioned over {n} shards "
+                  f"(cap={cap})")
+    # scatter values back by global row id (drop dead / padding rows)
+    ok = jnp.logical_and(rows_out >= 0, rows_out < plen)
+    flat = jnp.where(ok, rows_out, plen)
+    dt = jnp.float64 if val.dtype == jnp.float64 else jnp.int64
+    if (w.func == "avg" and w.args
+            and w.args[0].ltype.id is TypeId.DECIMAL):
+        # kernel averaged the SCALED integers; undo the decimal scale
+        val = val.astype(jnp.float64) / (10.0 ** w.args[0].ltype.scale)
+        dt = jnp.float64
+    data = jnp.zeros((plen + 1,), dt).at[flat].set(
+        val.astype(dt), mode="drop")[:plen]
+    validity = jnp.zeros((plen + 1,), jnp.bool_).at[flat].set(
+        valid, mode="drop")[:plen]
+    from duckdb_tpu.blocks import Column
+
+    return Column(data=data, ltype=w.ltype, validity=validity)
 
 
 def _compute_window(w: P.BoundWindow, env, plen, perm, seg_start, peer_start,

@@ -428,3 +428,180 @@ def get_sharded_sort(n: int, cap: int, nkeys: int = 1):
         mesh = Mesh(_np.array(devs), ("dp",))
         _SORT_CACHE[key] = make_sharded_sort(mesh, n, cap, nkeys)
     return _SORT_CACHE[key]
+
+
+# -- distributed window functions --------------------------------------------
+# The reference parallelizes window computation by hashing partitions onto
+# threads and sorting locally (src/common/sort/hashed_sort.cpp). Here the
+# same strategy maps onto the mesh: rows hash-route to their partition's
+# owner chip via one all_to_all, each chip sorts ITS partitions and runs
+# the segmented window kernel, and results ride back keyed by global row
+# id. Order keys and the argument plane are passed replicated and gathered
+# by row id after the exchange (on real multi-chip HW that replication is
+# one all_gather; the reference likewise materializes payload per thread).
+
+def make_sharded_window(mesh: Mesh, n: int, cap: int, n_pkeys: int,
+                        n_okeys: int, kind: str, running: bool,
+                        axis: str = "dp"):
+    """kind: row_number | rank | dense_rank | count | sum | avg | min | max.
+    `running` = default frame with ORDER BY (range unbounded→current row,
+    peer-extended); False = whole-partition frame. Routing hashes the
+    FIRST partition key (rows sharing it co-locate, a superset of each
+    partition); exact segment boundaries come from the full gathered
+    partition-key tuple."""
+    sent = jnp.iinfo(jnp.int64).max
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis))
+        + (P(),) * (n_pkeys + n_okeys + 2),
+        out_specs=(P(axis), P(axis), P(axis), P(), P()),
+    )
+    def step(pk, live, rows, *payload):
+        pkeys_full = payload[:n_pkeys]
+        okeys_full = payload[n_pkeys:n_pkeys + n_okeys]
+        arg_full = payload[n_pkeys + n_okeys]
+        argv_full = payload[n_pkeys + n_okeys + 1]
+        sk, sr, drop, dem = _bucketize(pk, live, rows, n, cap, sent)
+        rr = jax.lax.all_to_all(sr, axis, 0, 0, tiled=False).reshape(-1)
+        m = rr.shape[0]
+        dead = rr < 0
+        rc = jnp.clip(rr, 0, None)
+        pks = [k[rc] for k in pkeys_full]
+        oks = [ok[rc] for ok in okeys_full]
+        x = arg_full[rc]
+        xv = jnp.logical_and(argv_full[rc], jnp.logical_not(dead))
+        iota = jnp.arange(m, dtype=jnp.int32)
+        ops = [dead] + pks + list(oks) + [iota]
+        out = jax.lax.sort(ops, num_keys=len(ops) - 1, is_stable=True)
+        dead_s, perm = out[0], out[-1]
+        pk_s = out[1:1 + n_pkeys]
+        ok_s = out[1 + n_pkeys:-1]
+        seg_start = jnp.zeros((m,), jnp.bool_).at[0].set(True)
+        seg_start = jnp.logical_or(seg_start, dead_s != jnp.roll(dead_s, 1))
+        for k in pk_s:
+            seg_start = jnp.logical_or(seg_start, k != jnp.roll(k, 1))
+        seg_start = seg_start.at[0].set(True)
+        peer_start = seg_start
+        for k in ok_s:
+            peer_start = jnp.logical_or(peer_start, k != jnp.roll(k, 1))
+        peer_start = peer_start.at[0].set(True)
+        seg_idx = jax.lax.cummax(jnp.where(seg_start, iota, 0))
+        x_s = jnp.where(xv[perm], x[perm], 0)
+        xv_s = xv[perm]
+        valid = jnp.ones((m,), jnp.bool_)
+        if kind == "row_number":
+            val = (iota - seg_idx + 1).astype(jnp.int64)
+        elif kind == "rank":
+            peer_idx = jax.lax.cummax(jnp.where(peer_start, iota, 0))
+            val = (peer_idx - seg_idx + 1).astype(jnp.int64)
+        elif kind == "dense_rank":
+            ds = jnp.cumsum(peer_start.astype(jnp.int64))
+            val = ds - ds[seg_idx] + 1
+        else:
+            xs = x_s.astype(jnp.float64) if kind == "avg" \
+                else x_s.astype(jnp.int64) if x_s.dtype != jnp.float64 \
+                else x_s
+            cs = jnp.cumsum(jnp.where(xv_s, xs, 0))
+            cnt = jnp.cumsum(xv_s.astype(jnp.int64))
+            base = jnp.where(seg_idx > 0, cs[jnp.clip(seg_idx - 1, 0, None)],
+                             0)
+            cbase = jnp.where(seg_idx > 0,
+                              cnt[jnp.clip(seg_idx - 1, 0, None)], 0)
+            if running:
+                is_last = jnp.roll(peer_start, -1).at[-1].set(True)
+                end = jnp.flip(jax.lax.cummax(
+                    jnp.flip(jnp.where(is_last, iota, -1))))
+            else:
+                is_seg_last = jnp.roll(seg_start, -1).at[-1].set(True)
+                end = jnp.flip(jax.lax.cummax(
+                    jnp.flip(jnp.where(is_seg_last, iota, -1))))
+            ec = jnp.clip(end, 0, m - 1)
+            tot = cs[ec] - base
+            nc = cnt[ec] - cbase
+            if kind == "count":
+                val = nc
+            elif kind == "avg":
+                val = tot.astype(jnp.float64) / jnp.maximum(nc, 1)
+                valid = nc > 0
+            elif kind in ("min", "max"):
+                seg_id = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
+                sentv = jnp.iinfo(jnp.int64).max if kind == "min" \
+                    else jnp.iinfo(jnp.int64).min
+                xm = jnp.where(xv_s, x_s.astype(jnp.int64), sentv)
+                op = jax.ops.segment_min if kind == "min" \
+                    else jax.ops.segment_max
+                val = op(xm, seg_id, num_segments=m)[seg_id]
+                valid = nc > 0
+            else:  # sum
+                val = tot
+                valid = nc > 0
+        rows_out = rr[perm]
+        overflow = jax.lax.psum(drop, axis)
+        need = jax.lax.pmax(dem, axis)
+        return rows_out, val, jnp.logical_and(valid,
+                                              jnp.logical_not(dead_s)), \
+            overflow, need
+
+    return commit_inputs(
+        jax.jit(step), mesh, (P(axis), P(axis), P(axis))
+        + (P(),) * (n_pkeys + n_okeys + 2))
+
+
+_WINDOW_CACHE: dict = {}
+
+
+def get_sharded_window(n: int, cap: int, n_pkeys: int, n_okeys: int,
+                       kind: str, running: bool):
+    import numpy as _np
+
+    devs = jax.devices()[:n]
+    key = (n, cap, n_pkeys, n_okeys, kind, running,
+           tuple(d.id for d in devs))
+    if key not in _WINDOW_CACHE:
+        mesh = Mesh(_np.array(devs), ("dp",))
+        _WINDOW_CACHE[key] = make_sharded_window(mesh, n, cap, n_pkeys,
+                                                 n_okeys, kind, running)
+    return _WINDOW_CACHE[key]
+
+
+def make_sharded_topn(mesh: Mesh, n: int, k: int, nkeys: int,
+                      axis: str = "dp"):
+    """Per-shard top-k + all_gather of the n·k candidates (the final
+    k-way merge runs on the caller's single device — the candidate set is
+    tiny). Dead rows sort last and surface as row id -1."""
+    sent = jnp.iinfo(jnp.int64).max
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+    )
+    def step(keys, live, rows):
+        ks = [jnp.where(live, keys[i], sent) for i in range(nkeys)]
+        ops = ks + [jnp.where(live, rows, -1)]
+        out = jax.lax.sort(ops, num_keys=nkeys, is_stable=True)
+        topk_keys = jnp.stack([o[:k] for o in out[:nkeys]])
+        topk_rows = out[-1][:k]
+        gk = jax.lax.all_gather(topk_keys, axis, axis=1, tiled=True)
+        gr = jax.lax.all_gather(topk_rows, axis, axis=0, tiled=True)
+        return gk, gr
+
+    return commit_inputs(jax.jit(step), mesh,
+                         (P(None, axis), P(axis), P(axis)))
+
+
+_TOPN_CACHE: dict = {}
+
+
+def get_sharded_topn(n: int, k: int, nkeys: int):
+    import numpy as _np
+
+    devs = jax.devices()[:n]
+    key = (n, k, nkeys, tuple(d.id for d in devs))
+    if key not in _TOPN_CACHE:
+        mesh = Mesh(_np.array(devs), ("dp",))
+        _TOPN_CACHE[key] = make_sharded_topn(mesh, n, k, nkeys)
+    return _TOPN_CACHE[key]

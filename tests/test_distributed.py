@@ -269,3 +269,69 @@ def test_auto_shard_policy():
     # small tables stay single-chip (below auto_shard_rows)
     con.sql("CREATE TABLE small AS SELECT range AS r FROM range(100)")
     assert con.sql("SELECT sum(r) FROM small").rows()[0][0] == 4950
+
+
+def test_sharded_window_vs_single(monkeypatch):
+    """Hash-partition exchange window (hashed_sort.cpp strategy) vs the
+    single-chip oracle, across ranking + default-frame aggregates."""
+    import duckdb_tpu
+    from duckdb_tpu.execution import window_exec as WX
+
+    setup = ["CREATE TABLE w (g INT, o INT, v INT, f DOUBLE)",
+             "INSERT INTO w SELECT range % 97, (range * 31) % 1009, "
+             "range % 50, range / 3.0 FROM range(40000)"]
+    queries = [
+        "SELECT g, o, row_number() OVER (PARTITION BY g ORDER BY o) rn "
+        "FROM w ORDER BY g, o LIMIT 5",
+        "SELECT g, o, rank() OVER (PARTITION BY g ORDER BY v) rn FROM w "
+        "ORDER BY g, o LIMIT 5",
+        "SELECT g, dense_rank() OVER (PARTITION BY g ORDER BY v) FROM w "
+        "ORDER BY g, o LIMIT 5",
+        "SELECT g, sum(v) OVER (PARTITION BY g) s FROM w ORDER BY g "
+        "LIMIT 3",
+        "SELECT g, sum(v) OVER (PARTITION BY g ORDER BY o) s FROM w "
+        "ORDER BY g, o LIMIT 5",
+        "SELECT g, avg(f) OVER (PARTITION BY g) s FROM w ORDER BY g "
+        "LIMIT 3",
+        "SELECT g, min(v) OVER (PARTITION BY g) s FROM w ORDER BY g "
+        "LIMIT 3",
+    ]
+    con = duckdb_tpu.connect()
+    for s in setup:
+        con.sql(s)
+    single = [con.sql(q).rows() for q in queries]
+    con2 = duckdb_tpu.connect()
+    for s in setup:
+        con2.sql(s)
+    con2.sql("SET num_shards = 8")
+    for q, exp in zip(queries, single):
+        assert con2.sql(q).rows() == exp, q
+    n = con2.sql("SELECT count(*) FROM duckdb_logs() "
+                 "WHERE type = 'sharded_window'").rows()[0][0]
+    assert n >= len(queries), "sharded window path did not engage"
+
+
+def test_sharded_topn_vs_single():
+    """Per-shard top-k + candidate gather-merge (physical_top_n analog)."""
+    import duckdb_tpu
+
+    setup = ["CREATE TABLE t (a INT, s VARCHAR)",
+             "INSERT INTO t SELECT (range * 7919) % 100000, "
+             "'v' || (range % 4) FROM range(65536)"]
+    queries = ["SELECT a FROM t ORDER BY a LIMIT 7",
+               "SELECT a FROM t ORDER BY a DESC LIMIT 5 OFFSET 3",
+               "SELECT a, s FROM t ORDER BY s, a LIMIT 6",
+               "SELECT a FROM t WHERE a > 50000 ORDER BY a LIMIT 4"]
+    con = duckdb_tpu.connect()
+    for s in setup:
+        con.sql(s)
+    single = [con.sql(q).rows() for q in queries]
+    con2 = duckdb_tpu.connect()
+    for s in setup:
+        con2.sql(s)
+    con2.sql("SET num_shards = 8")
+    for q, exp in zip(queries, single):
+        assert con2.sql(q).rows() == exp, q
+    n = con2.sql("SELECT count(*) FROM duckdb_logs() "
+                 "WHERE type = 'sharded_topn'").rows()[0][0]
+    assert n >= 1, "sharded TopN path did not engage"
