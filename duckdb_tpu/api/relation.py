@@ -12,6 +12,14 @@ from __future__ import annotations
 from typing import List, Optional
 
 
+class RawSQL:
+    """Parameter wrapper whose text substitutes verbatim (INTERVAL
+    literals from the C API's duckdb_bind_interval)."""
+
+    def __init__(self, sql: str):
+        self.sql = sql
+
+
 class Relation:
     def __init__(self, con, sql: str, alias: str = "rel"):
         self._con = con
@@ -142,16 +150,58 @@ class PreparedStatement:
         self._con = con
         self._sql = sql
 
+    def _param_tokens(self):
+        # token-level placeholder scan: the lexer skips string literals
+        # and comments, so `'cost ?'` stays data (same rule as EXECUTE,
+        # api/connection.py)
+        from duckdb_tpu.sql.lexer import tokenize as _tok
+
+        return [t for t in _tok(self._sql)
+                if t.type == "OP"
+                and (t.value == "?"
+                     or (t.value.startswith("$") and t.value[1:].isdigit()))]
+
+    @property
+    def nparams(self) -> int:
+        toks = self._param_tokens()
+        return (sum(1 for t in toks if t.value == "?")
+                or max((int(t.value[1:]) for t in toks if t.value != "?"),
+                       default=0))
+
     def execute(self, *params):
-        sql = self._sql
-        for p in params:
+        def render(p):
+            import datetime as _dt
+
             if p is None:
-                lit = "NULL"
-            elif isinstance(p, str):
-                lit = "'" + p.replace("'", "''") + "'"
-            elif isinstance(p, bool):
-                lit = "true" if p else "false"
+                return "NULL"
+            if isinstance(p, bool):
+                return "true" if p else "false"
+            if isinstance(p, str):
+                return "'" + p.replace("'", "''") + "'"
+            if isinstance(p, _dt.datetime):
+                return f"TIMESTAMP '{p}'"
+            if isinstance(p, _dt.date):
+                return f"DATE '{p}'"
+            if isinstance(p, _dt.time):
+                return f"TIME '{p}'"
+            if isinstance(p, (bytes, bytearray)):
+                return ("'" + "".join(f"\\x{b:02X}" for b in p)
+                        + "'::BLOB")
+            if isinstance(p, RawSQL):
+                return p.sql
+            return str(p)
+
+        sql = self._sql
+        pieces, last, i = [], 0, 0
+        for t in self._param_tokens():
+            if t.value == "?":
+                v = params[i] if i < len(params) else None
+                i += 1
             else:
-                lit = str(p)
-            sql = sql.replace("?", lit, 1)
-        return self._con.sql(sql)
+                n = int(t.value[1:]) - 1
+                v = params[n] if n < len(params) else None
+            pieces.append(sql[last:t.pos])
+            pieces.append(render(v))
+            last = t.pos + len(t.value)
+        pieces.append(sql[last:])
+        return self._con.sql("".join(pieces))

@@ -72,6 +72,63 @@ def prepare(con, sql: str):
     return con.prepare(sql)
 
 
+def nparams(stmt) -> int:
+    return stmt.nparams
+
+
+def apply_settings(con, pairs):
+    """duckdb_open_ext config entries -> SET statements on the fresh
+    connection (reference: config options resolved at open,
+    src/main/config.cpp)."""
+    for name, value in pairs:
+        v = value.strip()
+        if (v.lstrip("+-").replace(".", "", 1).isdigit()
+                or v.lower() in ("true", "false")):
+            lit = v
+        else:
+            lit = "'" + v.replace("'", "''") + "'"
+        con.sql(f"SET {name} = {lit}")
+
+
+# typed C values -> the engine's Python representations (capi.cpp converts
+# raw C structs to these through the helpers below; the reference converts
+# through Value::DATE etc., src/main/capi/prepared-c.cpp)
+def make_date(days: int):
+    return datetime.date(1970, 1, 1) + datetime.timedelta(days=days)
+
+
+def make_time(micros: int):
+    return (datetime.datetime(1970, 1, 1)
+            + datetime.timedelta(microseconds=micros)).time()
+
+
+def make_timestamp(micros: int):
+    return (datetime.datetime(1970, 1, 1)
+            + datetime.timedelta(microseconds=micros))
+
+
+def make_interval(months: int, days: int, micros: int):
+    # substitutes verbatim as an INTERVAL literal
+    from duckdb_tpu.api.relation import RawSQL
+
+    parts = []
+    if months:
+        parts.append(f"{months} months")
+    if days:
+        parts.append(f"{days} days")
+    if micros or not parts:
+        parts.append(f"{micros} microseconds")
+    return RawSQL("INTERVAL '" + " ".join(parts) + "'")
+
+
+def make_blob(data: bytes):
+    return data
+
+
+def appender_ncols(app) -> int:
+    return len(app._entry.columns)
+
+
 def run_prepared(stmt, params):
     return _flatten(stmt.execute(*params))
 
