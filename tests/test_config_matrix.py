@@ -34,6 +34,33 @@ CONFIGS = {
     # tiny budget: chunked partition-loop + disk spill + range-partitioned
     # out-of-core ORDER BY on nearly every query
     "spill_4mb": ["SET memory_limit = '4MB'"],
+    # -- round-5 additions (VERDICT r4 item 8: configs 7 -> 15) --------
+    # out-of-core AND distributed simultaneously: chunk loops over
+    # shard_map pipelines (the interaction is its own code path)
+    "spill_sharded": ["SET memory_limit = '32MB'", "SET num_shards = 8"],
+    # greedy join ordering under memory pressure: different join spines
+    # hit the chunked tier than under DP ordering
+    "greedy_spill": ["SET join_order = 'greedy'",
+                     "SET memory_limit = '64MB'"],
+    # serial shard loop: the distributed kernels with exactly one worker
+    "threads_1": ["SET threads = 1"],
+    # degenerate 2-way sharding with 1-row auto-shard: every operator
+    # sees tiny uneven partitions (morsel-shrinking analog,
+    # reference: test/configs verify_parallelism)
+    "shard2_tiny": ["SET num_shards = 2", "SET auto_shard_rows = 1"],
+    # forced exchange join while memory-limited: all_to_all partitions
+    # must respect the chunked budget
+    "exchange_spill": ["SET num_shards = 8",
+                       "SET exchange_join_threshold = 0",
+                       "SET memory_limit = '64MB'"],
+    # XLA masked-reduce aggregates inside sharded pipelines (no Pallas)
+    "pallas_off_sharded": ["SET pallas_grouped_sum = 'off'",
+                           "SET num_shards = 8"],
+    # extreme spill: near-minimal device working set, maximal partition
+    # counts in the out-of-core loop
+    "spill_2mb": ["SET memory_limit = '2MB'"],
+    # greedy ordering over distributed pipelines
+    "greedy_sharded": ["SET join_order = 'greedy'", "SET num_shards = 8"],
 }
 
 # representative corpus slice: every engine area the configs can disturb
@@ -63,7 +90,7 @@ def _reset_global_settings():
 
     con = duckdb_tpu.connect()
     for s in ("memory_limit", "num_shards", "auto_shard_rows",
-              "exchange_join_threshold", "pallas_grouped_sum"):
+              "exchange_join_threshold", "pallas_grouped_sum", "threads"):
         con.sql(f"RESET {s}")
 
 
