@@ -47,10 +47,13 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 SECONDARY = ["q03", "q05", "q06", "q09", "q10", "q18", "q04", "q07",
-             "q12", "q14", "q17", "q19", "q21", "q22", "q02", "q08",
-             "q11", "q15", "q16", "q20", "q13"]
-# q09 LAST: its SF10 program is the largest compile; if the cache is
-# cold the budget guard skips it rather than losing the whole block
+             "q12", "q14", "q17", "q19", "q21", "q22", "q08",
+             "q11", "q15", "q16", "q20", "q13", "q02"]
+# q02 LAST in the SF1 list: its correlated-min spine is the largest
+# cold-cache compile storm (r5 measurement: it exhausted the compile
+# credit and starved six queries); at the end it can only starve itself.
+# q09 LAST in the SF10 list: largest SF10 program compile; if the cache
+# is cold the budget guard skips it rather than losing the whole block
 SECONDARY_SF2 = ["q01", "q03", "q05", "q06", "q10", "q18", "q07",
                  "q12", "q21", "q09"]
 
